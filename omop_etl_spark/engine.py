@@ -1,0 +1,186 @@
+"""The ETL engine: catalog management + multi-table pipeline execution.
+
+Replaces the reference's compile-to-psql flow (``__main__.py:34-92``)
+with direct Spark execution — the working ``execute`` the reference
+never had (its ``execute`` subcommand calls methods that don't exist;
+SURVEY §3.3). Namespaces map to Spark catalog databases (``cerner``,
+``omop``, ``mapping``, ``external``, …); ``USE <default_schema>`` gives
+opaque rule SQL the reference's bare-name resolution, and temp views
+shadow catalog tables exactly like the reference's TempTables env
+(schema.py:92-102).
+
+Pipeline ordering mirrors the reference (``__main__.py:56-88``): all
+dependencies first, then every table's initialization (pre_init →
+mapping build → post_init), and only then every table's column phase —
+the phase barrier that lets FK remaps read any other table's
+``mapping.*`` frame.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dialect import is_plpgsql_script, translate
+from .planner.compiler import MAPPING_SCHEMA, TARGET_SCHEMA, TableCompiler
+from .rules.loader import load_rules_dir, topo_sort
+from .rules.model import DependencySpec, TableSpec
+
+__all__ = ["Engine"]
+
+log = logging.getLogger(__name__)
+
+_CORE_SCHEMAS = ("cerner", TARGET_SCHEMA, MAPPING_SCHEMA, "external")
+
+
+class Engine:
+    """Catalog + runner for the YAML DML pipeline.
+
+    Tables are Spark catalog tables (parquet-backed), so 100 TB sources
+    register by location without copying; computed ``mapping.*`` and
+    ``omop.*`` tables are materialized parquet (the reference
+    materializes both as real Postgres tables).
+    """
+
+    def __init__(self, spark: SparkSession, schemas: Sequence[str] = _CORE_SCHEMAS):
+        self.spark = spark
+        self.temp_views: set[str] = set()
+        self.required_columns: dict[str, set[str]] = {}
+        for s in schemas:
+            self._ensure_schema(s)
+
+    # -- catalog ------------------------------------------------------------
+
+    def _ensure_schema(self, schema: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+
+    def register_parquet(self, qualified_name: str, path: str | Path) -> None:
+        """Register an existing parquet file/dir as ``schema.table``
+        without copying data."""
+        schema, _, _ = qualified_name.partition(".")
+        self._ensure_schema(schema)
+        self.spark.sql(f"DROP TABLE IF EXISTS {qualified_name}")
+        self.spark.sql(
+            f"CREATE TABLE {qualified_name} USING parquet LOCATION '{Path(path)}'"
+        )
+
+    def register_df(self, qualified_name: str, df: DataFrame) -> None:
+        """Materialize a DataFrame as ``schema.table`` (test fixtures,
+        small curated lookups)."""
+        schema, _, _ = qualified_name.partition(".")
+        self._ensure_schema(schema)
+        df.write.mode("overwrite").format("parquet").saveAsTable(qualified_name)
+
+    def register_udf(self, name: str, fn: Callable, return_type: str) -> None:
+        """Register a Python UDF usable from rule SQL — the portable
+        replacement for pl/pgsql scripts (SURVEY §4.4)."""
+        self.spark.udf.register(name, fn, return_type)
+
+    def load_required_columns(self, csv_path: str | Path) -> None:
+        """Load the (table, column) required-fields CSV driving the
+        not-null finalization filter — the live version of the
+        reference's dead DELETE phase (schema.py:426-428, SURVEY §2.1
+        #22)."""
+        import csv
+
+        with open(csv_path, newline="") as f:
+            for row in csv.DictReader(f):
+                self.required_columns.setdefault(
+                    row["table"].strip().lower(), set()
+                ).add(row["column"].strip())
+
+    def missing_required_columns(self, spec: TableSpec) -> set[str]:
+        """Required OMOP columns this spec never populates (the API's
+        warning check, reference api.py:19-40)."""
+        required = self.required_columns.get(spec.name.lower(), set())
+        return required - {c.lower() for c in spec.column_order}
+
+    # -- execution ----------------------------------------------------------
+
+    def _use(self, schema: str | None) -> None:
+        if schema:
+            self._ensure_schema(schema)
+            self.spark.sql(f"USE {schema}")
+
+    def _run_scripts(self, spec: DependencySpec) -> None:
+        for script in spec.scripts:
+            if is_plpgsql_script(script):
+                log.warning(
+                    "%s: pl/pgsql script skipped — register an equivalent "
+                    "Python UDF via Engine.register_udf",
+                    spec.name or "<anonymous>",
+                )
+                continue
+            try:
+                self.spark.sql(translate(script))
+            except Exception as exc:  # noqa: BLE001 - scripts are passthrough
+                log.warning(
+                    "%s: script failed and was skipped: %s",
+                    spec.name or "<anonymous>",
+                    str(exc).splitlines()[0] if str(exc) else exc,
+                )
+
+    def _run_temp_tables(self, defs) -> None:
+        for t in defs:
+            self.spark.sql(translate(t.query)).createOrReplaceTempView(t.alias)
+            self.temp_views.add(t.alias)
+
+    def run_dependency(self, spec: DependencySpec) -> None:
+        self._use(spec.default_schema)
+        self._run_scripts(spec)
+        self._run_temp_tables(spec.pre_init)
+        self._run_temp_tables(spec.post_init)
+
+    def initialize_table(self, spec: TableSpec) -> None:
+        """pre_init → build + persist ``mapping.<t>`` → post_init."""
+        self._use(spec.default_schema)
+        self._run_scripts(spec)
+        self._run_temp_tables(spec.pre_init)
+        compiler = TableCompiler(self.spark, spec, self.temp_views)
+        mapping = compiler.build_mapping()
+        mapping.write.mode("overwrite").format("parquet").saveAsTable(
+            compiler.mapping_name
+        )
+        self._run_temp_tables(spec.post_init)
+
+    def process_table(
+        self, spec: TableSpec, apply_required_filter: bool = False
+    ) -> DataFrame:
+        """Column phase → persist + return ``omop.<t>``."""
+        self._use(spec.default_schema)
+        compiler = TableCompiler(self.spark, spec, self.temp_views)
+        target = compiler.build_target()
+        if apply_required_filter:
+            for col in self.required_columns.get(spec.name.lower(), set()):
+                if col in (c.lower() for c in target.columns):
+                    target = target.filter(target[col].isNotNull())
+        qualified = f"{TARGET_SCHEMA}.{spec.name}"
+        target.write.mode("overwrite").format("parquet").saveAsTable(qualified)
+        return self.spark.table(qualified)
+
+    def run(
+        self,
+        specs: Iterable[TableSpec | DependencySpec],
+        apply_required_filter: bool = False,
+    ) -> dict[str, DataFrame]:
+        """Run the full pipeline with the reference's phase barrier:
+        every initialization before any column phase."""
+        ordered = topo_sort(list(specs))
+        tables = [s for s in ordered if isinstance(s, TableSpec)]
+        for spec in ordered:
+            if isinstance(spec, TableSpec):
+                self.initialize_table(spec)
+            else:
+                self.run_dependency(spec)
+        return {
+            spec.name: self.process_table(spec, apply_required_filter)
+            for spec in tables
+        }
+
+    def run_rules_dir(
+        self, path: str | Path, apply_required_filter: bool = False
+    ) -> dict[str, DataFrame]:
+        return self.run(load_rules_dir(path), apply_required_filter)

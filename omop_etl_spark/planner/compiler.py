@@ -1,0 +1,261 @@
+"""Spark plan builder for one target table.
+
+Compiles a :class:`~omop_etl_spark.rules.model.TableSpec` into lazy
+DataFrames following the reference's three-phase pipeline (reference
+schema.py:449-479, SURVEY §0) re-expressed Spark-first:
+
+1. **Mapping phase** — per key source, scan→project natural keys→
+   filter, null-padded ``unionByName`` across sources, deterministic
+   surrogate ids (:mod:`.surrogate`). Materialized once as
+   ``mapping.<t>`` (the reference materializes it too; every column
+   rule and every other table's FK remap re-reads it).
+2. **Skeleton** — ``mapping.<t>.id`` is the seed of the target frame;
+   all other columns start NULL (reference schema.py:320-328).
+3. **Column phase** — instead of N sequential ``UPDATE … FROM``
+   statements (reference generation.py:159-189), ONE wide select: each
+   rule contributes a per-id ``matches`` frame (id, matched, value);
+   the target column folds rules in file order with
+   ``when(matched_n, value_n).otherwise(…)``, so the LAST matching rule
+   wins — exactly the reference's sequential last-writer-wins
+   (schema.py:474-478) without mutating anything.
+
+Why SQL text for the match frames: rule expressions/constraints are
+opaque PostgreSQL SQL (after :mod:`omop_etl_spark.dialect` shims they
+are valid Spark SQL). Generating one declarative ``SELECT`` per rule
+and letting Catalyst classify the conjunctive predicates into join
+conditions vs pushed-down filters IS the Spark-first design: the
+comma-join + WHERE form compiles to Broadcast/SortMerge equi-joins,
+never a cartesian product (verified in tests/test_plans.py).
+
+Semantics shims the reference gets implicitly from Postgres
+(SURVEY §4.3/§4.5):
+
+* ``UPDATE … FROM`` applies at most one update per target row even when
+  the join multiplies matches → we ``groupBy(id).agg(min(value))``
+  (deterministic tiebreak; Postgres picks an arbitrary match).
+* FK remap (``references``) preserves prior values on unmatched rows →
+  the match frame is inner-joined to ``mapping.<ref>`` but folded via
+  the left-join + when(), so misses keep the previous rule's value.
+* Constant rules hit ALL rows unconditionally, bypassing primary-key
+  scoping (reference schema.py:110-125).
+
+Scale notes (100 TB): every match frame and the seed are keyed by the
+surrogate id, so the fold's left joins all shuffle on the same key and
+AQE reuses exchanges / broadcasts small match frames; the mapping frame
+is written once and scanned many times (columnar, key-only, small
+relative to facts). Single-partition windows never touch row-scale data
+(see :mod:`.surrogate`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dialect import spark_type, translate
+from ..rules.model import (
+    ConstantRule,
+    DisabledRule,
+    ExpressionRule,
+    InlineQuery,
+    PrimaryKeySource,
+    TableRef,
+    TableSpec,
+)
+from .surrogate import with_surrogate_id
+
+__all__ = ["TableCompiler", "MAPPING_SCHEMA", "TARGET_SCHEMA"]
+
+MAPPING_SCHEMA = "mapping"
+TARGET_SCHEMA = "omop"
+
+
+@dataclass
+class _RuleSlot:
+    """One enabled rule bound to its fold position."""
+
+    index: int
+    rule: ExpressionRule | ConstantRule
+
+
+class TableCompiler:
+    """Builds the mapping frame and the final wide select for one spec."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: TableSpec,
+        temp_views: set[str] | None = None,
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.temp_views = temp_views if temp_views is not None else set()
+
+    # -- naming helpers -----------------------------------------------------
+
+    @property
+    def mapping_name(self) -> str:
+        return f"{MAPPING_SCHEMA}.{self.spec.name}"
+
+    def _relation_sql(self, rel: TableRef | InlineQuery) -> str:
+        """FROM-clause item for a relation. Bare names resolve via temp
+        views first, then the session's current database (``USE
+        <default_schema>``) — the same precedence as the reference's
+        TempTables env (schema.py:92-102)."""
+        if isinstance(rel, InlineQuery):
+            return f"({translate(rel.query)}) AS {rel.alias}"
+        if rel.schema:
+            return f"{rel.schema}.{rel.name}"
+        return rel.name
+
+    def _relation_ref(self, rel: TableRef | InlineQuery) -> str:
+        """How predicates refer to the relation's columns."""
+        if isinstance(rel, InlineQuery):
+            return rel.alias
+        if rel.schema:
+            return f"{rel.schema}.{rel.name}"
+        return rel.name
+
+    # -- phase 1: mapping ---------------------------------------------------
+
+    def source_select_sql(self, src: PrimaryKeySource) -> str:
+        """``SELECT <keys aliased t_c> FROM <relation> WHERE <constraints>``
+        (reference schema.py:139-157)."""
+        ref = src.table_alias
+        cols = ", ".join(
+            f"CAST({ref}.{c} AS {spark_type(t)}) AS {ref}_{c}"
+            for c, t in src.columns.items()
+        )
+        sql = f"SELECT {cols} FROM {self._relation_sql(src.relation)}"
+        if src.constraints:
+            preds = " AND ".join(f"({translate(c)})" for c in src.constraints)
+            sql += f" WHERE {preds}"
+        return sql
+
+    def build_mapping(self) -> DataFrame:
+        """Null-padded union of per-source key frames + surrogate ids.
+
+        Ids are the global rank under (source index, natural keys) —
+        1-based, matching Postgres ``serial`` numbering across the
+        per-source INSERTs but deterministic (SURVEY §4.3).
+        """
+        pk = self.spec.primary_key
+        frames: list[DataFrame] = []
+        order_cols: list[str] = []
+        for i, src in enumerate(pk.sources.values()):
+            df = self.spark.sql(self.source_select_sql(src))
+            frames.append(df.withColumn("__src", F.lit(i)))
+            for c in src.columns:
+                name = f"{src.table_alias}_{c}"
+                if name not in order_cols:
+                    order_cols.append(name)
+
+        union = frames[0]
+        for f in frames[1:]:
+            union = union.unionByName(f, allowMissingColumns=True)
+
+        mapped = with_surrogate_id(union, ["__src", *order_cols], id_col="id")
+        return mapped.select("id", *order_cols)
+
+    # -- phase 3: column rules ----------------------------------------------
+
+    def pk_join_predicates(self, pk_source_name: str) -> list[str]:
+        """Join glue between a rule's source table and the mapping frame:
+        ``<src>.<c> = mapping.<t>.<src>_<c>`` per natural-key column
+        (reference schema.py:277-310). The target-side predicate
+        (``omop.<t>.<pk> = mapping.<t>.id``) is structural in our plan:
+        the fold joins match frames back to the seed by id."""
+        src = self.spec.primary_key.sources[pk_source_name]
+        ref = self._relation_ref(src.relation)
+        ta = src.table_alias
+        return [
+            f"{ref}.{c} = {self.mapping_name}.{ta}_{c}" for c in src.columns
+        ]
+
+    def match_sql(self, rule: ExpressionRule) -> str:
+        """The declarative match query for one expression rule."""
+        from_items = [self.mapping_name]
+        for rel in rule.tables:
+            item = self._relation_sql(rel)
+            if item not in from_items:
+                from_items.append(item)
+
+        preds = [f"({p})" for p in self.pk_join_predicates(rule.primary_key)]
+        preds.extend(f"({translate(c)})" for c in rule.constraints)
+
+        value_expr = translate(rule.expression)
+        if rule.references is not None:
+            ref_table = f"{MAPPING_SCHEMA}.{rule.references.mapping_table}"
+            ref_col = f"{ref_table}.{rule.references.mapping_column}"
+            if ref_table not in from_items:
+                from_items.append(ref_table)
+            preds.append(f"({ref_col} is not null)")
+            preds.append(f"({ref_col} = {value_expr})")
+            value_expr = f"{ref_table}.id"
+
+        return (
+            f"SELECT {self.mapping_name}.id AS __id, ({value_expr}) AS __v "
+            f"FROM {', '.join(from_items)} "
+            f"WHERE {' AND '.join(preds)}"
+        )
+
+    def match_frame(self, rule: ExpressionRule) -> DataFrame:
+        """Match frame (``__id``, ``__m``, ``__v``) deduped to one row
+        per target id (the UPDATE…FROM one-update-per-row shim)."""
+        raw = self.spark.sql(self.match_sql(rule))
+        return (
+            raw.groupBy("__id")
+            .agg(F.min("__v").alias("__v"))
+            .withColumn("__m", F.lit(True))
+        )
+
+    def enabled_slots(self) -> list[_RuleSlot]:
+        return [
+            _RuleSlot(i, r)
+            for i, r in enumerate(self.spec.columns)
+            if not isinstance(r, DisabledRule)
+        ]
+
+    def build_target(self) -> DataFrame:
+        """Phase 2+3: seed ids, join every rule's match frame, fold each
+        column's rules in file order (last writer wins)."""
+        pk_name = self.spec.primary_key.name
+        seed = self.spark.table(self.mapping_name).select(
+            F.col("id").alias("__rowid")
+        )
+
+        slots = self.enabled_slots()
+        cur = seed
+        for slot in slots:
+            if isinstance(slot.rule, ConstantRule):
+                continue
+            m = self.match_frame(slot.rule).select(
+                F.col("__id").alias(f"__id{slot.index}"),
+                F.col("__m").alias(f"__m{slot.index}"),
+                F.col("__v").alias(f"__v{slot.index}"),
+            )
+            cur = cur.join(
+                m, cur["__rowid"] == m[f"__id{slot.index}"], "left"
+            ).drop(f"__id{slot.index}")
+
+        out_cols = [F.col("__rowid").cast("bigint").alias(pk_name)]
+        for col_name in self.spec.column_order:
+            value = F.lit(None)
+            for slot in slots:
+                if slot.rule.name != col_name:
+                    continue
+                if isinstance(slot.rule, ConstantRule):
+                    val = F.lit(slot.rule.constant)
+                    if slot.rule.data_type:
+                        val = val.cast(spark_type(slot.rule.data_type).lower())
+                    # constants apply to every row unconditionally
+                    value = val
+                else:
+                    value = F.when(
+                        F.col(f"__m{slot.index}"), F.col(f"__v{slot.index}")
+                    ).otherwise(value)
+            out_cols.append(value.alias(col_name))
+
+        return cur.select(*out_cols)
