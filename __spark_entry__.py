@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(the YAML-DML engine: key mapping, merges, FK remap, constants,
+query-tables, temp tables, required-column filter; the opaque-SQL
+dialect surface; plus the large-scale pipeline operators: dedup, text
+analysis, windowed/event analytics). ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL; column names and types are aligned on both
+sides (ints → BIGINT, derived money → integer cents, timestamps →
+strings) so the driver's order-insensitive value-hash matches exactly.
+
+ETL queries run the real engine end-to-end (mapping materialization +
+wide select) — the oracle re-derives the same semantics relationally
+with ``row_number() OVER (ORDER BY source_index, natural_key)``
+replicating the engine's deterministic surrogate ids (SURVEY §4.3).
 """
 
 from __future__ import annotations
@@ -12,27 +20,646 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _engine(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES):
+    from omop_etl_spark import Engine
+    from omop_etl_spark.sources import enable_nanos_compat
+
+    enable_nanos_compat(spark)  # events.parquet carries ns timestamps
+    eng = Engine(spark)
+    for t in tables:
+        eng.register_parquet(f"cerner.{t}", f"{sf_dir}/{t}.parquet")
+    return eng
+
+
+def _run_etl(spark: SparkSession, sf_dir: str, yaml_texts: list[str], out: str,
+             required: dict[str, set[str]] | None = None) -> DataFrame:
+    from omop_etl_spark import load_rules_text
+
+    eng = _engine(spark, sf_dir)
+    if required:
+        eng.required_columns.update(required)
+    specs = [load_rules_text(y) for y in yaml_texts]
+    return eng.run(specs, apply_required_filter=required is not None)[out]
+
+
+# ---------------------------------------------------------------------------
+# ETL: single-source copy + implicit joins (SURVEY §2.1 #1-#7, #17-#20)
+
+ETL_COPY = """
+name: person_copy
+default_schema: cerner
+primary_key:
+  name: person_id
+  sources:
+    customer_pk:
+      table: customer
+      columns:
+        c_custkey: bigint
+columns:
+  - name: full_name
+    tables: [customer]
+    expression: customer.c_name
+  - name: nation_name
+    tables: [customer, nation]
+    constraints:
+      - customer.c_nationkey = nation.n_nationkey
+    expression: nation.n_name
+  - name: acct_band
+    tables: [customer]
+    expression: CASE WHEN customer.c_acctbal < 0 THEN 'neg' WHEN customer.c_acctbal < 5000 THEN 'mid' ELSE 'high' END
+"""
+
+ORACLE_ETL_COPY = """
+WITH m AS (SELECT row_number() OVER (ORDER BY c_custkey) AS person_id, c_custkey FROM customer)
+SELECT m.person_id, c.c_name AS full_name, n.n_name AS nation_name,
+       CASE WHEN c.c_acctbal < 0 THEN 'neg' WHEN c.c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS acct_band
+FROM m JOIN customer c ON c.c_custkey = m.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+# ETL: multi-source union key + per-source rules (merge semantics, #2/#8)
+
+ETL_MERGE = """
+name: entity_dim
+default_schema: cerner
+primary_key:
+  name: entity_id
+  sources:
+    customer_pk:
+      table: customer
+      columns:
+        c_custkey: bigint
+    supplier_pk:
+      table: supplier
+      columns:
+        s_suppkey: bigint
+columns:
+  - name: entity_name
+    tables: [customer]
+    primary_key: customer_pk
+    expression: customer.c_name
+  - name: entity_name
+    tables: [supplier]
+    primary_key: supplier_pk
+    expression: supplier.s_name
+  - name: nation_name
+    tables: [customer, nation]
+    primary_key: customer_pk
+    constraints:
+      - customer.c_nationkey = nation.n_nationkey
+    expression: nation.n_name
+  - name: nation_name
+    tables: [supplier, nation]
+    primary_key: supplier_pk
+    constraints:
+      - supplier.s_nationkey = nation.n_nationkey
+    expression: nation.n_name
+  - name: kind
+    tables: [customer]
+    primary_key: customer_pk
+    expression: "'customer'"
+  - name: kind
+    tables: [supplier]
+    primary_key: supplier_pk
+    expression: "'supplier'"
+"""
+
+ORACLE_ETL_MERGE = """
+WITH u AS (
+  SELECT 0 AS src, c_custkey AS k FROM customer
+  UNION ALL
+  SELECT 1 AS src, s_suppkey AS k FROM supplier
+), m AS (SELECT row_number() OVER (ORDER BY src, k) AS entity_id, src, k FROM u)
+SELECT m.entity_id,
+       CASE WHEN m.src = 0 THEN c.c_name ELSE s.s_name END AS entity_name,
+       CASE WHEN m.src = 0 THEN cn.n_name ELSE sn.n_name END AS nation_name,
+       CASE WHEN m.src = 0 THEN 'customer' ELSE 'supplier' END AS kind
+FROM m
+LEFT JOIN customer c ON m.src = 0 AND c.c_custkey = m.k
+LEFT JOIN nation cn ON m.src = 0 AND c.c_nationkey = cn.n_nationkey
+LEFT JOIN supplier s ON m.src = 1 AND s.s_suppkey = m.k
+LEFT JOIN nation sn ON m.src = 1 AND s.s_nationkey = sn.n_nationkey
+"""
+
+
+# ETL: FK remap via `references` — both YAML forms (#9)
+
+ETL_FK_PERSON = """
+name: person_dim
+default_schema: cerner
+primary_key:
+  name: person_id
+  sources:
+    customer_pk:
+      table: customer
+      columns:
+        c_custkey: bigint
+columns:
+  - name: segment
+    tables: [customer]
+    expression: customer.c_mktsegment
+"""
+
+ETL_FK_ORDERS = """
+name: order_fact
+default_schema: cerner
+primary_key:
+  name: order_id
+  sources:
+    orders_pk:
+      table: orders
+      columns:
+        o_orderkey: bigint
+columns:
+  - name: customer_ref
+    tables: [orders]
+    references:
+      person_dim:
+        table: customer
+        column: c_custkey
+    expression: orders.o_custkey
+  - name: total_price
+    tables: [orders]
+    expression: orders.o_totalprice
+  - name: order_year
+    tables: [orders]
+    expression: CAST(extract(year from orders.o_orderdate) AS BIGINT)
+"""
+
+ORACLE_ETL_FK = """
+WITH cmap AS (SELECT row_number() OVER (ORDER BY c_custkey) AS id, c_custkey FROM customer),
+     omap AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, o_orderkey FROM orders)
+SELECT omap.id AS order_id, cmap.id AS customer_ref,
+       o.o_totalprice AS total_price,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS order_year
+FROM omap
+JOIN orders o ON o.o_orderkey = omap.o_orderkey
+LEFT JOIN cmap ON cmap.c_custkey = o.o_custkey
+"""
+
+
+# ETL: last-writer-wins across overlapping rules for one column (#8)
+
+ETL_LWW = """
+name: order_prio
+default_schema: cerner
+primary_key:
+  name: order_id
+  sources:
+    orders_pk:
+      table: orders
+      columns:
+        o_orderkey: bigint
+columns:
+  - name: priority_class
+    tables: [orders]
+    expression: orders.o_orderpriority
+  - name: priority_class
+    tables: [orders]
+    constraints:
+      - orders.o_totalprice >= 150000
+    expression: "'BIG-' || orders.o_orderpriority"
+"""
+
+ORACLE_ETL_LWW = """
+WITH m AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS order_id, o_orderkey FROM orders)
+SELECT m.order_id,
+       CASE WHEN o.o_totalprice >= 150000 THEN 'BIG-' || o.o_orderpriority
+            ELSE o.o_orderpriority END AS priority_class
+FROM m JOIN orders o ON o.o_orderkey = m.o_orderkey
+"""
+
+
+# ETL: constant columns (#10) — unconditional, all rows
+
+ETL_CONSTANT = """
+name: nation_dim
+default_schema: cerner
+primary_key:
+  name: nation_id
+  sources:
+    nation_pk:
+      table: nation
+      columns:
+        n_nationkey: bigint
+columns:
+  - name: nation_name
+    tables: [nation]
+    expression: nation.n_name
+  - name: etl_version
+    constant: v1
+  - name: load_flag
+    data_type: bigint
+    constant: 1
+"""
+
+ORACLE_ETL_CONSTANT = """
+WITH m AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS nation_id, n_nationkey FROM nation)
+SELECT m.nation_id, n.n_name AS nation_name, 'v1' AS etl_version, CAST(1 AS BIGINT) AS load_flag
+FROM m JOIN nation n ON n.n_nationkey = m.n_nationkey
+"""
+
+
+# ETL: inline QueryTable source with DISTINCT ON dialect rewrite (#12, §4.4)
+
+ETL_QUERY_TABLE = """
+name: cust_first_order
+default_schema: cerner
+primary_key:
+  name: cust_id
+  sources:
+    cust_first_pk:
+      table: &cf
+        alias: cust_first
+        query: select distinct on (o_custkey) o_custkey, o_orderkey, o_totalprice from orders order by o_custkey
+      columns:
+        o_custkey: bigint
+columns:
+  - name: first_order_key
+    tables: [*cf]
+    expression: cust_first.o_orderkey
+  - name: first_total_cents
+    tables: [*cf]
+    expression: CAST(floor(cust_first.o_totalprice * 100) AS BIGINT)
+"""
+
+ORACLE_ETL_QUERY_TABLE = """
+WITH cf AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_custkey, o_orderkey, o_totalprice) AS rn
+    FROM orders) t WHERE rn = 1
+), m AS (SELECT row_number() OVER (ORDER BY o_custkey) AS cust_id, o_custkey FROM cf)
+SELECT m.cust_id, cf.o_orderkey AS first_order_key,
+       CAST(floor(cf.o_totalprice * 100) AS BIGINT) AS first_total_cents
+FROM m JOIN cf ON cf.o_custkey = m.o_custkey
+"""
+
+
+# ETL: pre_init temp table + inline VALUES + :: casts (#13, §2.2)
+
+ETL_TEMP_TABLE = """
+name: nation_band
+default_schema: cerner
+pre_init:
+  - alias: band_lookup
+    query: select * from (VALUES (0::int, 'alpha'), (1::int, 'beta'), (2::int, 'gamma'), (3::int, 'delta'), (4::int, 'epsilon')) as t (rkey, band)
+primary_key:
+  name: nation_id
+  sources:
+    nation_pk:
+      table: nation
+      columns:
+        n_nationkey: bigint
+columns:
+  - name: region_band
+    tables: [nation, band_lookup]
+    constraints:
+      - nation.n_regionkey = band_lookup.rkey
+    expression: band_lookup.band
+"""
+
+ORACLE_ETL_TEMP_TABLE = """
+WITH band_lookup AS (SELECT * FROM (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'), (4, 'epsilon')) t(rkey, band)),
+     m AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS nation_id, n_nationkey FROM nation)
+SELECT m.nation_id, b.band AS region_band
+FROM m JOIN nation n ON n.n_nationkey = m.n_nationkey
+LEFT JOIN band_lookup b ON n.n_regionkey = b.rkey
+"""
+
+
+# ETL: required-column not-null finalization (#22 — live in our engine)
+
+ETL_REQUIRED = """
+name: order_filtered
+default_schema: cerner
+primary_key:
+  name: order_id
+  sources:
+    orders_pk:
+      table: orders
+      columns:
+        o_orderkey: bigint
+columns:
+  - name: cust_segment
+    tables: [orders, customer]
+    constraints:
+      - orders.o_custkey = customer.c_custkey
+      - customer.c_acctbal > 0
+    expression: customer.c_mktsegment
+"""
+
+ORACLE_ETL_REQUIRED = """
+WITH m AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS order_id, o_orderkey FROM orders)
+SELECT m.order_id, c.c_mktsegment AS cust_segment
+FROM m
+JOIN orders o ON o.o_orderkey = m.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Opaque-SQL dialect surface (SURVEY §2.2/§4.4) — run through dialect.translate
+
+SQL_EXPR_SURFACE = """
+select o_orderkey::bigint as order_id,
+       substring(o_orderpriority, 1, 1) as prio_code,
+       cast(position('-' in o_orderpriority) as bigint) as dash_pos,
+       cast(length(o_orderstatus) as bigint) as status_len,
+       'S:' || o_orderstatus as status_tag,
+       cast(extract(year from o_orderdate) as bigint) as order_year,
+       case when o_totalprice > 100000 then 'hi' else 'lo' end as price_class
+from cerner.orders
+"""
+
+ORACLE_SQL_EXPR_SURFACE = """
+SELECT CAST(o_orderkey AS BIGINT) AS order_id,
+       substring(o_orderpriority, 1, 1) AS prio_code,
+       CAST(position('-' in o_orderpriority) AS BIGINT) AS dash_pos,
+       CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+       'S:' || o_orderstatus AS status_tag,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END AS price_class
+FROM orders
+"""
+
+SQL_DISTINCT_ON = """
+select distinct on (o_custkey) o_custkey as cust, o_orderkey as first_order
+from cerner.orders
+order by o_custkey, o_orderkey
+"""
+
+ORACLE_SQL_DISTINCT_ON = """
+SELECT o_custkey AS cust, o_orderkey AS first_order FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_custkey, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn = 1
+"""
+
+
+def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from omop_etl_spark.dialect import translate
+
+        _engine(spark, sf_dir)
+        return spark.sql(translate(sql))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Analytics: aggregation / window / event-time (Spark-native plans).
+# Money sums use integer cents (floor(x*100)) — exact, deterministic,
+# identical across engines; raw double sums are order-dependent.
+
+
+def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.col("c_custkey").cast("bigint").alias("cust_id"),
+            F.col("c_name").alias("cust_name"),
+            "order_cnt",
+            "total_cents",
+        )
+        .orderBy(F.desc("total_cents"), "cust_id")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT CAST(c.c_custkey AS BIGINT) AS cust_id, c.c_name AS cust_name,
+       COUNT(*) AS order_cnt,
+       SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_cents DESC, cust_id
+LIMIT 10
+"""
+
+
+def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("order_id"),
+            F.col("o_custkey").cast("bigint").alias("cust_id"),
+            F.col("price_rank").cast("bigint").alias("price_rank"),
+        )
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT CAST(o_orderkey AS BIGINT) AS order_id,
+       CAST(o_custkey AS BIGINT) AS cust_id,
+       CAST(price_rank AS BIGINT) AS price_rank
+FROM (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+  FROM orders) t
+WHERE price_rank <= 3
+"""
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pipeline operators: dedup + text analysis (north-star extensions)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.functions.text import token_signature
+    from omop_etl_spark.operators.dedup import dedup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    groups = dedup_groups(
+        docs.withColumn("sig", token_signature("text")), ["sig"], id_col="doc_id"
+    )
+    return groups.select(
+        F.col("keep_id").cast("bigint").alias("keep_doc_id"),
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, COUNT(*) AS dup_count
+FROM (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
+  FROM documents) t
+GROUP BY sig
+"""
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+        )
+    )
+
+
+ORACLE_TEXT_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS total_tokens,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full ETL pipeline (mapping phase + wide select with
+    joins) over sf0.001."""
+    return _run_etl(spark, "/root/testdata/sf0.001", [ETL_COPY], "person_copy")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "etl_copy": lambda s, d: _run_etl(s, d, [ETL_COPY], "person_copy"),
+        "etl_merge_entities": lambda s, d: _run_etl(s, d, [ETL_MERGE], "entity_dim"),
+        "etl_fk_remap": lambda s, d: _run_etl(
+            s, d, [ETL_FK_PERSON, ETL_FK_ORDERS], "order_fact"
+        ),
+        "etl_lww": lambda s, d: _run_etl(s, d, [ETL_LWW], "order_prio"),
+        "etl_constant": lambda s, d: _run_etl(s, d, [ETL_CONSTANT], "nation_dim"),
+        "etl_query_table": lambda s, d: _run_etl(
+            s, d, [ETL_QUERY_TABLE], "cust_first_order"
+        ),
+        "etl_temp_table": lambda s, d: _run_etl(s, d, [ETL_TEMP_TABLE], "nation_band"),
+        "etl_required_filter": lambda s, d: _run_etl(
+            s, d, [ETL_REQUIRED], "order_filtered",
+            required={"order_filtered": {"cust_segment"}},
+        ),
+        "sql_expr_surface": _sql_query(SQL_EXPR_SURFACE),
+        "sql_distinct_on": _sql_query(SQL_DISTINCT_ON),
+        "agg_pricing_summary": _q_agg_pricing,
+        "agg_top_customers": _q_top_customers,
+        "window_rank": _q_window_rank,
+        "events_hourly": _q_events_hourly,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "etl_copy": ORACLE_ETL_COPY,
+        "etl_merge_entities": ORACLE_ETL_MERGE,
+        "etl_fk_remap": ORACLE_ETL_FK,
+        "etl_lww": ORACLE_ETL_LWW,
+        "etl_constant": ORACLE_ETL_CONSTANT,
+        "etl_query_table": ORACLE_ETL_QUERY_TABLE,
+        "etl_temp_table": ORACLE_ETL_TEMP_TABLE,
+        "etl_required_filter": ORACLE_ETL_REQUIRED,
+        "sql_expr_surface": ORACLE_SQL_EXPR_SURFACE,
+        "sql_distinct_on": ORACLE_SQL_DISTINCT_ON,
+        "agg_pricing_summary": ORACLE_AGG_PRICING,
+        "agg_top_customers": ORACLE_TOP_CUSTOMERS,
+        "window_rank": ORACLE_WINDOW_RANK,
+        "events_hourly": ORACLE_EVENTS_HOURLY,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "text_stats": ORACLE_TEXT_STATS,
+    }

@@ -100,9 +100,14 @@ def is_plpgsql_script(script: str) -> bool:
 
 # --- ``::`` cast rewriting ---------------------------------------------------
 
-# the type after ``::``: word (optionally two words, e.g. "double
-# precision"), optional (n[,m]) params
-_CAST_TYPE_RE = re.compile(r"(\w+(?:\s+\w+)?)(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?")
+# the type after ``::``: one word, or a known two-word type, plus
+# optional (n[,m]) params. A greedy two-word match would swallow
+# following keywords (``x::bigint as y``).
+_CAST_TYPE_RE = re.compile(
+    r"((?:double\s+precision|character\s+varying|\w+))"
+    r"(\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?",
+    re.IGNORECASE,
+)
 
 
 def _operand_start(sql: str, pos: int) -> int:
@@ -244,7 +249,8 @@ def rewrite_distinct_on(sql: str) -> str:
 
         order_items = [keys]
         for item in select_list.split(","):
-            item = item.strip()
+            # strip `AS alias` / trailing alias — not valid inside OVER()
+            item = re.sub(r"\s+as\s+\w+\s*\Z", "", item.strip(), flags=re.IGNORECASE)
             if item and item != "*" and item.lower() not in (k.strip().lower() for k in keys.split(",")):
                 order_items.append(item)
         order_by = ", ".join(order_items)

@@ -70,8 +70,29 @@ class Engine:
     def register_df(self, qualified_name: str, df: DataFrame) -> None:
         """Materialize a DataFrame as ``schema.table`` (test fixtures,
         small curated lookups)."""
-        schema, _, _ = qualified_name.partition(".")
+        self._overwrite_table(df, qualified_name)
+
+    def _overwrite_table(self, df: DataFrame, qualified_name: str) -> None:
+        """``saveAsTable`` with overwrite that also survives orphaned
+        warehouse directories: a table absent from the (in-memory)
+        catalog whose managed location still exists on disk from a
+        previous session raises LOCATION_ALREADY_EXISTS — drop both."""
+        import shutil
+        from urllib.parse import urlparse
+
+        schema, _, table = qualified_name.partition(".")
         self._ensure_schema(schema)
+        self.spark.sql(f"DROP TABLE IF EXISTS {qualified_name}")
+        try:
+            db_loc = self.spark.sql(f"DESCRIBE DATABASE {schema}").filter(
+                "info_name = 'Location'"
+            ).collect()
+            if db_loc:
+                path = Path(urlparse(db_loc[0]["info_value"]).path) / table.lower()
+                if path.exists():
+                    shutil.rmtree(path, ignore_errors=True)
+        except Exception:  # noqa: BLE001 - best-effort cleanup
+            pass
         df.write.mode("overwrite").format("parquet").saveAsTable(qualified_name)
 
     def register_udf(self, name: str, fn: Callable, return_type: str) -> None:
@@ -140,10 +161,7 @@ class Engine:
         self._run_scripts(spec)
         self._run_temp_tables(spec.pre_init)
         compiler = TableCompiler(self.spark, spec, self.temp_views)
-        mapping = compiler.build_mapping()
-        mapping.write.mode("overwrite").format("parquet").saveAsTable(
-            compiler.mapping_name
-        )
+        self._overwrite_table(compiler.build_mapping(), compiler.mapping_name)
         self._run_temp_tables(spec.post_init)
 
     def process_table(
@@ -158,7 +176,7 @@ class Engine:
                 if col in (c.lower() for c in target.columns):
                     target = target.filter(target[col].isNotNull())
         qualified = f"{TARGET_SCHEMA}.{spec.name}"
-        target.write.mode("overwrite").format("parquet").saveAsTable(qualified)
+        self._overwrite_table(target, qualified)
         return self.spark.table(qualified)
 
     def run(

@@ -1,0 +1,111 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+All functions are pure ``pyspark.sql.functions`` compositions — JVM-side,
+whole-stage-codegen friendly, no Python UDFs in the hot path. They take
+and return :class:`~pyspark.sql.Column` so they compose into any
+DataFrame plan (100 TB-safe: narrow, per-row transforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "token_signature",
+    "punct_ratio",
+    "stopword_ratio",
+    "mean_token_length",
+    "quality_score",
+    "lang_scores",
+    "STOPWORDS",
+]
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small + deterministic; real deployments swap
+#: in their own lists.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+}
+
+
+def tokens(text: Column | str, sep: str = r"\s+") -> Column:
+    """Whitespace tokens with empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, sep), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def token_signature(text: Column | str) -> Column:
+    """Order-insensitive content signature: the sorted set of distinct
+    single-space tokens, re-joined. Two documents that are permutations
+    of the same token set collide — the exact-dedup normalization key.
+
+    Uses a literal single-space split (not ``\\s+``) so the signature is
+    reproducible in ANSI SQL engines (DuckDB ``string_split``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_join(F.array_sort(F.array_distinct(F.split(c, " "))), " ")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not [A-Za-z0-9 ]."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Crude [0,1] document-quality heuristic: penalize very short docs,
+    high punctuation density, and degenerate mean token length."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    len_ok = F.least(n / F.lit(20.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    mtl = mean_token_length(c)
+    mtl_ok = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return len_ok * punct_ok * mtl_ok
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Map of language → stopword-hit count; argmax is the language-ID
+    heuristic (n-gram-free variant suited to whitespace languages)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in STOPWORDS]),
+        F.array(
+            *[
+                F.size(
+                    F.filter(
+                        tokens(text),
+                        lambda t, ws=ws: F.array_contains(
+                            F.array(*[F.lit(w) for w in ws]), F.lower(t)
+                        ),
+                    )
+                )
+                for ws in STOPWORDS.values()
+            ]
+        ),
+    )

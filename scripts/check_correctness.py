@@ -1,0 +1,114 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the given scale factor, then
+compares row count, column-name set, and order-insensitive values
+(columns sorted by name, rows sorted, floats repr'd). Exit 0 iff all
+match.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+
+def norm_value(v):
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.warehouse.dir", "/tmp/check-wh")
+        .config("spark.ui.enabled", "false")
+        .appName("correctness-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in entrymod.TPCH_TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows={len(s_rows)} (no oracle — rows-only check)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            continue
+
+        sc, sr = norm_rows([c.lower() for c in s_cols], s_rows)
+        dc, dr = norm_rows(d_cols, d_rows)
+        if sc != dc:
+            failures.append((name, f"columns differ: {sc} vs {dc}"))
+            print(f"FAIL {name}: columns {sc} vs {dc}")
+        elif len(sr) != len(dr):
+            failures.append((name, f"rowcount {len(sr)} vs {len(dr)}"))
+            print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
+        elif sr != dr:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
+            failures.append((name, f"values differ at sorted row {diff[0]}"))
+            print(f"FAIL {name}: first diff at sorted row {diff[0]}:")
+            print(f"  spark : {diff[1]}")
+            print(f"  duckdb: {diff[2]}")
+        else:
+            print(f"PASS {name}: rows={len(sr)} cols={len(sc)}")
+
+    spark.stop()
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} matched" if not only else "")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
