@@ -36,14 +36,22 @@ TPCH_TABLES = (
 )
 
 
+_ENGINE_CACHE: dict[tuple[int, str], object] = {}
+
+
 def _engine(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES):
     from omop_etl_spark import Engine
     from omop_etl_spark.sources import enable_nanos_compat
 
+    key = (id(spark), sf_dir)
+    cached = _ENGINE_CACHE.get(key)
+    if cached is not None:
+        return cached
     enable_nanos_compat(spark)  # events.parquet carries ns timestamps
     eng = Engine(spark)
     for t in tables:
         eng.register_parquet(f"cerner.{t}", f"{sf_dir}/{t}.parquet")
+    _ENGINE_CACHE[key] = eng
     return eng
 
 
@@ -607,6 +615,176 @@ GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# Similarity search + near-duplicate detection (north-star extensions)
+
+
+def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(q, emb, k=5).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        "score",
+    )
+
+
+ORACLE_SIM_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+     s AS (SELECT query_id, neighbor_id,
+                  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+           FROM c CROSS JOIN q)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM s) t
+WHERE rn <= 5
+"""
+
+
+def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate variant — rows-only check (recall < 1 by design)
+    from omop_etl_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk(q, emb, k=5, num_bits=8)
+
+
+# word-3-gram shingles as DuckDB SQL (mirrors operators.dedup.token_shingles)
+_DUCK_SHINGLES = """
+SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS s
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) raw
+"""
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(docs, n=3, threshold=0.8).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )
+
+
+ORACLE_JACCARD_PAIRS = f"""
+WITH sh AS ({_DUCK_SHINGLES})
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       round(len(list_intersect(a.s, b.s)) /
+             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) /
+      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+"""
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate LSH near-dup pairs — rows-only check; precision is
+    # exact (verified jaccard), recall < 1 near the threshold
+    from omop_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=8, threshold=0.8)
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(quality_score("text"), 4).alias("quality"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         length(text) AS n_len,
+         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN n_len > 0 THEN n_punct / CAST(n_len AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mtl
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(least(n / 20.0, 1.0)
+             * (1.0 - least(punct_ratio * 4, 1.0))
+             * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END), 4) AS quality
+FROM m
+"""
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.functions.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("predicted_lang", lang_id("text"))
+        .groupBy(F.col("lang").alias("actual_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _duck_hits(code: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),"
+        f" t -> list_contains([{arr}], lower(t)))) AS h_{code}"
+    )
+
+
+def _oracle_langid() -> str:
+    from omop_etl_spark.functions.text import STOPWORDS
+
+    hits = ",\n         ".join(_duck_hits(c, w) for c, w in STOPWORDS.items())
+    codes = sorted(STOPWORDS)
+    branches = []
+    for code in codes[:-1]:
+        conds = " AND ".join(
+            f"h_{code} >= h_{o}" for o in codes if o != code
+        )
+        branches.append(f"WHEN {conds} THEN '{code}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{codes[-1]}' END"
+    return f"""
+WITH t AS (
+  SELECT lang, {hits}
+  FROM documents
+)
+SELECT lang AS actual_lang, {case} AS predicted_lang, COUNT(*) AS n_docs
+FROM t GROUP BY 1, 2
+"""
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.functions.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -641,6 +819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
+        "sim_topk": _q_sim_topk,
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
@@ -662,4 +847,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
+        "sim_topk": ORACLE_SIM_TOPK,
+        # sim_topk_lsh, dedup_minhash_lsh: approximate by design →
+        # rows-only driver check (no SQL equivalent with recall < 1)
+        "ngram_jaccard_pairs": ORACLE_JACCARD_PAIRS,
+        "text_quality": ORACLE_TEXT_QUALITY,
+        "text_langid": _oracle_langid(),
+        "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     }

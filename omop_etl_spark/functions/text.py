@@ -90,22 +90,45 @@ def quality_score(text: Column | str) -> Column:
     return len_ok * punct_ok * mtl_ok
 
 
+def lang_id(text: Column | str) -> Column:
+    """Stopword-hit language ID with deterministic tie-breaking: the
+    language with the most stopword hits wins; ties go to the
+    lexicographically smallest language code (so the prediction is
+    reproducible in any engine as a CASE chain)."""
+    toks = tokens(text)
+    hits = {}
+    for code, ws in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in ws])
+        hits[code] = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    codes = sorted(STOPWORDS)  # lexicographic precedence on ties
+    expr = F.lit(codes[-1])
+    for code in reversed(codes[:-1]):
+        cond = None
+        for other in codes:
+            if other == code:
+                continue
+            c = hits[code] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(code)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the order-insensitive
+    token signature — identical in any engine with md5."""
+    return F.md5(token_signature(text))
+
+
 def lang_scores(text: Column | str) -> Column:
     """Map of language → stopword-hit count; argmax is the language-ID
     heuristic (n-gram-free variant suited to whitespace languages)."""
+    def hit(ws: tuple[str, ...]):
+        sw = F.array(*[F.lit(w) for w in ws])
+        return lambda t: F.array_contains(sw, F.lower(t))
+
     return F.map_from_arrays(
         F.array(*[F.lit(k) for k in STOPWORDS]),
         F.array(
-            *[
-                F.size(
-                    F.filter(
-                        tokens(text),
-                        lambda t, ws=ws: F.array_contains(
-                            F.array(*[F.lit(w) for w in ws]), F.lower(t)
-                        ),
-                    )
-                )
-                for ws in STOPWORDS.values()
-            ]
+            *[F.size(F.filter(tokens(text), hit(ws))) for ws in STOPWORDS.values()]
         ),
     )

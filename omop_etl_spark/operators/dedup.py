@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_dedup", "dedup_groups"]
+__all__ = [
+    "exact_dedup",
+    "dedup_groups",
+    "token_shingles",
+    "jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash_text",
+]
 
 
 def _key_cols(df: DataFrame, keys: list[str | Column]) -> list[Column]:
@@ -53,3 +61,212 @@ def dedup_groups(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("dup_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate detection
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a single-space-tokenized text.
+
+    Single-space split (not ``\\s+``) keeps the definition reproducible
+    in ANSI SQL oracles."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate pairs (``id_a < id_b``,
+    ``jaccard >= threshold``).
+
+    Candidate generation is an inverted-index self-join on shingles —
+    every pair with Jaccard > 0 shares at least one shingle, so recall
+    is exactly 1.0 (no LSH approximation). The candidate count is then
+    cut by exact set intersection: ``|A∩B|`` arrives free as the number
+    of co-occurring shingles, so only ``|A|``/``|B|`` need a join.
+
+    Scale note: hot shingles fan out quadratically; for high thresholds
+    prefix filtering (index only the first ``⌈(1-τ)·|A|⌉+1`` shingles
+    in a global ordering) bounds the blowup exactly — planned
+    refinement. At current scales the full index is cheap.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
+    )
+    sizes = sh.select("__id", F.size("__sh").alias("__sz"))
+    inv = sh.select("__id", F.explode("__sh").alias("__g"))
+    co = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        co.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _md5_hash(col: Column, salt: int) -> Column:
+    """Deterministic 32-bit hash from md5 — identical in any engine
+    with an md5 function (used so SQL oracles can replicate minhash)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod p`` (a < 2^29 keeps a*x inside
+    int64 for 32-bit base hashes)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 29) | 1, rng.randrange(0, 1 << 29))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 16, seed: int = 42
+) -> Column:
+    """MinHash signature (array of ``num_hashes`` minima) over a shingle
+    array column.
+
+    One md5 per shingle (the expensive part) + ``num_hashes`` cheap
+    affine rehashes — not ``num_hashes`` md5 passes, which re-evaluates
+    the shingle expression tree per hash and is ~20x slower. Fully
+    deterministic (seeded params, md5 base hash).
+    """
+    base = F.transform(shingles, lambda g: _md5_hash(g, 0))
+
+    def rehash(a: int, b: int):
+        # closure factory: a default-arg lambda would change the arity
+        # PySpark infers for higher-order functions
+        return lambda h: (h * a + b) % _MERSENNE_P
+
+    return F.array(
+        *[
+            F.array_min(F.transform(base, rehash(a, b)))
+            for a, b in _affine_params(num_hashes, seed)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash banding: signatures split
+    into ``bands``; pairs colliding in ≥1 band become candidates, then
+    exact Jaccard verifies. Precision is exact (post-verification);
+    recall < 1 for pairs near the threshold (standard LSH S-curve).
+
+    One shuffle to bucket (band-hash join), one to verify — no O(N²)
+    stage. This is the 100 TB path; :func:`jaccard_pairs` is the exact
+    oracle-checkable sibling.
+    """
+    rows = num_hashes // bands
+    # staged projections: shingles once, base hashes once, then the
+    # signature — so Catalyst never duplicates the expensive subtrees
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
+        )
+        .select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    )
+    banded = base.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).distinct()
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__sha") + F.size("__shb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash_text(
+    text: Column | str, num_bits: int = 32, n: int = 3
+) -> Column:
+    """SimHash fingerprint of the shingle set: bit ``i`` is the sign of
+    the sum over shingles of ±1 according to bit ``i`` of the shingle's
+    md5-derived hash. Near-duplicate texts differ in few bits (compare
+    with ``bit_count(a ^ b)``)."""
+    sh = token_shingles(text, n)
+    h = F.transform(sh, lambda g: _md5_hash(g, 0))
+
+    def vote(i: int):
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(1 << i)) > 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bucket = F.lit(0).cast("bigint")
+    for i in range(num_bits):
+        votes = F.aggregate(h, F.lit(0), vote(i))
+        bucket = bucket + F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast(
+            "bigint"
+        )
+    return bucket

