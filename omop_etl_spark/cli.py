@@ -1,0 +1,163 @@
+"""Command-line interface.
+
+Three subcommands (reference ``omop_etl compile``/``execute``,
+__main__.py:34-143 — whose ``execute`` was dead code calling methods
+that never existed; ours runs):
+
+* ``execute`` — load a rules dir, register parquet sources, run the
+  full pipeline on Spark, write ``omop.*`` outputs as parquet.
+* ``translate`` — print the compiled artifacts for each table (per-
+  source mapping SQL + per-rule match SQL): the inspectable "script"
+  equivalent for a DataFrame-native engine.
+* ``validate`` — parse rules, report required-column warnings (the
+  reference web API's check, api.py:19-40).
+
+Usage examples::
+
+    python -m omop_etl_spark execute --rules rules/ \
+        --source cerner.person=/data/person.parquet --output out/
+    python -m omop_etl_spark translate --rules rules/person.yaml
+    python -m omop_etl_spark validate --rules rules/ \
+        --required-columns schema/required_omop_columns.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+__all__ = ["main"]
+
+
+def _build_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .appName("omop-etl-spark")
+        .getOrCreate()
+    )
+
+
+def _cmd_execute(args) -> int:
+    from .engine import Engine
+    from .rules.loader import load_rules_dir
+
+    spark = _build_spark(args.cpus)
+    engine = Engine(spark)
+    for pair in args.source or ():
+        name, _, path = pair.partition("=")
+        if not path:
+            print(f"error: --source expects schema.table=path, got {pair!r}", file=sys.stderr)
+            return 2
+        engine.register_parquet(name, path)
+    if args.required_columns:
+        engine.load_required_columns(args.required_columns)
+    results = engine.run(
+        load_rules_dir(args.rules),
+        apply_required_filter=bool(args.required_columns and args.filter_required),
+    )
+    for name, df in results.items():
+        n = df.count()
+        print(f"{name}: {n} rows")
+        if args.output:
+            out = Path(args.output) / name.lower()
+            df.write.mode("overwrite").parquet(str(out))
+            print(f"  -> {out}")
+    spark.stop()
+    return 0
+
+
+def _cmd_translate(args) -> int:
+    from .planner.compiler import TableCompiler
+    from .rules.loader import load_rules_text
+    from .rules.model import ExpressionRule, TableSpec
+
+    path = Path(args.rules)
+    texts = (
+        [(path.stem, path.read_text())]
+        if path.is_file()
+        else [(f.stem, f.read_text()) for f in sorted(path.glob("*.yaml"))]
+    )
+    for name, text in texts:
+        spec = load_rules_text(text, name=name)
+        if not isinstance(spec, TableSpec):
+            print(f"-- {name}: dependency file (scripts/temp tables only)")
+            continue
+        compiler = TableCompiler(spark=None, spec=spec)
+        print(f"-- table: {spec.name} (pk {spec.primary_key.name})")
+        for src_name, src in spec.primary_key.sources.items():
+            print(f"--   mapping source {src_name}:")
+            print(f"     {compiler.source_select_sql(src)}")
+        for rule in spec.columns:
+            if isinstance(rule, ExpressionRule):
+                print(f"--   column {rule.name} [{rule.primary_key}]:")
+                print(f"     {compiler.match_sql(rule)}")
+    return 0
+
+
+def _cmd_validate(args) -> int:
+    from .engine import Engine
+    from .rules.loader import load_rules_dir
+    from .rules.model import TableSpec
+
+    specs = load_rules_dir(args.rules)
+    required: dict[str, set[str]] = {}
+    if args.required_columns:
+        import csv
+
+        with open(args.required_columns, newline="") as f:
+            for row in csv.DictReader(f):
+                required.setdefault(row["table"].strip().lower(), set()).add(
+                    row["column"].strip()
+                )
+    status = 0
+    for spec in specs:
+        if not isinstance(spec, TableSpec):
+            print(f"{spec.name or '<anonymous>'}: dependency OK")
+            continue
+        missing = required.get(spec.name.lower(), set()) - {
+            c.lower() for c in spec.column_order
+        } - {spec.primary_key.name.lower()}
+        if missing:
+            status = 1
+            print(f"{spec.name}: WARNING missing required columns: {sorted(missing)}")
+        else:
+            print(f"{spec.name}: OK ({len(spec.columns)} column rules)")
+    return status
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="omop_etl_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_exec = sub.add_parser("execute", help="run the pipeline on Spark")
+    p_exec.add_argument("--rules", required=True, help="rules directory")
+    p_exec.add_argument("--source", action="append", help="schema.table=parquet_path")
+    p_exec.add_argument("--output", help="directory for parquet outputs")
+    p_exec.add_argument("--required-columns", help="required columns CSV")
+    p_exec.add_argument(
+        "--filter-required", action="store_true",
+        help="drop rows with NULL required columns (live version of the reference's dead DELETE phase)",
+    )
+    p_exec.add_argument("--cpus", default="8")
+    p_exec.set_defaults(fn=_cmd_execute)
+
+    p_tr = sub.add_parser("translate", help="print compiled SQL artifacts")
+    p_tr.add_argument("--rules", required=True, help="rules file or directory")
+    p_tr.set_defaults(fn=_cmd_translate)
+
+    p_val = sub.add_parser("validate", help="parse rules + required-column warnings")
+    p_val.add_argument("--rules", required=True)
+    p_val.add_argument("--required-columns")
+    p_val.set_defaults(fn=_cmd_validate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

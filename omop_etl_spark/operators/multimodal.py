@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with
+a typed metadata struct; per-item decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so payload bytes never round-trip through
+row-at-a-time Python. Decode itself is STUBBED in this environment (no
+image/audio libraries in the container): :func:`decode_batch` raises
+``NotImplementedError`` unless a decoder is injected, and
+:func:`fake_decoder` provides a deterministic stand-in so the Spark-side
+plumbing — schema, batching, partition flow — is real and tested.
+
+Scale notes: payloads stay columnar (Arrow) across the Python boundary;
+``maxRecordsPerBatch`` bounds executor memory for large blobs;
+repartition by a content-hash bucket before decode to even out skewed
+payload sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "FEATURE_SCHEMA",
+    "with_media_metadata",
+    "decode_and_extract",
+    "fake_decoder",
+]
+
+#: canonical multimodal column bundle: payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),  # image/audio/video
+        StructField("format", StringType()),  # png/wav/mp4/...
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+#: output schema of the decode/feature-extract stage
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("feature_hash", StringType()),
+    ]
+)
+
+Decoder = Callable[[bytes, str], dict]
+
+
+def with_media_metadata(
+    df: DataFrame, payload_col: str = "payload", media_type: str = "image",
+    fmt: str = "bin",
+) -> DataFrame:
+    """Attach the typed metadata columns to a raw binary column —
+    JVM-side (length/hash), no Python."""
+    return df.withColumns(
+        {
+            "media_type": F.lit(media_type),
+            "format": F.lit(fmt),
+            "n_bytes": F.length(F.col(payload_col)).cast("bigint"),
+            "checksum": F.md5(F.col(payload_col)),
+        }
+    )
+
+
+def fake_decoder(payload: bytes, media_type: str) -> dict:
+    """Deterministic decode stand-in: pretends every payload decodes to
+    a WxH / frame-count derived from its content hash. Replaces PIL/
+    ffmpeg in this container; swap for a real decoder in production."""
+    h = hashlib.md5(payload or b"").digest()
+    return {
+        "width": 16 + h[0] % 64,
+        "height": 16 + h[1] % 64,
+        "n_frames": 1 if media_type == "image" else 1 + h[2] % 32,
+        "feature_hash": hashlib.md5(h).hexdigest(),
+    }
+
+
+def decode_and_extract(
+    df: DataFrame,
+    decoder: Decoder | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction via ``mapInPandas``.
+
+    Raises ``NotImplementedError`` at execution time when no decoder is
+    injected — real decoders (PIL, soundfile, ffmpeg) are not available
+    in this environment; the batching/schema plumbing is identical
+    either way.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "no media decoder available in this environment; "
+                    "inject one (e.g. multimodal.fake_decoder) to run the "
+                    "decode stage"
+                )
+            feats = [
+                decoder(p, t)
+                for p, t in zip(pdf[payload_col], pdf[type_col])
+            ]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "media_type": pdf[type_col].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "feature_hash": [f["feature_hash"] for f in feats],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,3 @@
+from .events import EVENTS_SCHEMA, hourly_counts, read_events_stream, sessionize
+
+__all__ = ["EVENTS_SCHEMA", "hourly_counts", "read_events_stream", "sessionize"]

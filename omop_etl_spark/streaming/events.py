@@ -1,0 +1,115 @@
+"""Structured Streaming operators for event streams.
+
+The reference has no streaming surface (SURVEY §2.1 — verified); this
+module is the green-field Spark-native extension for the ``events``
+table shape (``event_id, ts, user_id, event_type, value, props``):
+
+* :func:`read_events_stream` — file-source stream over parquet with the
+  nanosecond-timestamp shim shared with the batch reader.
+* :func:`hourly_counts` — watermarked tumbling-window aggregation whose
+  *semantics match the batch* ``events_hourly`` gate query, so a
+  stream's final result can be verified against the batch oracle.
+* :func:`sessionize` — session windows per user (gap-based), the
+  canonical stateful-streaming pattern.
+
+All transformations are sink-agnostic: callers pick ``writeStream``
+(production) or ``availableNow`` + memory sink (tests/backfills).
+Watermarks bound state so a 100 TB/day stream holds only the open
+windows per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["EVENTS_SCHEMA", "read_events_stream", "hourly_counts", "sessionize"]
+
+#: schema of the raw parquet with ns timestamps surfaced as long
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet directory (or a single
+    parquet file — streamed via a glob filter on its parent, since the
+    file source requires a directory)."""
+    from pathlib import Path
+
+    from ..sources.reader import enable_nanos_compat
+
+    enable_nanos_compat(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    p = Path(path)
+    if p.is_file():
+        reader = reader.option("pathGlobFilter", p.name)
+        path = str(p.parent)
+    raw = reader.load(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count, distinct-ish user
+    count and exact value cents — late data beyond ``watermark`` is
+    dropped, bounding state.
+
+    ``approx_count_distinct`` replaces the batch ``countDistinct``
+    (exact distinct needs unbounded per-window state in a stream — the
+    documented batch/stream delta).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "value_cents",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session (built-in ``session_window`` — no custom state store
+    needed)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").cast("string").alias("session_start"),
+            F.col("sess.end").cast("string").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )

@@ -1,0 +1,91 @@
+"""Streaming (availableNow → memory sink) and multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.multimodal import (
+    decode_and_extract,
+    fake_decoder,
+    with_media_metadata,
+)
+from omop_etl_spark.sources import read_parquet_table
+from omop_etl_spark.streaming import hourly_counts, read_events_stream, sessionize
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _run_stream(df, name):
+    # complete mode: append would hold back the last (still-open)
+    # window, which a finite availableNow backfill never closes
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_streaming_hourly_matches_batch(spark):
+    """The stream's final windowed counts equal the batch aggregation —
+    same semantics, verified end-to-end through a real streaming query."""
+    stream = read_events_stream(spark, EVENTS)
+    _run_stream(hourly_counts(stream, watermark="0 seconds"), "hourly_t")
+    got = {
+        (r.hour_ts, r.event_type): (r.n_events, r.value_cents)
+        for r in spark.table("hourly_t").collect()
+    }
+
+    batch = (
+        read_parquet_table(spark, EVENTS, ns_columns=["ts"])
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour_ts"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+    want = {
+        (r.hour_ts, r.event_type): (r.n_events, r.value_cents)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sessionize_runs(spark):
+    stream = read_events_stream(spark, EVENTS)
+    _run_stream(sessionize(stream, gap="10 minutes", watermark="0 seconds"), "sess_t")
+    rows = spark.table("sess_t").collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert r.session_start <= r.session_end and r.n_events >= 1
+
+
+def test_multimodal_metadata_and_decode(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-one")), (2, bytearray(b"payload-two")), (3, None)],
+        "media_id bigint, payload binary",
+    )
+    media = with_media_metadata(df, media_type="image", fmt="png")
+    meta = {r.media_id: (r.n_bytes, r.checksum) for r in media.collect()}
+    assert meta[1][0] == len(b"payload-one")
+    assert meta[3][0] is None
+
+    feats = decode_and_extract(media, decoder=fake_decoder)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].width >= 16 and rows[1].n_frames == 1
+    # deterministic: same payload -> same features
+    again = {r.media_id: r for r in decode_and_extract(media, decoder=fake_decoder).collect()}
+    assert rows[1].feature_hash == again[1].feature_hash
+
+
+def test_multimodal_decode_stub_raises_without_decoder(spark):
+    df = with_media_metadata(
+        spark.createDataFrame([(1, bytearray(b"x"))], "media_id bigint, payload binary")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no media decoder"):
+        decode_and_extract(df, decoder=None).collect()
