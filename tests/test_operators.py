@@ -101,6 +101,15 @@ def test_jaccard_pairs_exact(spark):
     assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
 
 
+def test_jaccard_prefix_filter_matches_exhaustive(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = sorted(map(tuple, jaccard_pairs(docs, threshold=0.7).collect()))
+    pref = sorted(
+        map(tuple, jaccard_pairs(docs, threshold=0.7, prefix_filter=True).collect())
+    )
+    assert full == pref and len(full) > 0
+
+
 def test_minhash_subset_of_exact(spark):
     rows = [
         (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
