@@ -784,6 +784,88 @@ FROM documents
 """
 
 
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT SimHash near-dup pairs (pigeonhole banding, recall 1.0) —
+    # fully oracle-checkable because the fingerprint is md5-derived
+    from omop_etl_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = simhash_pairs(docs, num_bits=32, n=3, max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def _oracle_simhash_pairs(num_bits: int = 32, max_hamming: int = 3) -> str:
+    """Replays operators.dedup.simhash_text bit-for-bit in DuckDB:
+    same md5-derived 32-bit shingle hash, same majority vote per bit."""
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x & {1 << i}) > 0)) > len(hs)"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(num_bits)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+h AS (SELECT doc_id,
+             list_transform(s, g -> CAST('0x' || substr(md5('0|' || g), 1, 8) AS BIGINT)) AS hs
+      FROM sh),
+sig AS (SELECT doc_id, {bits} AS sig FROM h)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact embedding-cosine near-dup pairs; threshold 0.4 sized to the
+    # synthetic corpus (max pairwise cosine ~0.5 — no planted dups)
+    from omop_etl_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, threshold=0.4)
+
+
+ORACLE_EMBED_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+             list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= 0.4
+"""
+
+
+def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantized ANN — rows-only check (recall < 1 by design)
+    from omop_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(q, emb, k=5, num_centroids=16, nprobe=4)
+
+
+def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.functions.text import bpe_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        token_count("text").cast("int").alias("ws_tokens"),
+        bpe_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+ORACLE_TEXT_TOKENS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -826,6 +908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_simhash": _q_dedup_simhash,
+        "embed_neardup_pairs": _q_embed_neardup,
+        "sim_topk_ivf": _q_sim_topk_ivf,
+        "text_token_counts": _q_text_tokens,
     }
 
 
@@ -854,4 +940,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ORACLE_TEXT_QUALITY,
         "text_langid": _oracle_langid(),
         "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+        "dedup_simhash": _oracle_simhash_pairs(),
+        "embed_neardup_pairs": ORACLE_EMBED_NEARDUP,
+        # sim_topk_ivf: approximate by design → rows-only driver check
+        "text_token_counts": ORACLE_TEXT_TOKENS,
     }

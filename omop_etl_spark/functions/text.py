@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_token_count",
     "token_signature",
     "punct_ratio",
     "stopword_ratio",
@@ -42,6 +43,21 @@ def tokens(text: Column | str, sep: str = r"\s+") -> Column:
 
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, and single
+#: non-alphanumeric marks — the GPT-2-style pre-split that upper-bounds
+#: the BPE merge count. RE2/Java-regex portable (no lookarounds), so
+#: SQL oracles replicate it verbatim with ``regexp_extract_all``.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pre-split — the cheap,
+    JVM-side proxy for "how many tokens would a BPE tokenizer emit"
+    used to budget training corpora without shipping a vocab."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
 
 
 def token_signature(text: Column | str) -> Column:

@@ -19,6 +19,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash_text",
+    "simhash_pairs",
 ]
 
 
@@ -318,3 +319,69 @@ def simhash_text(
             "bigint"
         )
     return bucket
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 32,
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT SimHash near-duplicate pairs: ``(id_a, id_b, hamming)``
+    with ``id_a < id_b`` and ``bit_count(sig_a ^ sig_b) <= max_hamming``.
+
+    Candidate generation uses the pigeonhole banding trick (Manku et
+    al., WWW'07 "Detecting near-duplicates for web crawling"): split
+    the ``num_bits`` fingerprint into ``max_hamming + 1`` contiguous
+    bands — any pair within ``max_hamming`` differing bits must agree
+    EXACTLY on at least one band, so an equi-join per band finds every
+    qualifying pair (recall 1.0, no approximation), and the final
+    ``bit_count`` filter restores precision. One narrow pass to
+    fingerprint, one hash-shuffle per band on band-value keys — no
+    O(N²) stage, skew bounded by band cardinality (2^(bits/bands)).
+    """
+    bands = max_hamming + 1
+    width = num_bits // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        simhash_text(text_col, num_bits, n).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        F.shiftrightunsigned(F.col("__sig"), b * width)
+                        % F.lit(
+                            1 << (width + (num_bits % bands if b == bands - 1 else 0))
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "cosine_topk", "simhash_buckets", "lsh_topk"]
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "cosine_pairs",
+    "simhash_buckets",
+    "lsh_topk",
+    "ivf_topk",
+]
 
 
 def _as_double(vec: Column) -> Column:
@@ -88,6 +95,49 @@ def cosine_topk(
     return out.select("query_id", "neighbor_id", score.alias("score"))
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs
+    ``(id_a, id_b, score)`` with ``id_a < id_b`` and
+    ``cosine >= threshold``.
+
+    Normalizes once (narrow pass), then scores the upper triangle of
+    the self-join with a JVM-side fold. The self-join is the exact
+    O(N²) baseline — correct at any threshold, the oracle for the
+    bucketed paths. At corpus scale, pre-bucket with
+    :func:`simhash_buckets` and verify within buckets (recall < 1), or
+    shard the normalized vectors into B blocks and join block-pairs so
+    each task holds two blocks in memory; the scoring expression is
+    shared by all tiers.
+    """
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", norm(F.col("__v")))
+    a = v.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = v.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    out = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__s",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("__s") >= threshold)
+    )
+    return out.select(
+        "id_a", "id_b", F.round("__s", round_digits).alias("score")
+    ).orderBy("id_a", "id_b")
+
+
 def simhash_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -128,6 +178,78 @@ def simhash_buckets(
     for b in bits:
         bucket = bucket * 2 + b
     return df.withColumn(out_col, bucket.cast("bigint"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``num_centroids`` inverted lists, probe each query against its
+    ``nprobe`` nearest centroids, exact cosine rerank inside the probed
+    lists. Same output shape as :func:`cosine_topk`; recall grows with
+    ``nprobe`` (``nprobe == num_centroids`` degenerates to exact).
+
+    Centroids are drawn from a seeded Gaussian on the driver and
+    embedded as literals — deterministic across runs/executors without
+    an ML-pipeline dependency (a KMeans fit can be substituted: only
+    the centroid literals change). Corpus assignment is one narrow
+    pass; the probe join is an equi-join on ``centroid_id`` (hash
+    shuffle partitioned by list, the IVF analogue of reading only
+    probed postings); the rerank window shuffles id+score rows only.
+    At 100 TB the corpus side would be written bucketed by
+    ``centroid_id`` so the probe join needs no corpus shuffle at all.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((num_centroids, dim))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def nearest(vec: Column, n: int) -> Column:
+        """ids of the n nearest centroids by dot product (vectors are
+        scored against unit centroids; argmax of dot = argmax cosine
+        for ranking within a fixed vector)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    dot(
+                        vec, F.array(*[F.lit(float(x)) for x in cents[c]])
+                    ).alias("s"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(num_centroids)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda t: t["c"])
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("centroid_id", F.explode(nearest(F.col("__qv"), nprobe)))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("centroid_id", nearest(F.col("__cv"), 1)[0])
+    scored = c.join(F.broadcast(q), "centroid_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    )
 
 
 def lsh_topk(

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from omop_etl_spark.functions.text import (
+    bpe_token_count,
     fingerprint,
     lang_id,
     quality_score,
@@ -17,9 +18,16 @@ from omop_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_text,
     token_shingles,
 )
-from omop_etl_spark.operators.similarity import cosine_topk, lsh_topk
+from omop_etl_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from omop_etl_spark.planner.surrogate import with_surrogate_id
 
 
@@ -124,6 +132,70 @@ def test_minhash_subset_of_exact(spark):
     }
     assert approx <= exact
     assert (1, 2) in approx  # identical docs always collide
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    # the pigeonhole banding must find EXACTLY the pairs a full O(N^2)
+    # hamming scan finds — recall 1.0 is a theorem, verify it anyway
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sig = docs.select("doc_id", simhash_text("text", 32, 3).alias("sig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_cosine_pairs_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.01]),   # nearly parallel to 1
+            (3, [0.0, 1.0]),    # orthogonal to 1
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    got = [(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.9).collect()]
+    assert got == [(1, 2)]
+
+
+def test_ivf_full_probe_matches_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sorted(
+        (r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=3).collect()
+    )
+    # probing every list degenerates IVF to the exact scan
+    full = sorted(
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=3, num_centroids=8, nprobe=8).collect()
+    )
+    assert full == exact
+    # partial probe returns k rows per query (recall may drop, shape not)
+    part = ivf_topk(q, emb, k=3, num_centroids=8, nprobe=2)
+    counts = {r.query_id: r.n for r in part.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 3 for v in counts.values())
+
+
+def test_bpe_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("hello, world! 42",), ("",), ("a1b2",)], "text string"
+    )
+    got = [r[0] for r in df.select(bpe_token_count("text")).collect()]
+    # hello , world ! 42 -> 5 ; "" -> 0 ; a 1 b 2 -> 4
+    assert got == [5, 0, 4]
 
 
 def test_cosine_topk_hand_computed(spark):
