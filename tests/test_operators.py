@@ -134,6 +134,20 @@ def test_minhash_subset_of_exact(spark):
     assert (1, 2) in approx  # identical docs always collide
 
 
+def test_simhash_relational_matches_column_form(spark):
+    from omop_etl_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rel = {
+        (r["__id"], r["__sig"]) for r in simhash_signatures(docs).collect()
+    }
+    col = {
+        (r.doc_id, r.sig)
+        for r in docs.select("doc_id", simhash_text("text", 32, 3).alias("sig")).collect()
+    }
+    assert rel == col
+
+
 def test_simhash_banding_equals_bruteforce(spark):
     # the pigeonhole banding must find EXACTLY the pairs a full O(N^2)
     # hamming scan finds — recall 1.0 is a theorem, verify it anyway
