@@ -101,41 +101,106 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs
     ``(id_a, id_b, score)`` with ``id_a < id_b`` and
     ``cosine >= threshold``.
 
-    Normalizes once (narrow pass), then scores the upper triangle of
-    the self-join with a JVM-side fold. The self-join is the exact
-    O(N²) baseline — correct at any threshold, the oracle for the
-    bucketed paths. At corpus scale, pre-bucket with
-    :func:`simhash_buckets` and verify within buckets (recall < 1), or
-    shard the normalized vectors into B blocks and join block-pairs so
-    each task holds two blocks in memory; the scoring expression is
-    shared by all tiers.
+    Exact all-pairs is O(N²) in scores by definition; the knob is how
+    the triangle is tiled. ``num_blocks <= 1`` scores the upper
+    triangle of a row self-join with a JVM-side fold (the
+    oracle-shaped baseline). ``num_blocks = B > 1`` is the scale path:
+    ids shard into B blocks, the B(B+1)/2 unordered block pairs
+    cogroup, and each task scores its two blocks as one vectorized
+    numpy matmul — Arrow-batched ``applyInPandas``, never a per-row
+    Python UDF. Memory per task is two blocks (tune B so a block fits);
+    shuffle volume is B× the narrow (id, vec) projection. For
+    recall-tunable sub-quadratic candidates, pre-bucket with
+    :func:`simhash_buckets` instead.
     """
-    v = df.select(
-        F.col(id_col).alias("__id"),
-        _as_double(F.col(vec_col)).alias("__v"),
-    ).withColumn("__n", norm(F.col("__v")))
-    a = v.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
-    )
-    b = v.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
-    )
-    out = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "__s",
-            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+    if num_blocks <= 1:
+        v = df.select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        ).withColumn("__n", norm(F.col("__v")))
+        a = v.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
         )
-        .filter(F.col("__s") >= threshold)
+        b = v.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+        )
+        out = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "__s",
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+            )
+            .filter(F.col("__s") >= threshold)
+        )
+        return out.select(
+            "id_a", "id_b", F.round("__s", round_digits).alias("score")
+        ).orderBy("id_a", "id_b")
+
+    # block-pair cogroup path: shard ids into B blocks, enumerate the
+    # B(B+1)/2 unordered block pairs (driver-side key list, not data),
+    # replicate each block B times through an equi-join, and let each
+    # cogroup task score its two blocks as one numpy matmul (Arrow in,
+    # Arrow out). Data amplification is B× on the narrow (id, vec)
+    # projection; every task holds exactly two blocks — the knob that
+    # keeps per-task memory flat as the corpus grows.
+    import pandas as pd
+
+    B = num_blocks
+
+    def side(block_key: str) -> DataFrame:
+        # fresh plan per side: the cogroup's ambiguous-self-join check
+        # keys on dataset identity, so left/right must not share frames
+        v = df.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(B)).alias("__blk"),
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        keys = df.sparkSession.createDataFrame(
+            [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
+        )
+        return v.join(keys, v["__blk"] == keys[block_key]).select(
+            "bi", "bj", "__id", "__v"
+        )
+
+    left, right = side("bi"), side("bj")
+
+    thr, digits = float(threshold), int(round_digits)
+
+    def score(la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if la.empty or rb.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        same = la["bi"].iat[0] == la["bj"].iat[0]
+        ida = la["__id"].to_numpy()
+        idb = rb["__id"].to_numpy()
+        A = np.vstack(la["__v"].to_numpy())
+        Bm = np.vstack(rb["__v"].to_numpy())
+        S = A @ Bm.T
+        S /= np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(Bm, axis=1)[None, :]
+        ia, ib = np.nonzero(S >= thr)
+        a_ids, b_ids, s = ida[ia], idb[ib], S[ia, ib]
+        # orient every pair id_a < id_b; same-block pairs keep the
+        # upper triangle only (each unordered pair scored once)
+        keep = a_ids < b_ids if same else a_ids != b_ids
+        lo = np.minimum(a_ids, b_ids)[keep]
+        hi = np.maximum(a_ids, b_ids)[keep]
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "score": np.round(s[keep], digits)}
+        )
+
+    out = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, "id_a long, id_b long, score double")
     )
-    return out.select(
-        "id_a", "id_b", F.round("__s", round_digits).alias("score")
-    ).orderBy("id_a", "id_b")
+    return out.orderBy("id_a", "id_b")
 
 
 def simhash_buckets(
