@@ -1,3 +1,15 @@
-from .events import EVENTS_SCHEMA, hourly_counts, read_events_stream, sessionize
+from .events import (
+    EVENTS_SCHEMA,
+    hourly_counts,
+    read_events_stream,
+    sessionize,
+    stream_dedup,
+)
 
-__all__ = ["EVENTS_SCHEMA", "hourly_counts", "read_events_stream", "sessionize"]
+__all__ = [
+    "EVENTS_SCHEMA",
+    "hourly_counts",
+    "read_events_stream",
+    "sessionize",
+    "stream_dedup",
+]

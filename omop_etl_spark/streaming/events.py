@@ -30,7 +30,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["EVENTS_SCHEMA", "read_events_stream", "hourly_counts", "sessionize"]
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "hourly_counts",
+    "sessionize",
+    "stream_dedup",
+]
 
 #: schema of the raw parquet with ns timestamps surfaced as long
 EVENTS_SCHEMA = StructType(
@@ -112,4 +118,48 @@ def sessionize(
             "n_events",
             "value_cents",
         )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """Streaming first-seen-wins deduplication with TTL-bounded state —
+    the custom-stateful-operator pattern (``applyInPandasWithState``)
+    the built-in ``dropDuplicates`` can't express: per-key state that
+    expires after ``ttl_minutes`` of processing-time inactivity, so a
+    key seen again after the TTL is emitted again (the at-most-once-
+    per-TTL-window contract CDC/event pipelines want, with state bounded
+    by the active-key set instead of growing forever).
+
+    Emits each group's first-ever row (Arrow-batched; rows arrive as
+    pandas frames per key). Output schema = input schema.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = events.schema
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        n = 0
+        for pdf in pdf_iter:
+            if not seen and len(pdf) > 0:
+                seen = True
+                yield pdf.iloc[[0]]
+            n += len(pdf)
+        prev = state.get[0] if state.exists else 0
+        state.update((prev + n,))
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+
+    return events.groupBy(*keys).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=schema,
+        stateStructType="n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

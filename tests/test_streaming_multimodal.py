@@ -89,3 +89,25 @@ def test_multimodal_decode_stub_raises_without_decoder(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no media decoder"):
         decode_and_extract(df, decoder=None).collect()
+
+
+def test_stream_dedup_first_seen_wins(spark):
+    from omop_etl_spark.streaming import stream_dedup
+
+    stream = read_events_stream(spark, EVENTS)
+    q = (
+        stream_dedup(stream, ["user_id"], ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup_t").collect()
+    n_users = (
+        read_parquet_table(spark, EVENTS, ns_columns=["ts"])
+        .select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    assert len({r.user_id for r in rows}) == n_users
