@@ -209,10 +209,13 @@ def minhash_signature(
     """MinHash signature (array of ``num_hashes`` minima) over a shingle
     array column.
 
-    One md5 per shingle (the expensive part) + ``num_hashes`` cheap
-    affine rehashes — not ``num_hashes`` md5 passes, which re-evaluates
-    the shingle expression tree per hash and is ~20x slower. Fully
-    deterministic (seeded params, md5 base hash).
+    Column-form convenience for inline expressions. Caveat: after
+    Catalyst collapses projections, the md5 base-hash subtree is
+    re-inlined into every per-hash fold, so corpus-scale signature
+    builds should use the relational explode + min-aggregate form
+    inside :func:`minhash_lsh_pairs` (identical values, one md5 per
+    shingle for real). Fully deterministic (seeded params, md5 base
+    hash).
     """
     base = F.transform(shingles, lambda g: _md5_hash(g, 0))
 
@@ -248,13 +251,25 @@ def minhash_lsh_pairs(
     oracle-checkable sibling.
     """
     rows = num_hashes // bands
-    # staged projections: shingles once, base hashes once, then the
-    # signature — so Catalyst never duplicates the expensive subtrees
-    base = (
-        df.select(
-            F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
-        )
-        .select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    # relational signature build: explode shingles, md5-hash each ONCE,
+    # then one map-side-combined aggregate with num_hashes min() columns.
+    # (The Column-form minhash_signature inlines the md5 subtree into
+    # every per-hash fold after Catalyst collapses projections — the
+    # same num_hashes-fold blowup simhash_signatures avoids.)
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(token_shingles(text_col, n)).alias("__g"),
+    )
+    h = ex.select("__id", _md5_hash(F.col("__g"), 0).alias("__h"))
+    params = _affine_params(num_hashes)
+    mins = h.groupBy("__id").agg(
+        *[
+            F.min((F.col("__h") * a + b) % _MERSENNE_P).alias(f"__m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    base = mins.select(
+        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig")
     )
     banded = base.select(
         "__id",
