@@ -157,20 +157,39 @@ def jaccard_pairs(
         )
         return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
+    # candidate generation on 64-bit shingle hashes: the inverted-index
+    # self-join shuffles 8-byte keys instead of n-gram strings. A hash
+    # collision can only INFLATE a pair's apparent intersection, so the
+    # threshold prefilter keeps a superset of qualifying pairs (recall
+    # stays exactly 1.0); the handful of survivors are then re-verified
+    # with true string-set intersection, making the output exact.
     sizes = sh.select("__id", F.size("__sh").alias("__sz"))
-    inv = sh.select("__id", F.explode("__sh").alias("__g"))
+    inv = sh.select(
+        "__id", F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g")
+    )
     co = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    out = (
+    cand = (
         co.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
         .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+        .filter(
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    full = sh
+    out = (
+        cand.join(full.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(full.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        .withColumn("__ti", F.size(F.array_intersect("__sha", "__shb")))
         .withColumn(
             "jaccard",
-            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+            F.col("__ti") / (F.size("__sha") + F.size("__shb") - F.col("__ti")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
