@@ -10,24 +10,33 @@ columns). Deterministic ids make oracle comparisons and reruns stable —
 a deliberate, documented deviation (SURVEY §4.3).
 
 Scale design: a naive ``row_number() OVER (ORDER BY …)`` collapses to a
-single partition — unusable at 100 TB. Instead:
+single partition — unusable at 100 TB. This implementation:
 
-1. range-repartition by the order columns (boundaries respect the sort
-   order, so global rank is partition-boundary-independent),
-2. rank locally per partition (``row_number`` partitioned by
-   ``spark_partition_id`` — fully parallel),
-3. compute per-partition row counts (a tiny ≤num-partitions frame),
-   turn them into exclusive prefix sums with a single-partition window
-   over that tiny frame, and broadcast-join the offsets back.
+1. range-repartitions by the order columns into a PINNED partition
+   count (pinning keeps AQE from re-coalescing, so the boundaries are
+   identical when the plan is evaluated more than once) and sorts
+   within partitions,
+2. counts rows per partition with a column-pruned pass (the shuffle
+   carries only the order columns; the aggregate is one row per
+   partition, collected to the driver — partition-count scale, not
+   data scale),
+3. assigns ``id = prefix_offset[partition] + local_position`` in one
+   order-preserving ``mapInPandas`` sweep — Arrow batches stream
+   through in partition order, so the assignment is a counter, not a
+   window, and needs NO additional exchange.
 
-Every step is distributed over the data; the only single-partition work
-touches one row per partition.
+An earlier version used ``row_number() OVER (PARTITION BY
+spark_partition_id())`` for step 3; that window's clustering
+requirement forced Spark to insert a full hash exchange of the data
+(plus a second range exchange on the counts branch) — four wide
+shuffles where this needs one wide + one narrow.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 __all__ = ["with_surrogate_id"]
 
@@ -45,34 +54,50 @@ def with_surrogate_id(
     Rows whose order columns tie receive distinct but arbitrarily
     assigned consecutive ids (identical full rows are interchangeable;
     callers wanting full determinism must pass a unique ordering).
+
+    Note: computes the per-partition row counts eagerly (one
+    column-pruned job); the returned frame is lazy.
     """
-    if num_partitions:
-        ranged = df.repartitionByRange(num_partitions, *order_cols)
-    else:
-        ranged = df.repartitionByRange(*order_cols)
-    pid = ranged.withColumn("__sid_pid", F.spark_partition_id())
+    from pyspark import StorageLevel
 
-    counts = pid.groupBy("__sid_pid").agg(F.count(F.lit(1)).alias("__sid_cnt"))
-    # exclusive prefix sum over ≤num_partitions rows — the window is
-    # single-partition but its input is one row per data partition
-    w_off = (
-        Window.orderBy("__sid_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "__sid_pid",
-        F.coalesce(F.sum("__sid_cnt").over(w_off), F.lit(0)).alias("__sid_off"),
-    )
-
-    w_local = Window.partitionBy("__sid_pid").orderBy(*order_cols)
-    out = (
-        pid.join(F.broadcast(offsets), "__sid_pid")
-        .withColumn(
-            id_col,
-            (F.row_number().over(w_local) + F.col("__sid_off") + F.lit(start - 1)).cast(
-                "bigint"
-            ),
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        .drop("__sid_pid", "__sid_off")
+    # persist is load-bearing, not a cache hint: range boundaries are
+    # SAMPLED per plan instantiation, so the counts pass and the assign
+    # pass must share one lineage (one partitioner) or rows silently
+    # land in different partitions between the two passes
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return out
+
+    counts = (
+        ranged.groupBy(F.spark_partition_id().alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    by_pid = {r["__p"]: r["__c"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(by_pid):
+        offsets[p] = acc
+        acc += by_pid[p]
+
+    schema = StructType(list(df.schema.fields) + [StructField(id_col, LongType(), False)])
+
+    def assign(batches):
+        import numpy as np
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0) + start
+        pos = 0
+        for pdf in batches:
+            pdf[id_col] = np.arange(base + pos, base + pos + len(pdf), dtype="int64")
+            pos += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(assign, schema)
