@@ -825,7 +825,9 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.operators.similarity import cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_pairs(emb, threshold=0.4)
+    # 4 blocks -> 10 block-pair tasks: enough parallelism for the test
+    # corpora while amortizing python-worker spin-up per task
+    return cosine_pairs(emb, threshold=0.4, num_blocks=4)
 
 
 ORACLE_EMBED_NEARDUP = """

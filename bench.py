@@ -50,6 +50,15 @@ def main() -> None:
     for t in ("documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
 
+    def _identity(batches):
+        yield from batches
+
+    # spin up one python worker per core (Arrow UDF queries otherwise
+    # pay interpreter+numpy import inside their first timed task)
+    spark.range(256).repartition(int(cpus)).mapInPandas(
+        _identity, "id long"
+    ).count()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
