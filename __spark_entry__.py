@@ -560,6 +560,37 @@ GROUP BY 1, 2
 """
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop_etl_spark.sources import read_parquet_table
+    from omop_etl_spark.streaming import sessionize_batch
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) AS session_end_us,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+FROM s GROUP BY user_id, sess
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pipeline operators: dedup + text analysis (north-star extensions)
 
@@ -901,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_top_customers": _q_top_customers,
         "window_rank": _q_window_rank,
         "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "sim_topk": _q_sim_topk,
@@ -933,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_top_customers": ORACLE_TOP_CUSTOMERS,
         "window_rank": ORACLE_WINDOW_RANK,
         "events_hourly": ORACLE_EVENTS_HOURLY,
+        "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
         "sim_topk": ORACLE_SIM_TOPK,

@@ -3,6 +3,7 @@ from .events import (
     hourly_counts,
     read_events_stream,
     sessionize,
+    sessionize_batch,
     stream_dedup,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "hourly_counts",
     "read_events_stream",
     "sessionize",
+    "sessionize_batch",
     "stream_dedup",
 ]

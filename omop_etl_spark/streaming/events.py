@@ -163,3 +163,50 @@ def stream_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch twin of :func:`sessionize` with a fully SQL-expressible
+    contract: a session is a maximal per-user run of events whose
+    inter-event gap is ≤ ``gap_minutes`` (computed with lag + a running
+    sum of gap breaks — the classic islands pattern), so the result is
+    verifiable row-for-row against any ANSI-SQL oracle. Emits epoch
+    micros for the bounds (string-formatting timestamps differs across
+    engines; integers compare exactly).
+
+    One hash shuffle on ``user_id`` serves both windows and the final
+    aggregation (same partitioning).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("__brk")
+    )
+    marked = events.select("user_id", "ts", "event_id", "value", brk)
+    sess = marked.withColumn(
+        "__sess",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "__sess")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .drop("__sess")
+        .select(
+            "user_id", "session_start_us", "session_end_us", "n_events", "value_cents"
+        )
+    )

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): operator implementations agree
+with independent pure-Python/numpy references on randomized inputs.
+
+Each property runs few examples (Spark round-trips are ~seconds); the
+value is the input diversity across rounds, not the example count.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.dedup import jaccard_pairs, simhash_pairs, simhash_text
+from omop_etl_spark.operators.similarity import cosine_pairs
+from omop_etl_spark.planner.surrogate import with_surrogate_id
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "kappa", "zeta"])
+texts = st.lists(words, min_size=1, max_size=12).map(" ".join)
+
+
+def _py_shingles(text: str, n: int = 3) -> frozenset:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return frozenset([" ".join(toks)])
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+def _py_jaccard_pairs(docs, threshold):
+    out = set()
+    for i, (ida, ta) in enumerate(docs):
+        sa = _py_shingles(ta)
+        for idb, tb in docs[i + 1 :]:
+            sb = _py_shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out.add((min(ida, idb), max(ida, idb)))
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=2, max_size=8, unique=True))
+def test_jaccard_matches_python_reference(spark, doc_texts):
+    docs = [(i, t) for i, t in enumerate(doc_texts)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    expected = _py_jaccard_pairs(docs, 0.5)
+    got_full = {
+        (r.id_a, r.id_b) for r in jaccard_pairs(df, threshold=0.5).collect()
+    }
+    got_pref = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(df, threshold=0.5, prefix_filter=True).collect()
+    }
+    assert got_full == expected == got_pref
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_cosine_pairs_block_matches_numpy(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    M = np.array([v for _, v in rows])
+    S = M @ M.T / (
+        np.linalg.norm(M, axis=1)[:, None] * np.linalg.norm(M, axis=1)[None, :]
+    )
+    expected = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if S[i, j] >= 0.9
+    }
+    for nb in (1, 3):
+        got = {
+            (r.id_a, r.id_b)
+            for r in cosine_pairs(df, threshold=0.9, num_blocks=nb).collect()
+        }
+        assert got == expected, f"num_blocks={nb}"
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=2, max_size=6, unique=True))
+def test_simhash_banding_property(spark, doc_texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], "doc_id int, text string"
+    )
+    banded = {
+        (r.id_a, r.id_b) for r in simhash_pairs(df, max_hamming=5).collect()
+    }
+    sig = df.select("doc_id", simhash_text("text", 32, 3).alias("s"))
+    rows = {r.doc_id: r.s for r in sig.collect()}
+    brute = {
+        (a, b)
+        for a in rows
+        for b in rows
+        if a < b and bin(rows[a] ^ rows[b]).count("1") <= 5
+    }
+    assert banded == brute
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=30),
+    st.integers(1, 6),
+)
+def test_surrogate_ids_are_rank(spark, values, parts):
+    df = spark.createDataFrame([(v,) for v in values], "k int")
+    out = with_surrogate_id(df, ["k"], num_partitions=parts).collect()
+    assert sorted(r.id for r in out) == list(range(1, len(values) + 1))
+    # id order must agree with key order (ties interchangeable)
+    by_id = sorted(out, key=lambda r: r.id)
+    assert [r.k for r in by_id] == sorted(values)
