@@ -891,6 +891,44 @@ def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal plumbing end-to-end on synthetic payloads (text bytes):
+    # JVM-side metadata + Arrow-batched decode/feature stage, all
+    # replicable in SQL because the fake decoder derives from md5 hex
+    from omop_etl_spark.operators.multimodal import (
+        decode_and_extract,
+        fake_decoder,
+        with_media_metadata,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = with_media_metadata(
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        ),
+        media_type="image",
+        fmt="txt",
+    )
+    feats = decode_and_extract(media, decoder=fake_decoder)
+    return media.select("media_id", "n_bytes", "checksum").join(
+        feats.select("media_id", "width", "height", "n_frames", "feature_hash"),
+        "media_id",
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT) AS width,
+       CAST(16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT) AS height,
+       1 AS n_frames,
+       md5(md5(text)) AS feature_hash
+FROM documents
+"""
+
+
 ORACLE_TEXT_TOKENS = r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
@@ -946,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_pairs": _q_embed_neardup,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "text_token_counts": _q_text_tokens,
+        "multimodal_features": _q_multimodal,
     }
 
 
@@ -979,4 +1018,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_pairs": ORACLE_EMBED_NEARDUP,
         # sim_topk_ivf: approximate by design → rows-only driver check
         "text_token_counts": ORACLE_TEXT_TOKENS,
+        "multimodal_features": ORACLE_MULTIMODAL,
     }

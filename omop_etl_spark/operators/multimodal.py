@@ -85,13 +85,16 @@ def with_media_metadata(
 def fake_decoder(payload: bytes, media_type: str) -> dict:
     """Deterministic decode stand-in: pretends every payload decodes to
     a WxH / frame-count derived from its content hash. Replaces PIL/
-    ffmpeg in this container; swap for a real decoder in production."""
-    h = hashlib.md5(payload or b"").digest()
+    ffmpeg in this container; swap for a real decoder in production.
+    Derivations stay on the hex digest STRING (not raw digest bytes) so
+    ANSI-SQL oracles can replicate them with ``md5``/``substr``."""
+    hx = hashlib.md5(payload or b"").hexdigest()
+    b0, b1, b2 = (int(hx[i : i + 2], 16) for i in (0, 2, 4))
     return {
-        "width": 16 + h[0] % 64,
-        "height": 16 + h[1] % 64,
-        "n_frames": 1 if media_type == "image" else 1 + h[2] % 32,
-        "feature_hash": hashlib.md5(h).hexdigest(),
+        "width": 16 + b0 % 64,
+        "height": 16 + b1 % 64,
+        "n_frames": 1 if media_type == "image" else 1 + b2 % 32,
+        "feature_hash": hashlib.md5(hx.encode()).hexdigest(),
     }
 
 
