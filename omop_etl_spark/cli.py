@@ -54,6 +54,12 @@ def _cmd_execute(args) -> int:
             print(f"error: --source expects schema.table=path, got {pair!r}", file=sys.stderr)
             return 2
         engine.register_parquet(name, path)
+    for pair in args.csv_source or ():
+        name, _, path = pair.partition("=")
+        if not path:
+            print(f"error: --csv-source expects schema.table=path, got {pair!r}", file=sys.stderr)
+            return 2
+        engine.register_csv(name, path)
     if args.required_columns:
         engine.load_required_columns(args.required_columns)
     results = engine.run(
@@ -137,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
     p_exec = sub.add_parser("execute", help="run the pipeline on Spark")
     p_exec.add_argument("--rules", required=True, help="rules directory")
     p_exec.add_argument("--source", action="append", help="schema.table=parquet_path")
+    p_exec.add_argument(
+        "--csv-source", action="append",
+        help="schema.table=csv_path (curated lookups, reference external/*.csv)",
+    )
     p_exec.add_argument("--output", help="directory for parquet outputs")
     p_exec.add_argument("--required-columns", help="required columns CSV")
     p_exec.add_argument(

@@ -72,6 +72,26 @@ class Engine:
         small curated lookups)."""
         self._overwrite_table(df, qualified_name)
 
+    def register_csv(
+        self,
+        qualified_name: str,
+        path: str | Path,
+        schema_ddl: str | None = None,
+    ) -> None:
+        """Register a CSV lookup as ``schema.table`` — the reference's
+        curated ``external/*.csv`` pattern (external.sql:1-50,
+        FACILITY_POSTCODE.csv etc.). With ``schema_ddl`` (a DDL string
+        like ``"code int, name string"``) the types are declared;
+        otherwise they are inferred (one extra pass, fine for lookup-
+        size data). Materialized to parquet so repeated rule joins
+        never re-parse the CSV."""
+        reader = self.spark.read.option("header", "true")
+        if schema_ddl:
+            reader = reader.schema(schema_ddl)
+        else:
+            reader = reader.option("inferSchema", "true")
+        self._overwrite_table(reader.csv(str(Path(path))), qualified_name)
+
     def _overwrite_table(self, df: DataFrame, qualified_name: str) -> None:
         """``saveAsTable`` with overwrite that also survives orphaned
         warehouse directories: a table absent from the (in-memory)
@@ -162,6 +182,10 @@ class Engine:
         self._run_temp_tables(spec.pre_init)
         compiler = TableCompiler(self.spark, spec, self.temp_views)
         self._overwrite_table(compiler.build_mapping(), compiler.mapping_name)
+        for frame in compiler.persisted:
+            # the surrogate-id range frame has served its purpose once
+            # mapping.<t> is materialized parquet
+            frame.unpersist()
         self._run_temp_tables(spec.post_init)
 
     def process_table(

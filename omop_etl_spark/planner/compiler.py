@@ -92,6 +92,9 @@ class TableCompiler:
         self.spark = spark
         self.spec = spec
         self.temp_views = temp_views if temp_views is not None else set()
+        #: frames persisted while building (surrogate-id range frames);
+        #: the engine unpersists them once the mapping is materialized
+        self.persisted: list[DataFrame] = []
 
     # -- naming helpers -----------------------------------------------------
 
@@ -156,7 +159,10 @@ class TableCompiler:
         for f in frames[1:]:
             union = union.unionByName(f, allowMissingColumns=True)
 
-        mapped = with_surrogate_id(union, ["__src", *order_cols], id_col="id")
+        mapped = with_surrogate_id(
+            union, ["__src", *order_cols], id_col="id",
+            persist_registry=self.persisted,
+        )
         return mapped.select("id", *order_cols)
 
     # -- phase 3: column rules ----------------------------------------------

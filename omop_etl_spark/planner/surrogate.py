@@ -45,6 +45,7 @@ def with_surrogate_id(
     id_col: str = "id",
     start: int = 1,
     num_partitions: int | None = None,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = global 1-based rank of the row under
     ``ORDER BY order_cols`` (ascending, NULLS FIRST — Spark default).
@@ -70,6 +71,9 @@ def with_surrogate_id(
         .sortWithinPartitions(*cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persist_registry is not None:
+        # caller unpersists once the ids are materialized downstream
+        persist_registry.append(ranged)
     local = ranged.select(
         "*",
         F.spark_partition_id().alias("__sid_pid"),

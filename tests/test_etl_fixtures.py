@@ -403,3 +403,13 @@ def test_dependency_cycle_detected(engine):
     b = DependencySpec(name="b", depends_on=("a",))
     with pytest.raises(RuleError, match="cycle"):
         topo_sort([a, b])
+
+
+def test_external_lookup_from_csv(engine, spark, tmp_path):
+    """register_csv: the reference's curated external/*.csv pattern."""
+    seed_cerner(engine, spark)
+    csv = tmp_path / "vocabulary.csv"
+    csv.write_text("id,name\n0,vocab1\n1,vocab2\n2,vocab3\n")
+    engine.register_csv("external.vocabulary", csv, "id int, name string")
+    out = engine.run([load_rules_text(EXTERNAL_RULES)])["baz"]
+    assert rows(out, "id") == [(1, "vocab1", 4), (2, "vocab2", 5), (3, "vocab3", 9)]
