@@ -250,3 +250,58 @@ def test_surrogate_ids_dense_and_deterministic(spark):
     ).repartition(4)
     out = {r.k: r.id for r in with_surrogate_id(df, ["k"]).collect()}
     assert out == {"apple": 1, "banana": 2, "kiwi": 3, "mango": 4, "zebra": 5}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from omop_etl_spark.operators.skew import salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    plain = sorted(
+        map(
+            tuple,
+            li.join(part, li.l_partkey == part.p_partkey)
+            .select("l_orderkey", "l_partkey", "p_name")
+            .collect(),
+        )
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(
+                li.withColumnRenamed("l_partkey", "p_partkey"), part,
+                on=["p_partkey"], num_salts=4,
+            )
+            .select("l_orderkey", "p_partkey", "p_name")
+            .collect(),
+        )
+    )
+    # same multiset of joined rows (modulo the key-column naming)
+    assert len(salted) == len(plain) > 0
+    assert [(o, k) for o, k, _ in salted] == [(o, k) for o, k, _ in plain]
+
+
+def test_two_stage_agg_matches_direct(spark):
+    from omop_etl_spark.operators.skew import two_stage_agg
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    direct = {
+        (r.l_returnflag, r.n, float(r.s))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    staged = {
+        (r.l_returnflag, r.n, float(r.s))
+        for r in two_stage_agg(
+            li,
+            ["l_returnflag"],
+            partial=[F.count(F.lit(1)).alias("pc"), F.sum("l_quantity").alias("ps")],
+            final=[F.sum("pc").alias("n"), F.sum("ps").alias("s")],
+        ).collect()
+    }
+    assert staged == direct
