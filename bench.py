@@ -30,10 +30,12 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    from omop_etl_spark.conf import apply_recommended
+
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
+        apply_recommended(
+            SparkSession.builder.master(f"local[{cpus}]"), int(cpus)
+        )
         .config("spark.sql.warehouse.dir", "/tmp/bench-wh")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")

@@ -33,13 +33,12 @@ __all__ = ["main"]
 def _build_spark(cpus: str):
     from pyspark.sql import SparkSession
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .appName("omop-etl-spark")
-        .getOrCreate()
+    from .conf import apply_recommended
+
+    builder = apply_recommended(
+        SparkSession.builder.master(f"local[{cpus}]"), int(cpus)
     )
+    return builder.appName("omop-etl-spark").getOrCreate()
 
 
 def _cmd_execute(args) -> int:
