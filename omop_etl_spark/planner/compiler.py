@@ -12,11 +12,12 @@ schema.py:449-479, SURVEY §0) re-expressed Spark-first:
 2. **Skeleton** — ``mapping.<t>.id`` is the seed of the target frame;
    all other columns start NULL (reference schema.py:320-328).
 3. **Column phase** — instead of N sequential ``UPDATE … FROM``
-   statements (reference generation.py:159-189), ONE wide select: each
-   rule contributes a per-id ``matches`` frame (id, matched, value);
-   the target column folds rules in file order with
-   ``when(matched_n, value_n).otherwise(…)``, so the LAST matching rule
-   wins — exactly the reference's sequential last-writer-wins
+   statements (reference generation.py:159-189), ONE wide select: rules
+   are grouped by join spec (FROM items + predicates) and each group
+   contributes a per-id ``matches`` frame (id, matched, value per rule)
+   from a single scan+join; the target column folds rules in file order
+   with ``when(matched_n, value_n).otherwise(…)``, so the LAST matching
+   rule wins — exactly the reference's sequential last-writer-wins
    (schema.py:474-478) without mutating anything.
 
 Why SQL text for the match frames: rule expressions/constraints are
@@ -180,8 +181,16 @@ class TableCompiler:
             f"{ref}.{c} = {self.mapping_name}.{ta}_{c}" for c in src.columns
         ]
 
-    def match_sql(self, rule: ExpressionRule) -> str:
-        """The declarative match query for one expression rule."""
+    def match_parts(
+        self, rule: ExpressionRule
+    ) -> tuple[list[str], list[str], str]:
+        """``(from_items, predicates, value_expr)`` of a rule's match
+        query. Rules whose ``(from_items, predicates)`` coincide share
+        one join — only the projected value differs — which lets
+        :meth:`build_target` compile them into a single match frame.
+        For ``references`` rules the remap equality involves the value
+        expression, so it lives in the predicates and the projected
+        value is the referenced mapping's surrogate id."""
         from_items = [self.mapping_name]
         for rel in rule.tables:
             item = self._relation_sql(rel)
@@ -201,20 +210,39 @@ class TableCompiler:
             preds.append(f"({ref_col} = {value_expr})")
             value_expr = f"{ref_table}.id"
 
+        return from_items, preds, value_expr
+
+    def match_sql(self, rule: ExpressionRule) -> str:
+        """The declarative match query for one expression rule."""
+        from_items, preds, value_expr = self.match_parts(rule)
         return (
             f"SELECT {self.mapping_name}.id AS __id, ({value_expr}) AS __v "
             f"FROM {', '.join(from_items)} "
             f"WHERE {' AND '.join(preds)}"
         )
 
-    def match_frame(self, rule: ExpressionRule) -> DataFrame:
-        """Match frame (``__id``, ``__m``, ``__v``) deduped to one row
-        per target id (the UPDATE…FROM one-update-per-row shim)."""
-        raw = self.spark.sql(self.match_sql(rule))
-        return (
-            raw.groupBy("__id")
-            .agg(F.min("__v").alias("__v"))
-            .withColumn("__m", F.lit(True))
+    def group_match_frame(
+        self, members: list[tuple[_RuleSlot, str]],
+        from_items: list[str], preds: list[str],
+    ) -> DataFrame:
+        """Shared match frame for rules with one join spec: one scan +
+        join producing ``__id`` plus a ``__v<i>`` per rule, deduped to
+        one row per target id (the UPDATE…FROM one-update-per-row shim;
+        per-column ``min`` over the same match set equals the per-rule
+        dedup of separate frames)."""
+        sel = ", ".join(
+            f"({value}) AS __v{slot.index}" for slot, value in members
+        )
+        raw = self.spark.sql(
+            f"SELECT {self.mapping_name}.id AS __id, {sel} "
+            f"FROM {', '.join(from_items)} "
+            f"WHERE {' AND '.join(preds)}"
+        )
+        return raw.groupBy("__id").agg(
+            *[
+                F.min(f"__v{slot.index}").alias(f"__v{slot.index}")
+                for slot, _ in members
+            ]
         )
 
     def enabled_slots(self) -> list[_RuleSlot]:
@@ -233,18 +261,36 @@ class TableCompiler:
         )
 
         slots = self.enabled_slots()
-        cur = seed
+        # group expression rules by join spec: one scan+join+dedup per
+        # distinct (FROM items, predicates), not per rule — a table
+        # whose columns all copy from one source compiles to ONE join
+        groups: dict[tuple[tuple[str, ...], tuple[str, ...]],
+                     tuple[list[str], list[str],
+                           list[tuple[_RuleSlot, str]]]] = {}
+        match_col: dict[int, str] = {}
         for slot in slots:
             if isinstance(slot.rule, ConstantRule):
                 continue
-            m = self.match_frame(slot.rule).select(
-                F.col("__id").alias(f"__id{slot.index}"),
-                F.col("__m").alias(f"__m{slot.index}"),
-                F.col("__v").alias(f"__v{slot.index}"),
+            from_items, preds, value = self.match_parts(slot.rule)
+            key = (tuple(from_items), tuple(preds))
+            if key not in groups:
+                groups[key] = (from_items, preds, [])
+            groups[key][2].append((slot, value))
+
+        cur = seed
+        for gid, (from_items, preds, members) in enumerate(groups.values()):
+            mcol = f"__mg{gid}"
+            m = self.group_match_frame(members, from_items, preds)
+            m = m.select(
+                F.col("__id").alias(f"__gid{gid}"),
+                F.lit(True).alias(mcol),
+                *[f"__v{slot.index}" for slot, _ in members],
             )
+            for slot, _ in members:
+                match_col[slot.index] = mcol
             cur = cur.join(
-                m, cur["__rowid"] == m[f"__id{slot.index}"], "left"
-            ).drop(f"__id{slot.index}")
+                m, cur["__rowid"] == m[f"__gid{gid}"], "left"
+            ).drop(f"__gid{gid}")
 
         out_cols = [F.col("__rowid").cast("bigint").alias(pk_name)]
         for col_name in self.spec.column_order:
@@ -259,8 +305,12 @@ class TableCompiler:
                     # constants apply to every row unconditionally
                     value = val
                 else:
+                    # a matching rule writes its value even when NULL
+                    # (UPDATE SET col = expr semantics); members share
+                    # the group's predicates, so group-match ⇔ rule-match
                     value = F.when(
-                        F.col(f"__m{slot.index}"), F.col(f"__v{slot.index}")
+                        F.col(match_col[slot.index]),
+                        F.col(f"__v{slot.index}"),
                     ).otherwise(value)
             out_cols.append(value.alias(col_name))
 

@@ -10,7 +10,9 @@ columns). Deterministic ids make oracle comparisons and reruns stable —
 a deliberate, documented deviation (SURVEY §4.3).
 
 Scale design: a naive ``row_number() OVER (ORDER BY …)`` collapses to a
-single partition — unusable at 100 TB. This implementation:
+single partition — unusable at 100 TB, but optimal below a size
+threshold (the id is a rank, so the strategy is free to be stats-driven
+per frame; see ``_SMALL_FRAME_BYTES``). The at-scale path:
 
 1. range-repartitions by the order columns into a PINNED partition
    count (pinning keeps AQE from re-coalescing the exchange), sorts
@@ -38,6 +40,21 @@ from pyspark.sql import functions as F
 
 __all__ = ["with_surrogate_id"]
 
+#: Catalyst size estimate below which a single-partition window beats
+#: the distributed range path (estimate is compressed-source-scaled;
+#: 64 MiB ≈ well under one executor's working memory once decoded).
+_SMALL_FRAME_BYTES = 64 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the frame (file-size based
+    for scans, propagated through projections/filters/unions). Falls
+    back to "huge" so estimation failures choose the scale-safe path."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - any py4j/analysis hiccup
+        return 1 << 62
+
 
 def with_surrogate_id(
     df: DataFrame,
@@ -58,6 +75,21 @@ def with_surrogate_id(
     from pyspark import StorageLevel
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    # Small-frame fast path: the id is the rank under ORDER BY, which is
+    # partition-count-independent, so strategy choice is free to be
+    # stats-driven (AQE-spirit). Below the threshold a single-partition
+    # window is cheaper than the range machinery (saves the range
+    # sampling job, a 32-way exchange, and a fan of tiny output files);
+    # above it the distributed path below is mandatory. An explicit
+    # num_partitions pins the distributed path (tests rely on this).
+    if num_partitions is None and _estimated_bytes(df) < _SMALL_FRAME_BYTES:
+        w = Window.orderBy(*cols)
+        return df.withColumn(
+            id_col,
+            (F.row_number().over(w) + F.lit(start - 1)).cast("bigint"),
+        )
+
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
