@@ -63,7 +63,7 @@ def main() -> None:
 
     # best-of-N per query: the host is shared and single runs swing
     # 2-4x with neighbor load; the minimum measures the engine
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         best, n = float("inf"), -1

@@ -92,6 +92,112 @@ class Engine:
             reader = reader.option("inferSchema", "true")
         self._overwrite_table(reader.csv(str(Path(path))), qualified_name)
 
+    def register_source(
+        self,
+        qualified_name: str,
+        path: str | Path,
+        fmt: str = "parquet",
+        options: dict[str, str] | None = None,
+        schema_ddl: str | None = None,
+    ) -> None:
+        """Register any Spark-readable location as ``schema.table``.
+
+        ``parquet``/``orc`` register by LOCATION (no copy, scans prune
+        columns and push filters); row-oriented formats (``json``,
+        ``csv``) are materialized to parquet once so repeated rule
+        joins never re-parse text.
+        """
+        fmt = fmt.lower()
+        if fmt == "parquet":
+            self.register_parquet(qualified_name, path)
+            return
+        if fmt == "orc":
+            schema, _, _ = qualified_name.partition(".")
+            self._ensure_schema(schema)
+            self.spark.sql(f"DROP TABLE IF EXISTS {qualified_name}")
+            self.spark.sql(
+                f"CREATE TABLE {qualified_name} USING orc LOCATION '{Path(path)}'"
+            )
+            return
+        reader = self.spark.read
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        if schema_ddl:
+            reader = reader.schema(schema_ddl)
+        if fmt == "json":
+            self._overwrite_table(reader.json(str(Path(path))), qualified_name)
+        elif fmt == "csv":
+            self.register_csv(qualified_name, path, schema_ddl)
+        else:
+            raise ValueError(f"unsupported source format: {fmt!r}")
+
+    def register_jdbc(
+        self,
+        qualified_name: str,
+        url: str,
+        dbtable: str,
+        properties: dict[str, str] | None = None,
+        partition_column: str | None = None,
+        num_partitions: int = 32,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+    ) -> None:
+        """Register a JDBC relation (the reference's native source is a
+        Postgres database — psycopg2 target in __main__.py:105-113).
+
+        With ``partition_column`` + bounds the scan parallelizes into
+        ``num_partitions`` range slices; without it, JDBC reads are
+        single-stream — unusable beyond lookup size. Requires the JDBC
+        driver jar on the Spark classpath; this environment bundles
+        none, so tests cover only the option plumbing.
+        """
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", dbtable)
+        )
+        for k, v in (properties or {}).items():
+            reader = reader.option(k, v)
+        if partition_column is not None:
+            if lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    "partition_column requires lower_bound and upper_bound"
+                )
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("numPartitions", str(num_partitions))
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+            )
+        self._overwrite_table(reader.load(), qualified_name)
+
+    def export(
+        self,
+        qualified_name: str,
+        path: str | Path,
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+        partition_by: Sequence[str] = (),
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Write a catalog table to ``path`` as parquet/orc/json/csv.
+
+        ``partition_by`` yields hive-style directory partitioning —
+        the knob that makes downstream reads partition-prunable at
+        100 TB (e.g. partition omop tables by year).
+        """
+        fmt = fmt.lower()
+        if fmt not in {"parquet", "orc", "json", "csv"}:
+            raise ValueError(f"unsupported sink format: {fmt!r}")
+        writer = self.spark.table(qualified_name).write.mode(mode).format(fmt)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(str(Path(path)))
+
     def _overwrite_table(self, df: DataFrame, qualified_name: str) -> None:
         """``saveAsTable`` with overwrite that also survives orphaned
         warehouse directories: a table absent from the (in-memory)
