@@ -533,6 +533,100 @@ WHERE price_rank <= 3
 """
 
 
+def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical subtotals in one pass (Expand-based, no re-scans);
+    # the reference has no aggregation operators at all — this is the
+    # Spark-native surface over the same catalog (SURVEY §2.1 tail note)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        )
+    )
+
+
+ORACLE_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+       COUNT(*) AS n_items,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERSECT/EXCEPT as DataFrame operators (distinct set semantics)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    yr = lambda y: (  # noqa: E731
+        o.filter(F.year("o_orderdate") == y)
+        .select(F.col("o_custkey").cast("bigint").alias("custkey"))
+    )
+    neg = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").cast("bigint").alias("custkey")
+    )
+    return yr(1996).intersect(yr(1997)).subtract(neg)
+
+
+ORACLE_SET_OPS = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+INTERSECT
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997
+EXCEPT
+SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def _q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT percentiles (linear interpolation — same estimator as
+    # DuckDB quantile_cont); approx_percentile is the sketch sibling
+    # for the 100 TB path where exact sort-based percentiles don't pay
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {p})"), 6).alias(name)
+            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]
+        ]
+    )
+
+
+ORACLE_AGG_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # several COUNT(DISTINCT) over one scan — Expand + two-stage agg;
+    # partial aggregation keeps the shuffle narrow at scale
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_AGG_MULTI_DISTINCT = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.sources import read_parquet_table
 
@@ -969,6 +1063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_agg_pricing,
         "agg_top_customers": _q_top_customers,
         "window_rank": _q_window_rank,
+        "agg_rollup": _q_agg_rollup,
+        "set_ops_customers": _q_set_ops,
+        "agg_percentiles": _q_agg_percentiles,
+        "agg_multi_distinct": _q_agg_multi_distinct,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "dedup_exact": _q_dedup_exact,
@@ -1003,6 +1101,10 @@ def oracle_sql() -> dict[str, str]:
         "agg_pricing_summary": ORACLE_AGG_PRICING,
         "agg_top_customers": ORACLE_TOP_CUSTOMERS,
         "window_rank": ORACLE_WINDOW_RANK,
+        "agg_rollup": ORACLE_AGG_ROLLUP,
+        "set_ops_customers": ORACLE_SET_OPS,
+        "agg_percentiles": ORACLE_AGG_PERCENTILES,
+        "agg_multi_distinct": ORACLE_AGG_MULTI_DISTINCT,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "dedup_exact": ORACLE_DEDUP_EXACT,
