@@ -171,6 +171,34 @@ class Engine:
             )
         self._overwrite_table(reader.load(), qualified_name)
 
+    def register_bucketed(
+        self,
+        qualified_name: str,
+        df: DataFrame,
+        bucket_cols: Sequence[str],
+        num_buckets: int = 32,
+    ) -> None:
+        """Materialize ``df`` hash-bucketed (and sorted) by
+        ``bucket_cols``.
+
+        Two tables bucketed by the same key into the same bucket count
+        join WITHOUT a shuffle on either side — the pre-partitioning
+        strategy for repeated big-to-big equi-joins (e.g. mapping
+        frames re-joined by every column rule, or fact-to-fact joins at
+        100 TB where even one exchange of the large side dominates the
+        query). Verified shuffle-free in tests/test_sources_sinks.py.
+        """
+        schema, _, _ = qualified_name.partition(".")
+        self._ensure_schema(schema)
+        self.spark.sql(f"DROP TABLE IF EXISTS {qualified_name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .saveAsTable(qualified_name)
+        )
+
     def export(
         self,
         qualified_name: str,

@@ -74,6 +74,23 @@ def test_export_roundtrip(engine, spark, tmp_path, fmt):
     assert got == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_bucketed_join_is_shuffle_free(engine, spark):
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    engine.register_bucketed("src.a", a, ["k"], num_buckets=4)
+    engine.register_bucketed("src.b", b, ["k"], num_buckets=4)
+    joined = (
+        spark.table("src.a")
+        .hint("merge")  # pin SMJ so broadcast doesn't mask the check
+        .join(spark.table("src.b"), "k")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # co-located buckets: the join must not exchange either side
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 1000
+
+
 def test_export_partition_by_prunes(engine, spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 2020), (2, "b", 2021), (3, "c", 2021)],
