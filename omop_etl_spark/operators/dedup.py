@@ -163,10 +163,22 @@ def jaccard_pairs(
     # threshold prefilter keeps a superset of qualifying pairs (recall
     # stays exactly 1.0); the handful of survivors are then re-verified
     # with true string-set intersection, making the output exact.
-    sizes = sh.select("__id", F.size("__sh").alias("__sz"))
+    #
+    # The postings frame is persisted: tokenization is the dominant CPU
+    # cost and the higher-order shingle expression defeats Spark's
+    # ReuseExchange canonicalization, so without the persist BOTH sides
+    # of the self-join (plus the per-doc size frame) re-tokenize the
+    # whole corpus. One tokenize pass + cached 16-byte postings is the
+    # shape you'd want at 100 TB too (the index is worth materializing;
+    # see Engine.register_bucketed for the durable variant). The block
+    # is released by the ContextCleaner once the result frame is gone.
+    from pyspark import StorageLevel
+
     inv = sh.select(
         "__id", F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # shingles are distinct per doc, so set sizes fall out of the index
+    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     co = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
@@ -182,10 +194,23 @@ def jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
-    full = sh
+    # exact verification re-tokenizes ONLY the candidate-surviving docs:
+    # the semi-join on ids runs below the shingle projection by
+    # construction, so the string arrays are built for a handful of
+    # rows, not the corpus
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .union(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    verify = df.join(
+        F.broadcast(cand_ids), df[id_col] == cand_ids["__id"], "left_semi"
+    ).select(
+        F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
+    )
     out = (
-        cand.join(full.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
-        .join(full.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        cand.join(verify.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(verify.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
         .withColumn("__ti", F.size(F.array_intersect("__sha", "__shb")))
         .withColumn(
             "jaccard",
