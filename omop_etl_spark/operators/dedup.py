@@ -304,7 +304,16 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         F.explode(token_shingles(text_col, n)).alias("__g"),
     )
-    h = ex.select("__id", _md5_hash(F.col("__g"), 0).alias("__h"))
+    # xxhash64 masked to 32 bits: JVM-native and an order of magnitude
+    # cheaper than the md5+conv base hash, and non-negative so the
+    # affine rehash (a < 2^29) stays inside int64. LSH candidates have
+    # no SQL-oracle obligation (rows-only check) — md5 is kept only
+    # where an ANSI oracle must replicate the hash (simhash, prefix
+    # filter).
+    h = ex.select(
+        "__id",
+        F.xxhash64("__g").bitwiseAND(F.lit((1 << 32) - 1)).alias("__h"),
+    )
     params = _affine_params(num_hashes)
     mins = h.groupBy("__id").agg(
         *[
@@ -315,21 +324,30 @@ def minhash_lsh_pairs(
     base = mins.select(
         "__id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig")
     )
-    banded = base.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(b),
-                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band"),
-    ).distinct()
+    # persisted: the band self-join would otherwise rebuild the full
+    # signature aggregate (explode + md5 over the whole corpus) once per
+    # join side — the banded frame is tiny (id + band string per band)
+    from pyspark import StorageLevel
+
+    banded = (
+        base.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "_",
+                            F.lit(b),
+                            *[F.col("__sig")[b * rows + r] for r in range(rows)],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__band"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
         banded.alias("a")
         .join(
@@ -340,7 +358,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
+    # exact verification tokenizes ONLY candidate-surviving docs (the
+    # LSH S-curve keeps candidates rare), not the corpus a second time
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__cid"))
+        .union(cand.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    sh = df.join(
+        F.broadcast(cand_ids), df[id_col] == cand_ids["__cid"], "left_semi"
+    ).select(
         F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
     )
     verified = (
@@ -442,9 +469,17 @@ def simhash_pairs(
     fingerprint, one hash-shuffle per band on band-value keys — no
     O(N²) stage, skew bounded by band cardinality (2^(bits/bands)).
     """
+    from pyspark import StorageLevel
+
     bands = max_hamming + 1
     width = num_bits // bands
-    sig = simhash_signatures(df, id_col, text_col, num_bits, n)
+    # persisted: both sides of the band self-join otherwise re-run the
+    # corpus-wide explode + md5 + 32-column vote aggregate (ReuseExchange
+    # shares the groupBy shuffle but not the post-shuffle agg + band
+    # projection); the (id, sig) frame is 16 bytes/doc
+    sig = simhash_signatures(df, id_col, text_col, num_bits, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sig.select(
         "__id",
         "__sig",
