@@ -174,26 +174,36 @@ def jaccard_pairs(
     # is released by the ContextCleaner once the result frame is gone.
     from pyspark import StorageLevel
 
+    # set size rides along in the postings (shingles are distinct per
+    # doc, so |set| = posting count = array size): the size-compatibility
+    # band τ·|A| ≤ |B| ≤ |A|/τ — a necessary condition for J ≥ τ — can
+    # then prune inside the index join itself, before the pair aggregate,
+    # and the threshold test needs no extra size-joins afterwards
     inv = sh.select(
-        "__id", F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g")
+        F.col("__id"),
+        F.size("__sh").alias("__sz"),
+        F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # shingles are distinct per doc, so set sizes fall out of the index
-    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     co = (
         inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    cand = (
-        co.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
-        .filter(
-            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
-            >= threshold
+        .join(
+            inv.alias("b"),
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("b.__sz") >= F.col("a.__sz") * threshold)
+            & (F.col("a.__sz") >= F.col("b.__sz") * threshold),
         )
-        .select("id_a", "id_b")
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.first(F.col("a.__sz")).alias("__sza"),
+            F.first(F.col("b.__sz")).alias("__szb"),
+        )
     )
+    cand = co.filter(
+        F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+        >= threshold
+    ).select("id_a", "id_b")
     # exact verification re-tokenizes ONLY the candidate-surviving docs:
     # the semi-join on ids runs below the shingle projection by
     # construction, so the string arrays are built for a handful of
