@@ -461,9 +461,9 @@ def _q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AGG_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
-       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -497,7 +497,7 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOP_CUSTOMERS = """
 SELECT CAST(c.c_custkey AS BIGINT) AS cust_id, c.c_name AS cust_name,
        COUNT(*) AS order_cnt,
-       SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
 ORDER BY total_cents DESC, cust_id
@@ -551,7 +551,7 @@ def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AGG_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n_items,
        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
@@ -648,7 +648,7 @@ ORACLE_EVENTS_HOURLY = """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -680,7 +680,7 @@ SELECT user_id,
        MIN(epoch_us(ts)) AS session_start_us,
        MAX(epoch_us(ts)) AS session_end_us,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, sess
 """
 
@@ -731,7 +731,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS total_tokens,
+       CAST(SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT) AS total_tokens,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars,
        CAST(MIN(n_chars) AS BIGINT) AS min_chars
 FROM documents
