@@ -85,136 +85,28 @@ def token_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def jaccard_pairs(
+def _verify_jaccard(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.8,
-    prefix_filter: bool = False,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
 ) -> DataFrame:
-    """EXACT n-gram-Jaccard near-duplicate pairs (``id_a < id_b``,
-    ``jaccard >= threshold``).
+    """Exact verification of candidate ``(id_a, id_b)`` pairs.
 
-    Candidate generation is an inverted-index self-join on shingles —
-    every qualifying pair shares a shingle, so recall is exactly 1.0
-    (no LSH approximation). The default path counts co-occurring
-    shingles in the index join itself, so ``|A∩B|`` arrives free and
-    verification needs only the two set sizes.
-
-    ``prefix_filter=True`` is the high-skew scale path, still exact:
-    each document indexes only its first ``|A| - ⌈τ·|A|⌉ + 1`` shingles
-    under a global order (md5). For ``J(A,B) ≥ τ`` the overlap is
-    ≥ ``⌈τ·|A|⌉`` (since ``|B| ≥ τ·|A|`` for any qualifying pair), so
-    at least one shared shingle falls in both prefixes — the standard
-    prefix-filtering guarantee. It bounds the quadratic fan-out of hot
-    shingles (the failure mode of the default path on web-scale corpora
-    with boilerplate n-grams) at the cost of an ``array_intersect``
-    re-verification per candidate; measured crossover is above the
-    bundled test scales (sf0.1: 9.5s default vs 27s prefix), so the
-    default stays off and callers flip it when shingle frequency is
-    skewed.
-    """
-    sh = df.select(
-        F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
-    )
-    if prefix_filter:
-        # global order by md5(shingle); index only the prefix
-        ordered = F.array_sort(
-            F.transform(F.col("__sh"), lambda g: F.struct(F.md5(g).alias("h"), g.alias("g")))
-        )
-        plen = (
-            F.size("__sh") - F.ceil(F.size("__sh") * F.lit(float(threshold))) + 1
-        ).cast("int")
-        indexed = sh.select(
-            "__id",
-            "__sh",
-            F.transform(F.slice(ordered, 1, F.greatest(plen, F.lit(1))), lambda s: s["g"]).alias(
-                "__pref"
-            ),
-        )
-        inv = indexed.select("__id", F.explode("__pref").alias("__g"))
-        cand = (
-            inv.alias("a")
-            .join(
-                inv.alias("b"),
-                (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")),
-            )
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .distinct()
-        )
-        full = indexed.select("__id", "__sh")
-        out = (
-            cand.join(full.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
-            .join(full.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
-            .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
-            .withColumn(
-                "jaccard",
-                F.col("__inter")
-                / (F.size("__sha") + F.size("__shb") - F.col("__inter")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
-        return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-    # candidate generation on 64-bit shingle hashes: the inverted-index
-    # self-join shuffles 8-byte keys instead of n-gram strings. A hash
-    # collision can only INFLATE a pair's apparent intersection, so the
-    # threshold prefilter keeps a superset of qualifying pairs (recall
-    # stays exactly 1.0); the handful of survivors are then re-verified
-    # with true string-set intersection, making the output exact.
-    #
-    # The postings frame is persisted: tokenization is the dominant CPU
-    # cost and the higher-order shingle expression defeats Spark's
-    # ReuseExchange canonicalization, so without the persist BOTH sides
-    # of the self-join (plus the per-doc size frame) re-tokenize the
-    # whole corpus. One tokenize pass + cached 16-byte postings is the
-    # shape you'd want at 100 TB too (the index is worth materializing;
-    # see Engine.register_bucketed for the durable variant). The block
-    # is released by the ContextCleaner once the result frame is gone.
-    from pyspark import StorageLevel
-
-    # set size rides along in the postings (shingles are distinct per
-    # doc, so |set| = posting count = array size): the size-compatibility
-    # band τ·|A| ≤ |B| ≤ |A|/τ — a necessary condition for J ≥ τ — can
-    # then prune inside the index join itself, before the pair aggregate,
-    # and the threshold test needs no extra size-joins afterwards
-    inv = sh.select(
-        F.col("__id"),
-        F.size("__sh").alias("__sz"),
-        F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    co = (
-        inv.alias("a")
-        .join(
-            inv.alias("b"),
-            (F.col("a.__g") == F.col("b.__g"))
-            & (F.col("a.__id") < F.col("b.__id"))
-            & (F.col("b.__sz") >= F.col("a.__sz") * threshold)
-            & (F.col("a.__sz") >= F.col("b.__sz") * threshold),
-        )
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("__inter"),
-            F.first(F.col("a.__sz")).alias("__sza"),
-            F.first(F.col("b.__sz")).alias("__szb"),
-        )
-    )
-    cand = co.filter(
-        F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
-        >= threshold
-    ).select("id_a", "id_b")
-    # exact verification re-tokenizes ONLY the candidate-surviving docs:
-    # the semi-join on ids runs below the shingle projection by
-    # construction, so the string arrays are built for a handful of
-    # rows, not the corpus
+    Re-tokenizes ONLY the candidate-surviving documents: the broadcast
+    semi-join on ids runs below the shingle projection by construction,
+    so the string arrays are built for a handful of rows, not the
+    corpus. Precision of the final output is therefore exact regardless
+    of how candidates were generated."""
     cand_ids = (
-        cand.select(F.col("id_a").alias("__id"))
-        .union(cand.select(F.col("id_b").alias("__id")))
+        cand.select(F.col("id_a").alias("__cid"))
+        .union(cand.select(F.col("id_b").alias("__cid")))
         .distinct()
     )
     verify = df.join(
-        F.broadcast(cand_ids), df[id_col] == cand_ids["__id"], "left_semi"
+        F.broadcast(cand_ids), df[id_col] == cand_ids["__cid"], "left_semi"
     ).select(
         F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
     )
@@ -228,9 +120,158 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _prefix_postings(inv: DataFrame, threshold: float) -> DataFrame:
+    """Document-frequency-ordered prefix index over hashed postings.
+
+    Each document keeps only its ``|A| - ⌈τ·|A|⌉ + 1`` shingles that
+    are RAREST in the corpus (global order = ascending document
+    frequency, hash as tiebreak) — the AllPairs/PPJoin idf-ordering
+    refinement of prefix filtering (Bayardo et al. WWW'07; Xiao et al.
+    PPJoin). The prefix guarantee holds for ANY common total order, and
+    rarest-first makes the indexed posting list of a boilerplate
+    shingle shrink toward zero: a shingle shared by half the corpus is
+    outranked by rarer shingles in almost every document, so it almost
+    never lands in a prefix. This is what bounds hot-key fan-out.
+
+    Input: ``inv(__id, __sz, __g)`` hashed postings. Output: the prefix
+    subset, same schema. Both windows partition by keys the frame
+    already hashes evenly (shingle hash, then doc id)."""
+    wg = Window.partitionBy("__g")
+    wid = Window.partitionBy("__id").orderBy("__df", "__g")
+    plen = F.greatest(
+        (F.col("__sz") - F.ceil(F.col("__sz") * F.lit(float(threshold))) + 1).cast(
+            "int"
+        ),
+        F.lit(1),
     )
+    return (
+        inv.withColumn("__df", F.count(F.lit(1)).over(wg))
+        .withColumn("__rk", F.row_number().over(wid))
+        .filter(F.col("__rk") <= plen)
+        .select("__id", "__sz", "__g")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    prefix_filter: bool | None = None,
+    hot_df: int = 1024,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate pairs (``id_a < id_b``,
+    ``jaccard >= threshold``).
+
+    Candidate generation is an inverted-index self-join on shingle
+    hashes — every qualifying pair shares a shingle, so recall is
+    exactly 1.0 (no LSH approximation) — followed by exact string-set
+    verification of the survivors.
+
+    Two candidate-generation paths, chosen automatically by default:
+
+    * **Counting path** (``prefix_filter=False``): counts co-occurring
+      shingles inside the index join itself, so ``|A∩B|`` arrives free.
+      Fastest when shingle frequency is benign, but the self-join is
+      quadratic in the posting-list length of a hot shingle.
+    * **Prefix path** (``prefix_filter=True``): each document indexes
+      only its ``|A| - ⌈τ·|A|⌉ + 1`` corpus-RAREST shingles (see
+      :func:`_prefix_postings`); for ``J(A,B) ≥ τ`` the smallest shared
+      shingle under the global order must fall in both prefixes, so
+      recall stays 1.0 while boilerplate shingles all but vanish from
+      the index. Costs two extra window shuffles over the postings.
+
+    ``prefix_filter=None`` (default) measures the max posting-list
+    length on the persisted postings (one cheap aggregate over 8-byte
+    keys) and takes the prefix path iff it exceeds ``hot_df`` — the
+    regime where the counting join's hot-key fan-out dominates. The
+    check triggers one Spark job at call time; pass an explicit bool to
+    stay fully lazy.
+
+    Hash note: candidates live on ``xxhash64`` keys. In the counting
+    path a collision can only INFLATE an apparent intersection
+    (superset of candidates, recall unaffected). In the prefix path a
+    collision could in principle perturb the global order; missing a
+    pair requires two distinct shingles of the same document to collide
+    in 64 bits (~2^-64 per pair) — documented, not defended.
+    """
+    from pyspark import StorageLevel
+
+    sh = df.select(
+        F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
+    )
+    # The postings frame is persisted: tokenization is the dominant CPU
+    # cost and the higher-order shingle expression defeats Spark's
+    # ReuseExchange canonicalization, so without the persist BOTH sides
+    # of the self-join re-tokenize the whole corpus. One tokenize pass +
+    # cached 16-byte postings is the shape you'd want at 100 TB too (the
+    # index is worth materializing; see Engine.register_bucketed for the
+    # durable variant). The block is released by the ContextCleaner once
+    # the result frame is gone. Set size rides along (shingles are
+    # distinct per doc, so |set| = posting count): the size band
+    # τ·|A| ≤ |B| ≤ |A|/τ — necessary for J ≥ τ — prunes inside the
+    # index join itself.
+    inv = sh.select(
+        F.col("__id"),
+        F.size("__sh").alias("__sz"),
+        F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if prefix_filter is None:
+        row = (
+            inv.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c").alias("m"))
+            .first()
+        )
+        prefix_filter = bool(row and row["m"] and row["m"] > hot_df)
+
+    size_band = (
+        (F.col("b.__sz") >= F.col("a.__sz") * threshold)
+        & (F.col("a.__sz") >= F.col("b.__sz") * threshold)
+    )
+    if prefix_filter:
+        pref = _prefix_postings(inv, threshold)
+        cand = (
+            pref.alias("a")
+            .join(
+                pref.alias("b"),
+                (F.col("a.__g") == F.col("b.__g"))
+                & (F.col("a.__id") < F.col("b.__id"))
+                & size_band,
+            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct()
+        )
+        return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
+
+    co = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & size_band,
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.first(F.col("a.__sz")).alias("__sza"),
+            F.first(F.col("b.__sz")).alias("__szb"),
+        )
+    )
+    # the counting join already measured |A∩B| on hashes; keep only
+    # pairs whose hash-level jaccard clears the threshold (a superset
+    # of the true qualifiers), then verify exactly on strings
+    cand = co.filter(
+        F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+        >= threshold
+    ).select("id_a", "id_b")
+    return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
 
 
 def _md5_hash(col: Column, salt: int) -> Column:

@@ -118,6 +118,50 @@ def test_jaccard_prefix_filter_matches_exhaustive(spark):
     assert full == pref and len(full) > 0
 
 
+def test_jaccard_hot_shingle_auto_matches_counting(spark):
+    # every doc shares one boilerplate shingle (document frequency = N);
+    # auto mode must flip to the prefix path (hot_df=8 < N) and still
+    # produce exactly the counting path's pairs
+    rows = [(i, f"u{i}x u{i}y the quick brown u{i}z u{i}w") for i in range(60)]
+    rows += [
+        (1000, "dup dup2 dup3 dup4 the quick brown"),
+        (1001, "dup dup2 dup3 dup4 the quick brown"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    auto = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(df, threshold=0.5, hot_df=8).collect()
+    )
+    counting = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(df, threshold=0.5, prefix_filter=False).collect()
+    )
+    assert auto == counting
+    assert (1000, 1001, 1.0) in auto
+
+
+def test_prefix_postings_bound_hot_shingle(spark):
+    # the boilerplate shingle posts in every doc but lands in ~no prefix:
+    # the index join input for the hot key shrinks from N to O(1)
+    from omop_etl_spark.operators.dedup import _prefix_postings
+
+    rows = [(i, f"u{i}x u{i}y the quick brown u{i}z u{i}w") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = df.select(
+        F.col("doc_id").alias("__id"), token_shingles("text", 3).alias("__sh")
+    )
+    inv = sh.select(
+        "__id",
+        F.size("__sh").alias("__sz"),
+        F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g"),
+    )
+    raw_max = inv.groupBy("__g").count().agg(F.max("count")).first()[0]
+    pref = _prefix_postings(inv, 0.5)
+    pref_max = pref.groupBy("__g").count().agg(F.max("count")).first()[0]
+    assert raw_max == 60  # hot shingle posts everywhere
+    assert pref_max <= 2  # but is outranked by rarer shingles in every prefix
+
+
 def test_minhash_subset_of_exact(spark):
     rows = [
         (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
