@@ -335,6 +335,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash banding: signatures split
     into ``bands``; pairs colliding in ≥1 band become candidates, then
@@ -344,6 +345,17 @@ def minhash_lsh_pairs(
     One shuffle to bucket (band-hash join), one to verify — no O(N²)
     stage. This is the 100 TB path; :func:`jaccard_pairs` is the exact
     oracle-checkable sibling.
+
+    **Bucket cap**: a band bucket holding more than ``max_bucket``
+    documents (e.g. thousands of identical boilerplate pages) would
+    make the self-join quadratic in the bucket size. Over-full buckets
+    are instead STAR-LINKED: every member pairs only with the bucket's
+    minimum id — candidates stay linear, every member of the bucket
+    still appears in ≥1 verified pair, and connected components over
+    the output recover the full duplicate group. All-pairs behavior is
+    unchanged for buckets at or under the cap. Recall caveat: a
+    non-star pair inside an over-full bucket is reported only if it
+    also collides in some bucket under the cap.
     """
     rows = num_hashes // bands
     # relational signature build: explode shingles, md5-hash each ONCE,
@@ -375,9 +387,9 @@ def minhash_lsh_pairs(
     base = mins.select(
         "__id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig")
     )
-    # persisted: the band self-join would otherwise rebuild the full
-    # signature aggregate (explode + md5 over the whole corpus) once per
-    # join side — the banded frame is tiny (id + band string per band)
+    # the banded frame is tiny (id + band string per band); it is
+    # persisted below (as `stats`) so the band self-join does not
+    # rebuild the full signature aggregate once per join side
     from pyspark import StorageLevel
 
     banded = (
@@ -397,18 +409,30 @@ def minhash_lsh_pairs(
             ).alias("__band"),
         )
         .distinct()
+    )
+    # one window pass on the band key (same shuffle key the self-join
+    # needs) annotates bucket size + minimum id; persisted so the join
+    # branches and the window share a single signature build
+    wb = Window.partitionBy("__band")
+    stats = (
+        banded.withColumn("__cnt", F.count(F.lit(1)).over(wb))
+        .withColumn("__mn", F.min("__id").over(wb))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand = (
-        banded.alias("a")
+    small = stats.filter(F.col("__cnt") <= max_bucket)
+    pair_small = (
+        small.alias("a")
         .join(
-            banded.alias("b"),
+            small.alias("b"),
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
     )
+    pair_big = stats.filter(
+        (F.col("__cnt") > max_bucket) & (F.col("__id") != F.col("__mn"))
+    ).select(F.col("__mn").alias("id_a"), F.col("__id").alias("id_b"))
+    cand = pair_small.union(pair_big).distinct()
     # exact verification tokenizes ONLY candidate-surviving docs (the
     # LSH S-curve keeps candidates rare), not the corpus a second time
     cand_ids = (

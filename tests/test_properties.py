@@ -124,3 +124,21 @@ def test_surrogate_ids_are_rank(spark, values, parts):
     # id order must agree with key order (ties interchangeable)
     by_id = sorted(out, key=lambda r: r.id)
     assert [r.k for r in by_id] == sorted(values)
+
+
+def test_minhash_lsh_degenerate_identical_corpus_bounded(spark):
+    # 1k identical docs: every band bucket holds all 1000 docs. Without
+    # the bucket cap the candidate join would emit ~500k pairs; with it,
+    # over-full buckets star-link to the bucket min -> exactly 999
+    # verified pairs, every doc reachable from doc 0.
+    from omop_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 1000
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(n)],
+        "doc_id int, text string",
+    )
+    rows = minhash_lsh_pairs(df, threshold=0.8, max_bucket=64).collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in rows)
+    assert {r.id_b for r in rows} == set(range(1, n))
