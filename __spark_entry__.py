@@ -775,7 +775,9 @@ def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    return lsh_topk(q, emb, k=5, num_bits=8)
+    # multi-probe + 2 hash tables: sparse home buckets no longer starve
+    # queries below k (VERDICT r1 #4); recall gated in test_operators
+    return lsh_topk(q, emb, k=5, num_bits=8, num_probes=4, num_tables=2)
 
 
 # word-3-gram shingles as DuckDB SQL (mirrors operators.dedup.token_shingles)

@@ -29,6 +29,7 @@ __all__ = [
     "cosine_topk",
     "cosine_pairs",
     "simhash_buckets",
+    "simhash_probe_buckets",
     "lsh_topk",
     "ivf_topk",
 ]
@@ -222,27 +223,73 @@ def simhash_buckets(
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bits, dim))
-    v = _as_double(F.col(vec_col))
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in planes[i]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for i in range(num_bits)
+    projs = _projections(F.col(vec_col), planes)
+    return df.withColumn(out_col, _sign_bucket(projs).cast("bigint"))
+
+
+def _projections(vec: Column, planes) -> list[Column]:
+    """One JVM-side dot product per hyperplane (literal coefficients)."""
+    v = _as_double(vec)
+    return [
+        F.aggregate(
+            F.zip_with(
+                v, F.array(*[F.lit(float(x)) for x in row]), lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for row in planes
     ]
+
+
+def _sign_bucket(projs: list[Column]) -> Column:
     bucket = F.lit(0)
-    for b in bits:
-        bucket = bucket * 2 + b
-    return df.withColumn(out_col, bucket.cast("bigint"))
+    for p in projs:
+        bucket = bucket * 2 + F.when(p >= 0, F.lit(1)).otherwise(F.lit(0))
+    return bucket
+
+
+def simhash_probe_buckets(
+    vec: Column | str,
+    num_bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    num_probes: int = 4,
+) -> Column:
+    """Multi-probe bucket list (``array<bigint>``) for a query vector.
+
+    Multi-probe LSH (Lv et al., VLDB'07): beyond the vector's own
+    sign-bucket, also probe the buckets obtained by flipping the
+    ``num_probes - 1`` bits with the SMALLEST projection margin — the
+    hyperplanes the vector sits closest to, i.e. the buckets its true
+    neighbors most likely fell into. Raises recall (and rescues queries
+    whose home bucket is sparse) without more hash tables.
+
+    Meant for the small (query) side: the projection fold is re-inlined
+    into every probe expression by Catalyst, so cost is
+    ``num_probes × num_bits`` folds per row — fine for queries, wasteful
+    for a corpus (which needs only its single home bucket)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bits, dim))
+    c = F.col(vec) if isinstance(vec, str) else vec
+    projs = _projections(c, planes)
+    base = _sign_bucket(projs).cast("bigint")
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(p).alias("m"), F.lit(i).alias("i"))
+                for i, p in enumerate(projs)
+            ]
+        )
+    )
+    weights = F.array(*[F.lit(1 << (num_bits - 1 - i)) for i in range(num_bits)])
+    flips = F.transform(
+        F.slice(margins, 1, max(num_probes - 1, 0)),
+        lambda s: base.bitwiseXOR(F.element_at(weights, s["i"] + 1).cast("bigint")),
+    )
+    return F.concat(F.array(base), flips)
 
 
 def ivf_topk(
@@ -338,22 +385,88 @@ def lsh_topk(
     num_bits: int = 8,
     dim: int = 64,
     seed: int = 42,
+    num_probes: int = 4,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's SimHash
-    bucket, then exact cosine rerank. Same output shape as
-    :func:`cosine_topk`; recall < 1 by construction."""
-    qb = simhash_buckets(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")),
-        "__qv", num_bits, dim, seed,
+    """Approximate top-k: candidates restricted to the query's likely
+    SimHash buckets, then exact cosine rerank. Same output shape as
+    :func:`cosine_topk`; recall < 1 by construction. Two recall levers:
+
+    * ``num_probes`` — multi-probe (:func:`simhash_probe_buckets`):
+      each query also checks the buckets reached by flipping its
+      smallest-margin bits (capped at ``num_bits + 1`` probes), so
+      queries in sparse home buckets still draw candidates from
+      adjacent buckets instead of returning fewer than ``k`` rows.
+    * ``num_tables`` — independent hash tables from derived seeds;
+      candidates are unioned across tables (the classic LSH lever —
+      recall misses are uncorrelated between tables).
+
+    Cost shape: the corpus is scanned ONCE computing ``num_tables``
+    buckets per vector (posexplode, no re-scan per table); only the
+    small query side fans out ``num_tables × num_probes`` rows. The
+    candidate join carries (table, bucket) keys; duplicate (query,
+    neighbor) candidates across tables are dropped before scoring."""
+    import numpy as np
+
+    table_planes = [
+        np.random.default_rng(seed + 7919 * t).standard_normal((num_bits, dim))
+        for t in range(num_tables)
+    ]
+    qv, cv = F.col("__qv"), F.col("__cv")
+    q_probe_arrays = []
+    c_buckets = []
+    for planes in table_planes:
+        projs_q = _projections(qv, planes)
+        base = _sign_bucket(projs_q).cast("bigint")
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(F.abs(p).alias("m"), F.lit(i).alias("i"))
+                    for i, p in enumerate(projs_q)
+                ]
+            )
+        )
+        weights = F.array(
+            *[F.lit(1 << (num_bits - 1 - i)) for i in range(num_bits)]
+        )
+        flips = F.transform(
+            F.slice(margins, 1, max(num_probes - 1, 0)),
+            lambda s: base.bitwiseXOR(
+                F.element_at(weights, s["i"] + 1).cast("bigint")
+            ),
+        )
+        q_probe_arrays.append(F.concat(F.array(base), flips))
+        c_buckets.append(_sign_bucket(_projections(cv, planes)).cast("bigint"))
+
+    qb = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .select(
+            "query_id", "__qv", F.posexplode(F.array(*q_probe_arrays))
+        )
+        .select(
+            "query_id",
+            "__qv",
+            F.col("pos").alias("__tbl"),
+            F.explode("col").alias("bucket"),
+        )
     )
-    cb = simhash_buckets(
-        corpus.select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-        ),
-        "__cv", num_bits, dim, seed,
+    cb = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).select(
+        "neighbor_id",
+        "__cv",
+        F.posexplode(F.array(*c_buckets)).alias("__tbl", "bucket"),
     )
-    scored = cb.join(F.broadcast(qb), "bucket").select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("score")
+    scored = (
+        cb.join(F.broadcast(qb), ["__tbl", "bucket"])
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

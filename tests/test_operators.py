@@ -288,6 +288,47 @@ def test_lsh_topk_scores_match_exact_for_found(spark):
         assert r.query_id is not None
 
 
+def test_lsh_topk_recall_floor(spark):
+    # measured recall gate vs the exact sibling on the bundled corpus:
+    # quality regressions fail here instead of passing a rows-only check.
+    # Fully deterministic (seeded planes, fixed testdata) — measured
+    # 0.82 at this config; gated at 0.6 for slack against reordering.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=5).collect()}
+    rows = lsh_topk(
+        q, emb, k=5, num_bits=6, num_probes=7, num_tables=6
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(approx & exact) / len(exact) >= 0.6
+    # multi-probe + multi-table: no query starves below k
+    assert len(rows) == 50
+
+
+def test_ivf_topk_recall_floor(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=5, num_centroids=16, nprobe=4).collect()
+    }
+    # measured 0.54 at nprobe=4/16 lists (deterministic); gated at 0.4
+    assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_minhash_lsh_recall_floor(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.7).collect()}
+    approx = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    # precision is exact by construction (post-verification)
+    assert approx <= exact
+    # measured recall 0.964 (deterministic); gated at 0.85
+    assert len(approx & exact) / len(exact) >= 0.85
+
+
 def test_surrogate_ids_dense_and_deterministic(spark):
     df = spark.createDataFrame(
         [(c,) for c in "zebra apple mango kiwi banana".split()], "k string"
