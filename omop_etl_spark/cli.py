@@ -117,7 +117,7 @@ def _cmd_validate(args) -> int:
         with open(args.required_columns, newline="") as f:
             for row in csv.DictReader(f):
                 required.setdefault(row["table"].strip().lower(), set()).add(
-                    row["column"].strip()
+                    row["column"].strip().lower()
                 )
     status = 0
     for spec in specs:

@@ -45,10 +45,19 @@ class Engine:
     materializes both as real Postgres tables).
     """
 
-    def __init__(self, spark: SparkSession, schemas: Sequence[str] = _CORE_SCHEMAS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        schemas: Sequence[str] = _CORE_SCHEMAS,
+        strict_scripts: bool = True,
+    ):
         self.spark = spark
         self.temp_views: set[str] = set()
         self.required_columns: dict[str, set[str]] = {}
+        # a failed setup script usually means later rules join against a
+        # missing/empty lookup — fail fast like the reference's psql run
+        # would; pass strict_scripts=False for the old warn-and-continue
+        self.strict_scripts = strict_scripts
         for s in schemas:
             self._ensure_schema(s)
 
@@ -265,7 +274,7 @@ class Engine:
             for row in csv.DictReader(f):
                 self.required_columns.setdefault(
                     row["table"].strip().lower(), set()
-                ).add(row["column"].strip())
+                ).add(row["column"].strip().lower())
 
     def missing_required_columns(self, spec: TableSpec) -> set[str]:
         """Required OMOP columns this spec never populates (the API's
@@ -292,6 +301,12 @@ class Engine:
             try:
                 self.spark.sql(translate(script))
             except Exception as exc:  # noqa: BLE001 - scripts are passthrough
+                if self.strict_scripts:
+                    raise RuntimeError(
+                        f"{spec.name or '<anonymous>'}: setup script failed "
+                        f"(pass strict_scripts=False to warn and continue): "
+                        f"{script[:120]!r}"
+                    ) from exc
                 log.warning(
                     "%s: script failed and was skipped: %s",
                     spec.name or "<anonymous>",

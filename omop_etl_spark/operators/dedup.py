@@ -308,9 +308,11 @@ def minhash_signature(
     Catalyst collapses projections, the md5 base-hash subtree is
     re-inlined into every per-hash fold, so corpus-scale signature
     builds should use the relational explode + min-aggregate form
-    inside :func:`minhash_lsh_pairs` (identical values, one md5 per
-    shingle for real). Fully deterministic (seeded params, md5 base
-    hash).
+    inside :func:`minhash_lsh_pairs` — note that path now uses a
+    JVM-native ``xxhash64``-derived base hash, so its signature VALUES
+    differ from this md5-based form (same family, same banding
+    behavior, not interchangeable bit-for-bit). Fully deterministic
+    (seeded params, md5 base hash).
     """
     base = F.transform(shingles, lambda g: _md5_hash(g, 0))
 

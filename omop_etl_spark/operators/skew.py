@@ -47,7 +47,19 @@ def salted_join(
     ``F.broadcast`` (no shuffle at all); this helper is for the middle
     regime where the dimension is too big to broadcast and a key is too
     hot for one task.
+
+    Only joins that never emit an unmatched SMALL-side row are allowed:
+    with ``right``/``full``, each unmatched small row was exploded
+    ``num_salts`` times and would surface as duplicates.
     """
+    safe = {"inner", "left", "left_outer", "leftouter", "cross",
+            "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} is not semantics-preserving (the "
+            f"exploded small side would duplicate unmatched rows); use one "
+            f"of {sorted(safe)} or a plain join for right/full outer."
+        )
     on = list(on)
     salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(num_salts))
     b = big.withColumn("__salt", salt)

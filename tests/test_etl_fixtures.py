@@ -379,6 +379,10 @@ def test_custom_query_pipeline(engine, spark):
     pl/pgsql script, and a disabled column."""
     seed_cerner(engine, spark)
     engine.register_udf("total_rows", lambda: 3, "int")
+    # the reference's dep.yaml ships a literal `TRUE;` placeholder
+    # script (never executed there — compile-only); opt into the
+    # warn-and-continue mode for this replay
+    engine.strict_scripts = False
     dep = load_rules_text(DEP_RULES, name="dep")
     table = load_rules_text(CUSTOM_QUERY_RULES)
     out = engine.run([table, dep])["baz"]  # run() topo-sorts dep first
@@ -393,6 +397,22 @@ def test_custom_query_pipeline(engine, spark):
     assert spark.table("temp_table_2").count() == 3
     # dependency's pre_init view is registered
     assert spark.table("temp_table_4").count() == 2
+
+
+def test_failing_script_raises_by_default(engine):
+    # a broken setup script must abort the run (ADVICE r1): later rules
+    # would otherwise silently join against a missing lookup
+    import pytest
+
+    from omop_etl_spark.rules.loader import load_rules_text
+
+    engine.strict_scripts = True
+    bad = load_rules_text(
+        "scripts:\n  - create table nope as select * from missing_tbl\n",
+        name="baddep",
+    )
+    with pytest.raises(RuntimeError, match="setup script failed"):
+        engine.run_dependency(bad)
 
 
 def test_dependency_cycle_detected(engine):
