@@ -693,7 +693,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.functions.text import token_signature
     from omop_etl_spark.operators.dedup import dedup_groups
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     groups = dedup_groups(
         docs.withColumn("sig", token_signature("text")), ["sig"], id_col="doc_id"
     )
@@ -716,7 +716,7 @@ GROUP BY sig
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.functions.text import token_count
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("n_tokens", token_count("text"))
         .groupBy("lang")
@@ -746,7 +746,7 @@ GROUP BY lang
 def _q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     return cosine_topk(q, emb, k=5).select(
         F.col("query_id").cast("bigint").alias("query_id"),
@@ -773,7 +773,7 @@ def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate variant — rows-only check (recall < 1 by design)
     from omop_etl_spark.operators.similarity import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     # multi-probe + 2 hash tables: sparse home buckets no longer starve
     # queries below k (VERDICT r1 #4); recall gated in test_operators
@@ -792,7 +792,7 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) raw
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.operators.dedup import jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     return jaccard_pairs(docs, n=3, threshold=0.8).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -816,14 +816,14 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact (verified jaccard), recall < 1 near the threshold
     from omop_etl_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=8, threshold=0.8)
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.functions.text import quality_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.round(quality_score("text"), 4).alias("quality"),
@@ -856,7 +856,7 @@ FROM m
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.functions.text import lang_id
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("predicted_lang", lang_id("text"))
         .groupBy(F.col("lang").alias("actual_lang"), "predicted_lang")
@@ -897,7 +897,7 @@ FROM t GROUP BY 1, 2
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.functions.text import fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         fingerprint("text").alias("fp"),
@@ -916,7 +916,7 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully oracle-checkable because the fingerprint is md5-derived
     from omop_etl_spark.operators.dedup import simhash_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     out = simhash_pairs(docs, num_bits=32, n=3, max_hamming=3)
     return out.select(
         F.col("id_a").cast("bigint").alias("id_a"),
@@ -951,7 +951,7 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic corpus (max pairwise cosine ~0.5 — no planted dups)
     from omop_etl_spark.operators.similarity import cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
     # 4 blocks -> 10 block-pair tasks: enough parallelism for the test
     # corpora while amortizing python-worker spin-up per task
     return cosine_pairs(emb, threshold=0.4, num_blocks=4)
@@ -971,7 +971,7 @@ def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF coarse-quantized ANN — rows-only check (recall < 1 by design)
     from omop_etl_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(q, emb, k=5, num_centroids=16, nprobe=4)
 
@@ -979,7 +979,7 @@ def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.functions.text import bpe_token_count, token_count
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         token_count("text").cast("int").alias("ws_tokens"),
@@ -997,7 +997,7 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_media_metadata,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     media = with_media_metadata(
         docs.select(
             F.col("doc_id").cast("bigint").alias("media_id"),
@@ -1036,6 +1036,15 @@ FROM documents
 # ---------------------------------------------------------------------------
 # contract
 
+
+
+def _spread_read(spark: SparkSession, path: str):
+    """Parquet scan spread to defaultParallelism partitions: the small
+    single-row-group test files otherwise arrive as ONE partition and
+    serialize every per-row stage (tokenize/score) on a single core."""
+    from omop_etl_spark.operators.util import spread
+
+    return spread(spark.read.parquet(path))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full ETL pipeline (mapping phase + wide select with

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 __all__ = [
     "exact_dedup",
     "dedup_groups",
@@ -201,7 +203,7 @@ def jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
     )
     # The postings frame is persisted: tokenization is the dominant CPU
@@ -365,7 +367,7 @@ def minhash_lsh_pairs(
     # (The Column-form minhash_signature inlines the md5 subtree into
     # every per-hash fold after Catalyst collapses projections — the
     # same num_hashes-fold blowup simhash_signatures avoids.)
-    ex = df.select(
+    ex = spread(df).select(
         F.col(id_col).alias("__id"),
         F.explode(token_shingles(text_col, n)).alias("__g"),
     )
@@ -410,7 +412,9 @@ def minhash_lsh_pairs(
                 )
             ).alias("__band"),
         )
-        .distinct()
+        # no distinct(): each doc's `bands` rows are distinct by
+        # construction (the band index prefixes the band string), so a
+        # distinct here would be a pure-waste full shuffle
     )
     # one window pass on the band key (same shuffle key the self-join
     # needs) annotates bucket size + minimum id; persisted so the join
@@ -504,7 +508,7 @@ def simhash_signatures(
     form for inline expressions over short strings; use this for
     corpus-scale fingerprinting.
     """
-    ex = df.select(
+    ex = spread(df).select(
         F.col(id_col).alias("__id"),
         F.explode(token_shingles(text_col, n)).alias("__g"),
     )

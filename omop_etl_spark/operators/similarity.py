@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 __all__ = [
     "cosine",
     "cosine_topk",
@@ -74,7 +76,7 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     scored = c.join(F.broadcast(q)).select(
@@ -120,6 +122,7 @@ def cosine_pairs(
     recall-tunable sub-quadratic candidates, pre-bucket with
     :func:`simhash_buckets` instead.
     """
+    df = spread(df)
     if num_blocks <= 1:
         v = df.select(
             F.col(id_col).alias("__id"),
@@ -139,9 +142,12 @@ def cosine_pairs(
             )
             .filter(F.col("__s") >= threshold)
         )
+        # no trailing orderBy: a global sort's range-boundary sampling
+        # pass would re-execute this quadratic plan a second time; sort
+        # downstream if presentation order matters
         return out.select(
             "id_a", "id_b", F.round("__s", round_digits).alias("score")
-        ).orderBy("id_a", "id_b")
+        )
 
     # block-pair cogroup path: shard ids into B blocks, enumerate the
     # B(B+1)/2 unordered block pairs (driver-side key list, not data),
@@ -196,12 +202,13 @@ def cosine_pairs(
             {"id_a": lo, "id_b": hi, "score": np.round(s[keep], digits)}
         )
 
-    out = (
+    # no trailing orderBy (see above): the sort's sampling pass would
+    # run every block-pair matmul twice
+    return (
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(score, "id_a long, id_b long, score double")
     )
-    return out.orderBy("id_a", "id_b")
 
 
 def simhash_buckets(
@@ -355,7 +362,7 @@ def ivf_topk(
         assigner("query_id", "__qv", nprobe),
         "query_id long, __qv array<double>, centroid_id int",
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     ).mapInPandas(
         assigner("neighbor_id", "__cv", 1),
@@ -402,62 +409,73 @@ def lsh_topk(
       recall misses are uncorrelated between tables).
 
     Cost shape: the corpus is scanned ONCE computing ``num_tables``
-    buckets per vector (posexplode, no re-scan per table); only the
-    small query side fans out ``num_tables × num_probes`` rows. The
-    candidate join carries (table, bucket) keys; duplicate (query,
-    neighbor) candidates across tables are dropped before scoring."""
+    buckets per vector — an Arrow-batched numpy pass (each batch is one
+    ``V @ planes.T`` matmul per table; the JVM higher-order-fold form
+    was measured ~10× slower, interpreted per element); only the small
+    query side fans out ``num_tables × num_probes`` rows. The candidate
+    join carries (table, bucket) keys; duplicate (query, neighbor)
+    candidates across tables are dropped before scoring."""
     import numpy as np
+    import pandas as pd
 
     table_planes = [
         np.random.default_rng(seed + 7919 * t).standard_normal((num_bits, dim))
         for t in range(num_tables)
     ]
-    qv, cv = F.col("__qv"), F.col("__cv")
-    q_probe_arrays = []
-    c_buckets = []
-    for planes in table_planes:
-        projs_q = _projections(qv, planes)
-        base = _sign_bucket(projs_q).cast("bigint")
-        margins = F.array_sort(
-            F.array(
-                *[
-                    F.struct(F.abs(p).alias("m"), F.lit(i).alias("i"))
-                    for i, p in enumerate(projs_q)
-                ]
-            )
-        )
-        weights = F.array(
-            *[F.lit(1 << (num_bits - 1 - i)) for i in range(num_bits)]
-        )
-        flips = F.transform(
-            F.slice(margins, 1, max(num_probes - 1, 0)),
-            lambda s: base.bitwiseXOR(
-                F.element_at(weights, s["i"] + 1).cast("bigint")
-            ),
-        )
-        q_probe_arrays.append(F.concat(F.array(base), flips))
-        c_buckets.append(_sign_bucket(_projections(cv, planes)).cast("bigint"))
+    weights = (1 << np.arange(num_bits - 1, -1, -1)).astype("int64")
+    nflip = min(max(num_probes - 1, 0), num_bits)
 
-    qb = (
-        queries.select(
-            F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
-        )
-        .select(
-            "query_id", "__qv", F.posexplode(F.array(*q_probe_arrays))
-        )
-        .select(
-            "query_id",
-            "__qv",
-            F.col("pos").alias("__tbl"),
-            F.explode("col").alias("bucket"),
-        )
+    def corpus_map(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["__cv"].to_numpy()).astype("float64")
+            for t, P in enumerate(table_planes):
+                b = ((V @ P.T >= 0) @ weights).astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "__cv": pdf["__cv"].to_numpy(),
+                        "__tbl": t,
+                        "bucket": b,
+                    }
+                )
+
+    def query_map(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["__qv"].to_numpy()).astype("float64")
+            ids = pdf["query_id"].to_numpy()
+            vecs = pdf["__qv"].to_numpy()
+            for t, P in enumerate(table_planes):
+                S = V @ P.T  # n × num_bits projections
+                base = ((S >= 0) @ weights).astype("int64")
+                # multi-probe: flip the nflip smallest-|margin| bits
+                order = np.argsort(np.abs(S), axis=1, kind="stable")[:, :nflip]
+                probes = np.concatenate(
+                    [base[:, None], base[:, None] ^ weights[order]], axis=1
+                )
+                p = probes.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids, p),
+                        "__qv": np.repeat(vecs, p),
+                        "__tbl": t,
+                        "bucket": probes.ravel(),
+                    }
+                )
+
+    qb = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).mapInPandas(
+        query_map, "query_id long, __qv array<double>, __tbl int, bucket long"
     )
-    cb = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).select(
-        "neighbor_id",
-        "__cv",
-        F.posexplode(F.array(*c_buckets)).alias("__tbl", "bucket"),
+    cb = spread(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).mapInPandas(
+        corpus_map, "neighbor_id long, __cv array<double>, __tbl int, bucket long"
     )
     scored = (
         cb.join(F.broadcast(qb), ["__tbl", "bucket"])
