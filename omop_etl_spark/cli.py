@@ -104,6 +104,24 @@ def _cmd_translate(args) -> int:
     return 0
 
 
+def _cmd_compile(args) -> int:
+    from .compile import compile_script
+    from .rules.loader import load_rules_dir, load_rules_text
+
+    path = Path(args.rules)
+    if path.is_file():
+        specs = [load_rules_text(path.read_text(), name=path.stem)]
+    else:
+        specs = load_rules_dir(path)
+    script = compile_script(specs, drop_tables=args.drop_tables)
+    if args.output:
+        Path(args.output).write_text(script)
+        print(f"wrote {args.output} ({script.count(chr(10))} lines)")
+    else:
+        print(script)
+    return 0
+
+
 def _cmd_validate(args) -> int:
     from .engine import Engine
     from .rules.loader import load_rules_dir
@@ -158,6 +176,18 @@ def main(argv: list[str] | None = None) -> int:
     p_tr = sub.add_parser("translate", help="print compiled SQL artifacts")
     p_tr.add_argument("--rules", required=True, help="rules file or directory")
     p_tr.set_defaults(fn=_cmd_translate)
+
+    p_comp = sub.add_parser(
+        "compile",
+        help="emit ONE ordered executable Spark-SQL script (the reference's etl.sql deliverable)",
+    )
+    p_comp.add_argument("--rules", required=True, help="rules file or directory")
+    p_comp.add_argument("--output", help="output .sql path (default: stdout)")
+    p_comp.add_argument(
+        "--drop-tables", action="store_true",
+        help="drop mapping.* tables at the end (reference --drop-tables)",
+    )
+    p_comp.set_defaults(fn=_cmd_compile)
 
     p_val = sub.add_parser("validate", help="parse rules + required-column warnings")
     p_val.add_argument("--rules", required=True)

@@ -166,6 +166,54 @@ class TableCompiler:
         )
         return mapped.select("id", *order_cols)
 
+    def mapping_sql(self) -> str:
+        """The mapping phase as ONE executable Spark-SQL statement body
+        (the ``compile`` artifact twin of :meth:`build_mapping`).
+
+        Null-padded ``UNION ALL`` of per-source key selects plus a
+        global ``row_number() OVER (ORDER BY source index, natural
+        keys)`` — identical id values to the engine's distributed
+        surrogate path (:mod:`.surrogate`), expressed as the plain
+        window form an auditor can read and any Spark can run. The
+        single-partition window is acceptable for an audit artifact;
+        the engine path stays the scale path.
+        """
+        pk = self.spec.primary_key
+        # (column name, DDL type, owning source alias) in build_mapping order
+        all_cols: list[tuple[str, str, str]] = []
+        for src in pk.sources.values():
+            for c, t in src.columns.items():
+                name = f"{src.table_alias}_{c}"
+                if not any(n == name for n, _, _ in all_cols):
+                    all_cols.append((name, spark_type(t), src.table_alias))
+
+        branches = []
+        for i, src in enumerate(pk.sources.values()):
+            ref = src.table_alias
+            own = {f"{ref}_{c}": c for c in src.columns}
+            exprs = [f"{i} AS __src"]
+            for name, typ, _ in all_cols:
+                if name in own:
+                    exprs.append(f"CAST({ref}.{own[name]} AS {typ}) AS {name}")
+                else:
+                    exprs.append(f"CAST(NULL AS {typ}) AS {name}")
+            branch = (
+                f"  SELECT {', '.join(exprs)}"
+                f" FROM {self._relation_sql(src.relation)}"
+            )
+            if src.constraints:
+                preds = " AND ".join(f"({translate(c)})" for c in src.constraints)
+                branch += f" WHERE {preds}"
+            branches.append(branch)
+
+        names = [n for n, _, _ in all_cols]
+        order = ", ".join(["__src", *names])
+        union = "\n  UNION ALL\n".join(branches)
+        return (
+            f"SELECT row_number() OVER (ORDER BY {order}) AS id, "
+            f"{', '.join(names)}\nFROM (\n{union}\n) __u"
+        )
+
     # -- phase 3: column rules ----------------------------------------------
 
     def pk_join_predicates(self, pk_source_name: str) -> list[str]:
@@ -252,22 +300,14 @@ class TableCompiler:
             if not isinstance(r, DisabledRule)
         ]
 
-    def build_target(self) -> DataFrame:
-        """Phase 2+3: seed ids, join every rule's match frame, fold each
-        column's rules in file order (last writer wins)."""
-        pk_name = self.spec.primary_key.name
-        seed = self.spark.table(self.mapping_name).select(
-            F.col("id").alias("__rowid")
-        )
-
+    def _grouped_slots(self):
+        """Expression rules grouped by join spec + the per-slot group
+        id — the shared shape of :meth:`build_target` (DataFrame) and
+        :meth:`target_sql` (compile artifact)."""
         slots = self.enabled_slots()
-        # group expression rules by join spec: one scan+join+dedup per
-        # distinct (FROM items, predicates), not per rule — a table
-        # whose columns all copy from one source compiles to ONE join
         groups: dict[tuple[tuple[str, ...], tuple[str, ...]],
                      tuple[list[str], list[str],
                            list[tuple[_RuleSlot, str]]]] = {}
-        match_col: dict[int, str] = {}
         for slot in slots:
             if isinstance(slot.rule, ConstantRule):
                 continue
@@ -276,6 +316,85 @@ class TableCompiler:
             if key not in groups:
                 groups[key] = (from_items, preds, [])
             groups[key][2].append((slot, value))
+        return slots, groups
+
+    @staticmethod
+    def _constant_sql(rule: ConstantRule) -> str:
+        v = rule.constant
+        if isinstance(v, bool):
+            lit = "true" if v else "false"
+        elif isinstance(v, (int, float)):
+            lit = repr(v)
+        else:
+            lit = "'" + str(v).replace("'", "''") + "'"
+        if rule.data_type:
+            return f"CAST({lit} AS {spark_type(rule.data_type)})"
+        return lit
+
+    def target_sql(self) -> str:
+        """The column phase as ONE executable Spark-SQL statement body
+        (the ``compile`` artifact twin of :meth:`build_target`): a CTE
+        per distinct join spec (``min()``-deduped per target id — the
+        UPDATE…FROM one-update-per-row shim), left-joined to the
+        mapping seed, each column folded in file order with nested
+        ``CASE`` so the LAST matching rule wins."""
+        pk_name = self.spec.primary_key.name
+        slots, groups = self._grouped_slots()
+        ctes, joins = [], []
+        match_tab: dict[int, str] = {}
+        for gid, (from_items, preds, members) in enumerate(groups.values()):
+            sel = ", ".join(
+                f"min(({value})) AS __v{slot.index}" for slot, value in members
+            )
+            ctes.append(
+                f"__m{gid} AS (\n  SELECT {self.mapping_name}.id AS __id, {sel}"
+                f"\n  FROM {', '.join(from_items)}"
+                f"\n  WHERE {' AND '.join(preds)}"
+                f"\n  GROUP BY {self.mapping_name}.id\n)"
+            )
+            joins.append(
+                f"LEFT JOIN __m{gid} ON {self.mapping_name}.id = __m{gid}.__id"
+            )
+            for slot, _ in members:
+                match_tab[slot.index] = f"__m{gid}"
+
+        out = [f"CAST({self.mapping_name}.id AS BIGINT) AS {pk_name}"]
+        for col_name in self.spec.column_order:
+            expr = "NULL"
+            for slot in slots:
+                if slot.rule.name != col_name:
+                    continue
+                if isinstance(slot.rule, ConstantRule):
+                    expr = self._constant_sql(slot.rule)
+                else:
+                    mt = match_tab[slot.index]
+                    expr = (
+                        f"CASE WHEN {mt}.__id IS NOT NULL "
+                        f"THEN {mt}.__v{slot.index} ELSE {expr} END"
+                    )
+            out.append(f"({expr}) AS {col_name}")
+
+        body = (
+            f"SELECT {', '.join(out)}\nFROM {self.mapping_name}\n"
+            + "\n".join(joins)
+        )
+        if ctes:
+            return "WITH " + ",\n".join(ctes) + "\n" + body
+        return body
+
+    def build_target(self) -> DataFrame:
+        """Phase 2+3: seed ids, join every rule's match frame, fold each
+        column's rules in file order (last writer wins)."""
+        pk_name = self.spec.primary_key.name
+        seed = self.spark.table(self.mapping_name).select(
+            F.col("id").alias("__rowid")
+        )
+
+        # group expression rules by join spec: one scan+join+dedup per
+        # distinct (FROM items, predicates), not per rule — a table
+        # whose columns all copy from one source compiles to ONE join
+        slots, groups = self._grouped_slots()
+        match_col: dict[int, str] = {}
 
         cur = seed
         for gid, (from_items, preds, members) in enumerate(groups.values()):
