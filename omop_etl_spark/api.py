@@ -6,24 +6,34 @@ the body deserializes straight into a table rule, the response is
 rule does not populate (api.py:19-40, driven by
 schema/required_omop_columns.csv, schema.py:44-52).
 
-Our engine is DataFrame-native, so the "script" is the inspectable
-compiled artifact set (per-source mapping SQL + per-rule match SQL) —
-the same text the ``translate`` CLI prints. The transport layer is
-optional: :func:`translate_rule` is a pure function; :func:`create_app`
-wraps it in FastAPI only when that package is installed (it is not a
-dependency of this repo).
+The "script" is the COMPLETE executable Spark-SQL artifact for the
+posted rule (:mod:`omop_etl_spark.compile` — drop/create mapping table,
+column-phase select), matching the reference's ``table.get_script()``
+response shape: text another system can run or archive.
+
+Transport: :func:`translate_rule` is a pure function;
+:func:`create_wsgi_app` serves it over HTTP with the stdlib only
+(``wsgiref``-compatible, tested end-to-end in-environment);
+:func:`create_app` is the FastAPI variant, import-gated because fastapi
+is not a dependency of this repo (reference api.py:43-45 + Dockerfile
+CMD uvicorn).
 """
 
 from __future__ import annotations
 
 import csv
+import json
 from pathlib import Path
 from typing import Any, Mapping
 
-from .planner.compiler import TableCompiler
-from .rules.model import ExpressionRule, TableSpec, parse_spec
+from .rules.model import TableSpec, parse_spec
 
-__all__ = ["translate_rule", "load_required_columns_csv", "create_app"]
+__all__ = [
+    "translate_rule",
+    "load_required_columns_csv",
+    "create_app",
+    "create_wsgi_app",
+]
 
 
 def load_required_columns_csv(path: str | Path) -> dict[str, set[str]]:
@@ -38,17 +48,10 @@ def load_required_columns_csv(path: str | Path) -> dict[str, set[str]]:
     return required
 
 
-def _render_script(spec: TableSpec) -> str:
-    compiler = TableCompiler(spark=None, spec=spec)
-    lines = [f"-- table: {spec.name} (pk {spec.primary_key.name})"]
-    for src_name, src in spec.primary_key.sources.items():
-        lines.append(f"-- mapping source {src_name}:")
-        lines.append(compiler.source_select_sql(src))
-    for rule in spec.columns:
-        if isinstance(rule, ExpressionRule):
-            lines.append(f"-- column {rule.name} [{rule.primary_key}]:")
-            lines.append(compiler.match_sql(rule))
-    return "\n".join(lines)
+def _render_script(spec) -> str:
+    from .compile import compile_script
+
+    return compile_script([spec])
 
 
 def translate_rule(
@@ -65,7 +68,11 @@ def translate_rule(
     """
     spec = parse_spec(dict(payload))
     if not isinstance(spec, TableSpec):
-        return {"script": "-- dependency file (scripts/temp tables only)", "warnings": []}
+        return {
+            "script": "-- dependency file (scripts/temp tables only)\n"
+            + _render_script(spec),
+            "warnings": [],
+        }
     warnings = []
     if required_columns:
         populated = {c.lower() for c in spec.column_order}
@@ -96,5 +103,48 @@ def create_app(required_columns_csv: str | Path | None = None):
     @app.post("/api/translate")
     def translate(payload: dict) -> dict:  # pragma: no cover - thin wrapper
         return translate_rule(payload, required)
+
+    return app
+
+
+def create_wsgi_app(required_columns_csv: str | Path | None = None):
+    """Dependency-free WSGI app serving ``POST /api/translate``.
+
+    Mirrors the reference endpoint's request/response shape
+    (reference api.py:43-45): JSON rule body in, ``{script, warnings}``
+    out; 400 with ``{detail}`` on malformed/invalid payloads, 404/405
+    elsewhere. Servable by any WSGI server (stdlib
+    ``wsgiref.simple_server`` included) — so the HTTP layer is testable
+    in-environment without fastapi."""
+    required = (
+        load_required_columns_csv(required_columns_csv)
+        if required_columns_csv
+        else None
+    )
+
+    def app(environ, start_response):
+        def respond(status: str, body: dict):
+            data = json.dumps(body).encode()
+            start_response(
+                status,
+                [
+                    ("Content-Type", "application/json"),
+                    ("Content-Length", str(len(data))),
+                ],
+            )
+            return [data]
+
+        if environ.get("PATH_INFO") != "/api/translate":
+            return respond("404 Not Found", {"detail": "not found"})
+        if environ.get("REQUEST_METHOD") != "POST":
+            return respond("405 Method Not Allowed", {"detail": "POST only"})
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+            payload = json.loads(environ["wsgi.input"].read(length) or b"{}")
+            if not isinstance(payload, dict):
+                raise ValueError("body must be a JSON object")
+            return respond("200 OK", translate_rule(payload, required))
+        except Exception as exc:  # noqa: BLE001 - maps to HTTP 400
+            return respond("400 Bad Request", {"detail": str(exc)})
 
     return app
