@@ -217,15 +217,20 @@ class Engine:
         partition_by: Sequence[str] = (),
         options: dict[str, str] | None = None,
     ) -> None:
-        """Write a catalog table to ``path`` as parquet/orc/json/csv.
+        """Write a catalog table to ``path`` as parquet/orc/json/csv —
+        or any other Spark DataSource short name (``delta``,
+        ``iceberg``, …) whose connector is on the classpath; the
+        format string is passed through to ``DataFrameWriter.format``
+        and Spark raises ``ClassNotFoundException`` at save time if
+        the connector is absent.
 
         ``partition_by`` yields hive-style directory partitioning —
         the knob that makes downstream reads partition-prunable at
         100 TB (e.g. partition omop tables by year).
         """
         fmt = fmt.lower()
-        if fmt not in {"parquet", "orc", "json", "csv"}:
-            raise ValueError(f"unsupported sink format: {fmt!r}")
+        if not fmt:
+            raise ValueError("sink format must be a non-empty string")
         writer = self.spark.table(qualified_name).write.mode(mode).format(fmt)
         for k, v in (options or {}).items():
             writer = writer.option(k, v)

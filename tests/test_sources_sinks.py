@@ -74,6 +74,17 @@ def test_export_roundtrip(engine, spark, tmp_path, fmt):
     assert got == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_export_passes_unknown_format_through(engine, spark, tmp_path):
+    # delta/iceberg etc. are passed to DataFrameWriter.format verbatim;
+    # without the connector on the classpath Spark fails at save time.
+    df = spark.createDataFrame([(1, "a")], "k bigint, label string")
+    engine.register_df("omop.thing2", df)
+    with pytest.raises(ValueError, match="non-empty"):
+        engine.export("omop.thing2", str(tmp_path / "x"), fmt="")
+    with pytest.raises(Exception, match="(?i)delta|failed to find|not found"):
+        engine.export("omop.thing2", str(tmp_path / "x"), fmt="delta")
+
+
 def test_bucketed_join_is_shuffle_free(engine, spark):
     a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
     b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
