@@ -685,6 +685,126 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the customer's most
+    recent order at event time (union-window plan: one shuffle, no
+    join node — operators/temporal.py)."""
+    from omop_etl_spark.operators.temporal import asof_join
+    from omop_etl_spark.sources import read_parquet_table
+
+    # orders.o_orderdate is TIMESTAMP_NTZ in the parquet; pin the
+    # session to UTC so the NTZ->LTZ cast is epoch-identical to the
+    # oracle's naive-timestamp semantics.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+        ),
+        left_on=["user_id"],
+        right_on=["o_custkey"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_o_orderkey").cast("bigint").alias("asof_orderkey"),
+        F.unix_micros("asof_o_orderdate").alias("asof_order_us"),
+        F.floor(F.col("asof_o_totalprice") * 100)
+        .cast("bigint")
+        .alias("asof_price_cents"),
+    )
+
+
+# Deterministic mirror of the union-window as-of plan; ties on
+# (user, ts) break to the greatest o_orderkey in both engines.
+ORACLE_ASOF_JOIN = """
+WITH u AS (
+  SELECT user_id AS k, ts, NULL::BIGINT AS okey, NULL::TIMESTAMP AS odate,
+         NULL::DOUBLE AS oprice, event_id, 1 AS is_evt
+  FROM events
+  UNION ALL
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderdate, o_totalprice,
+         NULL, 0
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), w AS (
+  SELECT *,
+    last_value(okey IGNORE NULLS) OVER win AS a_okey,
+    last_value(odate IGNORE NULLS) OVER win AS a_odate,
+    last_value(oprice IGNORE NULLS) OVER win AS a_oprice
+  FROM u
+  WINDOW win AS (PARTITION BY k ORDER BY ts, is_evt, okey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, CAST(k AS BIGINT) AS user_id, epoch_us(ts) AS ts_us,
+       CAST(a_okey AS BIGINT) AS asof_orderkey,
+       epoch_us(a_odate) AS asof_order_us,
+       CAST(floor(a_oprice * 100) AS BIGINT) AS asof_price_cents
+FROM w WHERE is_evt = 1
+"""
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (binned equi-join plan, no
+    BroadcastNestedLoopJoin): all events landing inside the 30-minute
+    window opened by each purchase event, aggregated per window."""
+    from omop_etl_spark.operators.temporal import range_join
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    iv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("win_id"), F.col("ts").alias("win_start")
+        )
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    out = range_join(
+        ev.select("event_id", "ts", "value"),
+        iv,
+        point_ts="ts",
+        start="win_start",
+        end="win_end",
+        bin_width_seconds=1800,
+        payload_cols=["win_id"],
+    )
+    return (
+        out.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("win_id").cast("bigint").alias("win_id"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT CAST(p.event_id AS BIGINT) AS win_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events p JOIN events e
+  ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pipeline operators: dedup + text analysis (north-star extensions)
 
@@ -1080,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_multi_distinct": _q_agg_multi_distinct,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "sim_topk": _q_sim_topk,
@@ -1118,6 +1240,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_multi_distinct": ORACLE_AGG_MULTI_DISTINCT,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+        "asof_join_events": ORACLE_ASOF_JOIN,
+        "range_join_events": ORACLE_RANGE_JOIN,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
         "sim_topk": ORACLE_SIM_TOPK,

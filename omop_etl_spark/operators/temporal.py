@@ -1,0 +1,219 @@
+"""Temporal joins the reference's SQL surface cannot express directly:
+as-of (nearest-event) joins and point-in-interval range joins.
+
+Both are staples of event/feature pipelines (the reference's
+``visit_occurrence``/``condition_occurrence`` rules join on exact keys
+only — reference omop_etl/schema.py TargetTable joins; these operators
+extend that surface), and both are written so Catalyst sees only
+equi-joins / window scans — never a ``BroadcastNestedLoopJoin`` or
+``CartesianProduct``, which is what a naive ``ts BETWEEN lo AND hi``
+join degenerates to on two large inputs.
+
+Scale model (100 TB):
+
+* :func:`asof_join` — ONE hash shuffle of ``left ∪ right`` on the key
+  columns plus a per-partition sort; no join node at all. State per
+  task = the sort spill of one key range, which Spark's
+  ``UnsafeExternalSorter`` spills to disk, so a hot key degrades to
+  disk sort, not OOM.
+* :func:`range_join` — intervals are exploded to coarse time bins
+  (O(interval/bin_width) rows each) and the join runs as a plain
+  equi-join on ``(bin, *extra keys)`` with the exact range predicate
+  applied as a post-filter. Bin width should be chosen near the median
+  interval length: the explode factor stays O(1) and the equi-join
+  shuffles both sides once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def _interval(spec: str | Column) -> Column:
+    if isinstance(spec, Column):
+        return spec
+    return F.expr(f"INTERVAL {spec}")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: Sequence[str],
+    right_on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: str | Column | None = None,
+    allow_exact_matches: bool = True,
+    tiebreak: Sequence[str] = (),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: for every ``left`` row, attach the payload of
+    the nearest ``right`` row with equal keys and ``right_ts <=
+    left_ts`` (``direction="backward"``) or ``>=`` (``"forward"``).
+    Unmatched left rows keep NULL payload columns (left-join shape,
+    like ``pandas.merge_asof``).
+
+    Implemented as the *union-window* as-of join: tag and union both
+    inputs, hash-partition by key, sort by time within each partition,
+    and carry the last (first) non-null right payload forward with
+    ``F.last(..., ignorenulls=True)``. Catalyst's physical plan is one
+    Exchange + one Sort + one Window — no join operator, no per-row
+    range probe — so cost is a single shuffle of ``|L| + |R|`` rows
+    regardless of how many right rows precede each left row.
+
+    ``tolerance`` (e.g. ``"7 days"``) nulls out matches further than
+    that from ``left_ts``.  ``tiebreak`` names right payload columns
+    that deterministically order right rows sharing an identical
+    ``(key, ts)`` — the greatest wins for ``backward``, the least for
+    ``forward``; without it, equal-timestamp winners are unspecified.
+    Right rows with a NULL key or NULL ``right_ts`` are dropped (SQL
+    equi-join semantics: NULL matches nothing); left rows with NULL
+    keys simply never match.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction={direction!r}")
+    left_on, right_on = list(left_on), list(right_on)
+    if len(left_on) != len(right_on) or not left_on:
+        raise ValueError("asof_join: left_on/right_on must be equal-length, non-empty")
+    payload_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in right_on]
+    )
+    if right_ts not in payload_cols:
+        payload_cols = [right_ts, *payload_cols]
+    for c in tiebreak:
+        if c not in payload_cols:
+            raise ValueError(f"asof_join: tiebreak column {c!r} not in payload")
+
+    keys = [f"__k{i}" for i in range(len(left_on))]
+    payload_t = right.select(
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
+    ).schema[0].dataType
+
+    left_branch = left.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(k).alias(a) for k, a in zip(left_on, keys)],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__evt"),
+        F.lit(None).cast(payload_t).alias("__p"),
+    )
+    right_filter = F.col(right_ts).isNotNull()
+    for k in right_on:
+        right_filter = right_filter & F.col(k).isNotNull()
+    right_branch = right.filter(right_filter).select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(k).alias(a) for k, a in zip(right_on, keys)],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__evt"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
+    )
+    both = left_branch.unionByName(right_branch)
+
+    backward = direction == "backward"
+    ts_order = F.col("__ts").asc() if backward else F.col("__ts").desc()
+    # At equal ts: right rows must be scanned before left rows for the
+    # match to be visible (exact match allowed), after them otherwise.
+    evt_order = F.col("__evt").asc() if allow_exact_matches else F.col("__evt").desc()
+    tb_order = [
+        (F.col(f"__p.{c}").asc() if backward else F.col(f"__p.{c}").desc())
+        for c in tiebreak
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, evt_order, *tb_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__p", ignorenulls=True).over(w)
+    if tolerance is not None:
+        tol = _interval(tolerance)
+        bound = (
+            matched[right_ts] >= F.col("__ts") - tol
+            if backward
+            else matched[right_ts] <= F.col("__ts") + tol
+        )
+        matched = F.when(bound, matched)
+
+    out = both.withColumn("__m", matched).filter(F.col("__evt") == 1)
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start: str,
+    end: str,
+    bin_width_seconds: int = 86_400,
+    extra_on: Sequence[tuple[str, str]] = (),
+    end_inclusive: bool = False,
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Inner join of point rows to every interval row whose
+    ``[start, end)`` (or ``[start, end]``) contains ``point_ts``,
+    optionally also matching on ``extra_on`` equi-key pairs
+    ``(point_col, interval_col)``.
+
+    A direct ``points.join(intervals, ts >= start & ts < end)`` has no
+    equi-condition, so Spark plans a BroadcastNestedLoopJoin — O(|P|·|I|)
+    compares and a broadcast of a possibly-huge side. Here each interval
+    is exploded to the coarse time bins it overlaps
+    (``sequence(floor(start/W), floor(end/W))``) and each point to its
+    single bin, turning the range join into a hash equi-join on
+    ``(__bin, *extra keys)`` with the exact predicate as a cheap
+    post-filter. Pick ``bin_width_seconds`` near the median interval
+    length: explode factor ≈ len/W + 1 per interval.
+
+    Output = all point columns + the interval's ``payload_cols``
+    (default: every interval column not used as a key). Intervals with
+    NULL bounds are dropped.
+    """
+    p_extra = [p for p, _ in extra_on]
+    i_extra = [i for _, i in extra_on]
+    payload = list(
+        payload_cols
+        if payload_cols is not None
+        else [c for c in intervals.columns if c not in i_extra]
+    )
+    overlap = set(payload) & set(points.columns)
+    if overlap:
+        raise ValueError(
+            f"range_join: interval payload columns {sorted(overlap)} collide "
+            f"with point columns; pass payload_cols or rename."
+        )
+    w = F.lit(int(bin_width_seconds))
+    p_bin = F.floor(F.unix_timestamp(F.col(point_ts)) / w)
+    i_bins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start)) / w),
+        F.floor(F.unix_timestamp(F.col(end)) / w),
+    )
+    p = points.withColumn("__bin", p_bin)
+    i = (
+        intervals.filter(F.col(start).isNotNull() & F.col(end).isNotNull())
+        .filter(F.col(end) >= F.col(start))
+        .select(
+            *[F.col(c) for c in dict.fromkeys([*i_extra, start, end, *payload])],
+            F.explode(i_bins).alias("__bin"),
+        )
+    )
+    cond = (p["__bin"] == i["__bin"]) & (p[point_ts] >= i[start])
+    cond &= p[point_ts] <= i[end] if end_inclusive else p[point_ts] < i[end]
+    for pc, ic in extra_on:
+        cond &= p[pc] == i[ic]
+    joined = p.join(i, cond, "inner")
+    return joined.select(
+        *[p[c] for c in points.columns],
+        *[i[c] for c in payload],
+    )

@@ -1,0 +1,220 @@
+"""As-of join and binned range join: correctness vs brute force,
+tie/tolerance/direction semantics, and plan-shape invariants."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(h):
+    return T0 + dt.timedelta(hours=h)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, ts(1), "a"),
+            (1, ts(5), "b"),
+            (1, ts(10), "c"),
+            (2, ts(3), "d"),
+            (3, ts(4), "e"),   # key with no quotes at all
+            (None, ts(4), "f"),  # null key never matches
+        ],
+        "k bigint, t timestamp, tag string",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, ts(0), 100.0, 1),
+            (1, ts(5), 105.0, 2),   # exact-match boundary for trade "b"
+            (1, ts(5), 106.0, 3),   # same key+ts: tiebreak target
+            (1, ts(8), 108.0, 4),
+            (2, ts(9), 200.0, 5),   # only AFTER trade "d"
+            (None, ts(0), -1.0, 6),  # null key must be dropped
+        ],
+        "k bigint, t timestamp, px double, qid int",
+    )
+
+
+def _asof_map(df, prefix="asof_"):
+    return {
+        r["tag"]: (r[f"{prefix}qid"], r[f"{prefix}px"])
+        for r in df.collect()
+    }
+
+
+def test_asof_backward_basic(trades, quotes):
+    out = asof_join(
+        trades, quotes,
+        left_on=["k"], right_on=["k"], left_ts="t", right_ts="t",
+        tiebreak=["qid"],
+    )
+    assert set(out.columns) == {"k", "t", "tag", "asof_t", "asof_px", "asof_qid"}
+    got = _asof_map(out)
+    assert got["a"] == (1, 100.0)
+    # exact match allowed; equal-ts tie broken by greatest qid
+    assert got["b"] == (3, 106.0)
+    assert got["c"] == (4, 108.0)
+    assert got["d"] == (None, None)   # quote is after the trade
+    assert got["e"] == (None, None)   # key has no quotes
+    assert got["f"] == (None, None)   # null key matches nothing
+
+
+def test_asof_strict_excludes_equal_ts(trades, quotes):
+    got = _asof_map(
+        asof_join(
+            trades, quotes,
+            left_on=["k"], right_on=["k"], left_ts="t", right_ts="t",
+            allow_exact_matches=False, tiebreak=["qid"],
+        )
+    )
+    assert got["b"] == (1, 100.0)   # ts(5) quotes excluded, falls back to ts(0)
+    assert got["a"] == (1, 100.0)   # strictly-earlier quote still matches
+
+
+def test_asof_forward(trades, quotes):
+    got = _asof_map(
+        asof_join(
+            trades, quotes,
+            left_on=["k"], right_on=["k"], left_ts="t", right_ts="t",
+            direction="forward", tiebreak=["qid"],
+        )
+    )
+    assert got["a"] == (2, 105.0)   # nearest following; equal-ts tie -> least qid
+    assert got["b"] == (2, 105.0)   # exact match allowed
+    assert got["c"] == (None, None)  # nothing after ts(10)
+    assert got["d"] == (5, 200.0)
+
+
+def test_asof_tolerance(trades, quotes):
+    got = _asof_map(
+        asof_join(
+            trades, quotes,
+            left_on=["k"], right_on=["k"], left_ts="t", right_ts="t",
+            tolerance="2 hours", tiebreak=["qid"],
+        )
+    )
+    assert got["a"] == (1, 100.0)   # 1h back, within tolerance
+    assert got["c"] == (4, 108.0)   # 2h back, inclusive bound
+    assert got["b"] == (3, 106.0)
+    # trade e/d unmatched stays unmatched
+    assert got["e"] == (None, None)
+
+
+def test_asof_plan_has_no_join(trades, quotes):
+    out = asof_join(
+        trades, quotes,
+        left_on=["k"], right_on=["k"], left_ts="t", right_ts="t",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan           # no join operator of any kind
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_brute_force_on_random(spark):
+    import random
+
+    rng = random.Random(7)
+    left = [(rng.randrange(5), ts(rng.randrange(200))) for _ in range(300)]
+    right = [
+        (rng.randrange(5), ts(rng.randrange(200)), i) for i in range(150)
+    ]
+    ldf = spark.createDataFrame(left, "k bigint, t timestamp")
+    rdf = spark.createDataFrame(right, "k bigint, t timestamp, rid bigint")
+    out = asof_join(
+        ldf, rdf, left_on=["k"], right_on=["k"], left_ts="t", right_ts="t",
+        tiebreak=["rid"],
+    )
+    got = {(r["k"], r["t"]): r["asof_rid"] for r in out.collect()}
+    for k, t in set(left):
+        cands = [(rt, rid) for rk, rt, rid in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[(k, t)] == want, (k, t)
+
+
+# ---------------------------------------------------------------- range join
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [
+            (10, ts(0), ts(4), "w0"),
+            (11, ts(3), ts(6), "w1"),    # overlaps w0
+            (12, ts(50), ts(50), "zero"),  # zero-length
+            (13, ts(7), ts(5), "bad"),   # end < start: dropped
+            (14, None, ts(9), "nul"),    # null bound: dropped
+        ],
+        "iid bigint, lo timestamp, hi timestamp, name string",
+    )
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [(i, ts(h)) for i, h in enumerate([0, 3, 4, 5, 50, 99])],
+        "pid bigint, pt timestamp",
+    )
+
+
+def test_range_join_half_open(points, intervals):
+    out = range_join(
+        points, intervals, point_ts="pt", start="lo", end="hi",
+        bin_width_seconds=3600 * 2,
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # pt=0 in w0; pt=3h in w0,w1; pt=4h in w1 only (half-open); pt=5h in w1
+    assert got == [(0, 10), (1, 10), (1, 11), (2, 11), (3, 11)]
+
+
+def test_range_join_end_inclusive_and_zero_length(points, intervals):
+    out = range_join(
+        points, intervals, point_ts="pt", start="lo", end="hi",
+        bin_width_seconds=3600 * 2, end_inclusive=True,
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [
+        (0, 10), (1, 10), (1, 11), (2, 10), (2, 11), (3, 11), (4, 12)
+    ]
+
+
+def test_range_join_extra_keys_and_payload(spark):
+    pts = spark.createDataFrame(
+        [(1, 7, ts(1)), (2, 8, ts(1))], "pid bigint, grp bigint, pt timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(7, ts(0), ts(2), "m7"), (9, ts(0), ts(2), "m9")],
+        "g bigint, lo timestamp, hi timestamp, name string",
+    )
+    out = range_join(
+        pts, ivs, point_ts="pt", start="lo", end="hi",
+        extra_on=[("grp", "g")], payload_cols=["name"],
+    )
+    assert [(r["pid"], r["name"]) for r in out.collect()] == [(1, "m7")]
+    assert set(out.columns) == {"pid", "grp", "pt", "name"}
+
+
+def test_range_join_payload_collision_raises(points, intervals):
+    bad = intervals.withColumnRenamed("name", "pid")
+    with pytest.raises(ValueError, match="collide"):
+        range_join(bad.select("iid", "lo", "hi", "pid"), bad,
+                   point_ts="lo", start="lo", end="hi")
+
+
+def test_range_join_plan_is_equi_join(points, intervals):
+    out = range_join(
+        points, intervals, point_ts="pt", start="lo", end="hi",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
