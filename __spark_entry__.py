@@ -931,6 +931,45 @@ WHERE len(list_intersect(a.s, b.s)) /
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup endgame: exact n-gram Jaccard pairs folded into
+    connected components (large/small-star, operators/cluster.py) with
+    one survivor elected per cluster."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.8)
+    return assign_clusters(docs, pairs, id_col="doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_survivor",
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) /
+        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM reach GROUP BY id
+"""
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate LSH near-dup pairs — rows-only check; precision is
     # exact (verified jaccard), recall < 1 near the threshold
@@ -1207,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1248,6 +1288,7 @@ def oracle_sql() -> dict[str, str]:
         # sim_topk_lsh, dedup_minhash_lsh: approximate by design →
         # rows-only driver check (no SQL equivalent with recall < 1)
         "ngram_jaccard_pairs": ORACLE_JACCARD_PAIRS,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "text_quality": ORACLE_TEXT_QUALITY,
         "text_langid": _oracle_langid(),
         "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

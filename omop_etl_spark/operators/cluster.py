@@ -1,0 +1,142 @@
+"""Connected components over near-duplicate pair graphs, and the
+cluster/survivor assignment built on top of it.
+
+The dedup pipeline shape: pair generators (``jaccard_pairs``,
+``minhash_lsh_pairs``, ``simhash_pairs``, ``embedding_neardup_pairs``)
+emit edges; this module folds edges into clusters and elects one
+survivor per cluster — the step that turns "these documents look
+alike" into "drop these rows".
+
+Algorithm: alternating *large-star* / *small-star* (public algorithm
+from the MapReduce connected-components literature), chosen over naive
+min-label propagation because its round count is O(log n) regardless
+of component diameter — a 100 TB web corpus has million-node
+boilerplate chains where diameter-bound propagation would run hundreds
+of shuffle rounds. Each half-round here is ONE hash shuffle (a window
+min per node — no join): large-star hangs every neighbor larger than
+``u`` off ``u``'s current minimum; small-star re-points ``u`` and its
+smaller neighbors at their minimum. The fixpoint is a star forest:
+every node points at its component's minimum id.
+
+Per round the edge frame is ``localCheckpoint``-ed: it truncates the
+logical plan (analysis cost would otherwise grow per iteration) and
+materializes the ~|E|-row frame, which also makes the convergence
+signature read free. On a cluster with a checkpoint dir configured,
+``DataFrame.checkpoint`` is the fault-tolerant drop-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "assign_clusters"]
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(big, small) directed edges, self-loops and nulls dropped."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    return (
+        e.select(
+            F.greatest("u", "v").alias("big"), F.least("u", "v").alias("small")
+        )
+        .filter(F.col("big") != F.col("small"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-independent and overflow-free under ANSI mode
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("big", "small")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Return ``(id, component)`` for every node appearing in
+    ``edges``, where ``component`` is the smallest node id of its
+    connected component. Node ids must be orderable (int/long/string).
+
+    Isolated nodes never appear in ``edges`` and so are absent here —
+    :func:`assign_clusters` adds them back from the full node set.
+    """
+    b = _canonical(edges, src, dst).localCheckpoint()
+    sig = _signature(b)
+    for _ in range(max_iterations):
+        # large-star: sym view, m(u) = min(u, min neighbors); for
+        # every neighbor v > u hang (v, m). One shuffle (window by u).
+        sym = b.select("big", "small").union(
+            b.select(F.col("small").alias("big"), F.col("big").alias("small"))
+        ).toDF("u", "v")
+        wu = Window.partitionBy("u")
+        large = (
+            sym.withColumn("m", F.min(F.least("u", "v")).over(wu))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("big"), F.col("m").alias("small"))
+            .distinct()
+        )
+        # small-star on (big > small) edges: m(u) = min small neighbor;
+        # re-point u and every other small neighbor at m.
+        ws = Window.partitionBy("big")
+        star = large.withColumn("m", F.min("small").over(ws))
+        b_next = (
+            star.filter(F.col("small") != F.col("m"))
+            .select(F.col("small").alias("big"), F.col("m").alias("small"))
+            .union(star.select("big", F.col("m").alias("small")))
+            .distinct()
+            .localCheckpoint()
+        )
+        next_sig = _signature(b_next)
+        b.unpersist()
+        b = b_next
+        if next_sig == sig:
+            break
+        sig = next_sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iterations} rounds"
+        )
+    # fixpoint is a star forest: (big -> its component min) plus the
+    # minima themselves.
+    return b.select(F.col("big").alias("id"), F.col("small").alias("component")).union(
+        b.select("small", "small").distinct()
+    ).distinct()
+
+
+def assign_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster + survivor assignment for a whole corpus.
+
+    Returns one row per ``nodes`` row: ``(id_col, cluster_id,
+    is_survivor)`` where ``cluster_id`` is the smallest member id of
+    the node's near-duplicate cluster (its own id when unpaired) and
+    ``is_survivor`` marks the cluster minimum — the keep-one-per-
+    cluster policy. ``filter("is_survivor = 1")`` is the deduped
+    corpus; the full frame is the audit trail.
+
+    The components frame is tiny next to the corpus (only paired
+    nodes), so the patch-back join broadcasts under AQE.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    ids = nodes.select(F.col(id_col))
+    out = ids.join(comp, ids[id_col] == comp["id"], "left")
+    cluster = F.coalesce(comp["component"], ids[id_col])
+    return out.select(
+        ids[id_col],
+        cluster.alias("cluster_id"),
+        (cluster == ids[id_col]).cast("int").alias("is_survivor"),
+    )
