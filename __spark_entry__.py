@@ -1012,6 +1012,64 @@ FROM m
 """
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit counts. The synthetic corpus carries no PII,
+    so the query plants deterministic emails/phones (same expression in
+    the oracle) and verifies the scrub + counts byte-for-byte."""
+    from omop_etl_spark.functions.text import pii_counts, pii_scrub
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit(" mail u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" tel 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                         pii_text.alias("t"))
+    n_mail, n_tel = pii_counts("t")
+    return staged.select(
+        "doc_id",
+        n_mail.cast("bigint").alias("n_emails"),
+        n_tel.cast("bigint").alias("n_phones"),
+        F.md5(pii_scrub("t")).alias("scrubbed_md5"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH staged AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM staged
+"""
+
+
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.functions.text import lang_id
 
@@ -1249,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "text_quality": _q_text_quality,
+        "text_pii_scrub": _q_pii_scrub,
         "text_langid": _q_text_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_simhash": _q_dedup_simhash,
@@ -1290,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": ORACLE_JACCARD_PAIRS,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "text_quality": ORACLE_TEXT_QUALITY,
+        "text_pii_scrub": ORACLE_PII_SCRUB,
         "text_langid": _oracle_langid(),
         "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
         "dedup_simhash": _oracle_simhash_pairs(),

@@ -21,6 +21,8 @@ __all__ = [
     "mean_token_length",
     "quality_score",
     "lang_scores",
+    "pii_scrub",
+    "pii_counts",
     "STOPWORDS",
 ]
 
@@ -127,6 +129,32 @@ def lang_id(text: Column | str) -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(code)).otherwise(expr)
     return expr
+
+
+#: PII patterns, restricted to the RE2 ∩ Java-regex subset (no
+#: lookarounds, no backrefs) so SQL oracles replicate the scrub
+#: byte-for-byte. Swap in jurisdiction-specific patterns in production.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}"
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact emails then phone numbers with typed placeholders —
+    the minimum-viable PII pass a training corpus runs before anything
+    else. Pure JVM ``regexp_replace`` chain: codegen-friendly, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(email_count, phone_count) per document — the audit metric
+    emitted alongside the scrub."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL_PATTERN)),
+        F.regexp_count(c, F.lit(PII_PHONE_PATTERN)),
+    )
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -73,6 +73,29 @@ def test_quality_score_bounds(spark):
     assert 0.0 <= vals[1] <= vals[0] <= 1.0
 
 
+def test_pii_scrub_and_counts(spark):
+    from omop_etl_spark.functions.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@ex-ample.co.uk now",),
+            ("call +1 555-010-1234 or 555-9999-0000",),
+            ("clean text with no pii at all",),
+            ("",),
+        ],
+        "text string",
+    )
+    ne, np_ = pii_counts("text")
+    got = df.select(
+        pii_scrub("text").alias("s"), ne.alias("ne"), np_.alias("np")
+    ).collect()
+    assert got[0]["s"] == "mail <EMAIL> now" and got[0]["ne"] == 1
+    assert got[1]["s"] == "call +1 <PHONE> or <PHONE>" and got[1]["np"] == 2
+    assert got[2]["s"] == "clean text with no pii at all"
+    assert got[2]["ne"] == got[2]["np"] == 0
+    assert got[3]["s"] == ""
+
+
 def test_exact_dedup_tiebreak(spark):
     df = spark.createDataFrame(
         [(1, "k1", "b"), (2, "k1", "a"), (3, "k2", "c")], "id int, k string, v string"
