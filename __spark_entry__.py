@@ -1184,6 +1184,34 @@ SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= 0.4
 """
 
 
+def _q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus (posexplode + hash
+    agg; fixed-point mode for engine-exact determinism)."""
+    from omop_etl_spark.operators.similarity import label_centroids
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb, fixed_point=6).select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("pos").cast("bigint").alias("pos"),
+        "centroid",
+        "n_vectors",
+    )
+
+
+ORACLE_EMBED_CENTROIDS = """
+WITH expl AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       CAST(floor(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  / COUNT(*)) AS BIGINT) AS centroid,
+       COUNT(*) AS n_vectors
+FROM expl GROUP BY label, pos
+"""
+
+
 def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF coarse-quantized ANN — rows-only check (recall < 1 by design)
     from omop_etl_spark.operators.similarity import ivf_topk
@@ -1312,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_simhash": _q_dedup_simhash,
         "embed_neardup_pairs": _q_embed_neardup,
+        "embed_centroids": _q_embed_centroids,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "text_token_counts": _q_text_tokens,
         "multimodal_features": _q_multimodal,
@@ -1354,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
         "dedup_simhash": _oracle_simhash_pairs(),
         "embed_neardup_pairs": ORACLE_EMBED_NEARDUP,
+        "embed_centroids": ORACLE_EMBED_CENTROIDS,
         # sim_topk_ivf: approximate by design → rows-only driver check
         "text_token_counts": ORACLE_TEXT_TOKENS,
         "multimodal_features": ORACLE_MULTIMODAL,

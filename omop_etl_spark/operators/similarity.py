@@ -34,6 +34,7 @@ __all__ = [
     "simhash_probe_buckets",
     "lsh_topk",
     "ivf_topk",
+    "label_centroids",
 ]
 
 
@@ -56,6 +57,57 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     a, b = _as_double(a), _as_double(b)
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    fixed_point: int | None = None,
+) -> DataFrame:
+    """Per-label element-wise centroid of an ``array<float>`` column —
+    the reduction behind IVF codebook refresh, per-class mean vectors,
+    and cluster drift monitoring.
+
+    Plan shape: ``posexplode`` → hash aggregate on ``(label, pos)``.
+    Rows in flight = N·dim scalars with map-side partial aggregation,
+    so it scales linearly and never holds a vector set in one task
+    (a ``collect_list``-of-arrays formulation would).
+
+    Output: ``(label, pos, centroid, n_vectors)``. With
+    ``fixed_point=k``, ``centroid`` is instead the deterministic
+    integer ``floor(sum(floor(x·10^k)) / n)`` — identical in any
+    engine regardless of float summation order (used by the oracle
+    gate; plain ``avg`` is order-sensitive in the last bits).
+    """
+    expl = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    if fixed_point is None:
+        agg = [
+            F.avg("x").alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        ]
+        return expl.groupBy("label", "pos").agg(*agg)
+    scale = F.lit(float(10**fixed_point))
+    return (
+        expl.groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * scale).cast("bigint")).alias(
+                "__s"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("__s") / F.col("n_vectors")).cast("bigint").alias(
+                "centroid"
+            ),
+            "n_vectors",
+        )
+    )
 
 
 def cosine_topk(

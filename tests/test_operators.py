@@ -73,6 +73,27 @@ def test_quality_score_bounds(spark):
     assert 0.0 <= vals[1] <= vals[0] <= 1.0
 
 
+def test_label_centroids(spark):
+    from omop_etl_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 0.0])],
+        "label int, embedding array<float>",
+    )
+    got = {
+        (r["label"], r["pos"]): (r["centroid"], r["n_vectors"])
+        for r in label_centroids(df).collect()
+    }
+    assert got == {
+        (0, 0): (2.0, 2), (0, 1): (4.0, 2), (1, 0): (10.0, 1), (1, 1): (0.0, 1)
+    }
+    fp = {
+        (r["label"], r["pos"]): r["centroid"]
+        for r in label_centroids(df, fixed_point=2).collect()
+    }
+    assert fp == {(0, 0): 200, (0, 1): 400, (1, 0): 1000, (1, 1): 0}
+
+
 def test_pii_scrub_and_counts(spark):
     from omop_etl_spark.functions.text import pii_counts, pii_scrub
 
