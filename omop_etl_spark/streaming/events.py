@@ -36,6 +36,8 @@ __all__ = [
     "hourly_counts",
     "sessionize",
     "stream_dedup",
+    "enrich_stream",
+    "stream_interval_join",
 ]
 
 #: schema of the raw parquet with ns timestamps surfaced as long
@@ -163,6 +165,54 @@ def stream_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch equi-joins the
+    (re-read) static dimension. With ``broadcast=True`` the dimension
+    ships to executors once per micro-batch — no stream-side shuffle,
+    which is the only stream-static plan that holds up when the stream
+    side is wide and hot. Stateless: no watermark required."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, how)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    match right rows with ``right_ts ∈ [left_ts - lower, left_ts +
+    upper]`` and equal ``on`` keys. Both sides are watermarked, and the
+    interval bound is what lets Spark expire join state — an unbounded
+    stream-stream join would buffer both streams forever. State per
+    key ≈ rows inside ``watermark + interval`` only.
+
+    Column names must be disjoint between the two inputs (rename
+    before calling); the equi keys are ``(left_col, right_col)``
+    pairs. This is the streaming twin of
+    :func:`...operators.temporal.range_join`."""
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    for lc, rc in on:
+        cond = cond & (F.col(lc) == F.col(rc))
+    return l_wm.join(r_wm, cond, "inner")
 
 
 def sessionize_batch(

@@ -64,6 +64,73 @@ def test_streaming_sessionize_runs(spark):
     assert r.session_start <= r.session_end and r.n_events >= 1
 
 
+def _run_stream_append(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    from omop_etl_spark.streaming import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(i, f"seg_{i % 3}") for i in range(200)], "user_id bigint, segment string"
+    )
+    stream = read_events_stream(spark, EVENTS).select("event_id", "user_id")
+    _run_stream_append(enrich_stream(stream, dim, ["user_id"]), "enrich_t")
+    got = {
+        (r.event_id, r.segment) for r in spark.table("enrich_t").collect()
+    }
+    batch = read_parquet_table(spark, EVENTS, ns_columns=["ts"]).select(
+        "event_id", "user_id"
+    ).join(dim, ["user_id"], "left")
+    want = {(r.event_id, r.segment) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_matches_batch(spark):
+    from omop_etl_spark.streaming import stream_interval_join
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        return purchases, clicks
+
+    sp, sc = split(read_events_stream(spark, EVENTS))
+    joined = stream_interval_join(
+        sp, sc, on=[("p_user", "c_user")], left_ts="p_ts", right_ts="c_ts",
+        lower="0 seconds", upper="2 hours", watermark="0 seconds",
+    )
+    _run_stream_append(joined.select("p_id", "c_id"), "ivj_t")
+    got = {(r.p_id, r.c_id) for r in spark.table("ivj_t").collect()}
+
+    bp, bc = split(read_parquet_table(spark, EVENTS, ns_columns=["ts"]))
+    want = {
+        (r.p_id, r.c_id)
+        for r in bp.join(
+            bc,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts"))
+            & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 2 HOURS")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_multimodal_metadata_and_decode(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"payload-one")), (2, bytearray(b"payload-two")), (3, None)],
