@@ -101,7 +101,16 @@ def _verify_jaccard(
     semi-join on ids runs below the shingle projection by construction,
     so the string arrays are built for a handful of rows, not the
     corpus. Precision of the final output is therefore exact regardless
-    of how candidates were generated."""
+    of how candidates were generated.
+
+    ``cand`` is consumed three times (both legs of the id union + the
+    verify join) and its generating index join is the expensive half of
+    the operator; the higher-order shingle expressions upstream defeat
+    ReuseExchange canonicalization, so without a persist Spark re-runs
+    that join once per consumer. The pair frame is tiny (ids only)."""
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         cand.select(F.col("id_a").alias("__cid"))
         .union(cand.select(F.col("id_b").alias("__cid")))
@@ -187,12 +196,12 @@ def jaccard_pairs(
       recall stays 1.0 while boilerplate shingles all but vanish from
       the index. Costs two extra window shuffles over the postings.
 
-    ``prefix_filter=None`` (default) measures the max posting-list
-    length on the persisted postings (one cheap aggregate over 8-byte
-    keys) and takes the prefix path iff it exceeds ``hot_df`` — the
-    regime where the counting join's hot-key fan-out dominates. The
-    check triggers one Spark job at call time; pass an explicit bool to
-    stay fully lazy.
+    ``prefix_filter=None`` (default) estimates the max posting-list
+    length from a 1/32 Bernoulli document sample (tokenizing ~3% of
+    the corpus) and takes the prefix path iff the scaled estimate
+    exceeds ``hot_df`` — the regime where the counting join's hot-key
+    fan-out dominates. The probe triggers one small Spark job at call
+    time; pass an explicit bool to stay fully lazy.
 
     Hash note: candidates live on ``xxhash64`` keys. In the counting
     path a collision can only INFLATE an apparent intersection
@@ -224,13 +233,30 @@ def jaccard_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     if prefix_filter is None:
+        # cheap probe: tokenize only a 1/32 Bernoulli sample of
+        # documents (NOT the persisted full postings — that would
+        # eagerly pay the whole tokenize pass up front) and scale the
+        # hot-df threshold by the sampling rate. Hot shingles are by
+        # definition frequent, so a thin doc sample detects them
+        # reliably (a df ≥ hot_df shingle shows up ~hot_df/32 ≥ 32
+        # times in expectation); a borderline flip just picks the
+        # other — still exact — path.
+        p = 1.0 / 32.0
         row = (
-            inv.groupBy("__g")
+            df.sample(fraction=p, seed=7)
+            .select(
+                F.explode(
+                    F.transform(
+                        token_shingles(text_col, n), lambda g: F.xxhash64(g)
+                    )
+                ).alias("__g")
+            )
+            .groupBy("__g")
             .agg(F.count(F.lit(1)).alias("__c"))
             .agg(F.max("__c").alias("m"))
             .first()
         )
-        prefix_filter = bool(row and row["m"] and row["m"] > hot_df)
+        prefix_filter = bool(row and row["m"] and row["m"] > hot_df * p)
 
     size_band = (
         (F.col("b.__sz") >= F.col("a.__sz") * threshold)
@@ -438,7 +464,10 @@ def minhash_lsh_pairs(
     pair_big = stats.filter(
         (F.col("__cnt") > max_bucket) & (F.col("__id") != F.col("__mn"))
     ).select(F.col("__mn").alias("id_a"), F.col("__id").alias("id_b"))
-    cand = pair_small.union(pair_big).distinct()
+    # persisted: consumed by both legs of the id union and the verify
+    # join; caching the tiny pair frame keeps the bucket self-join from
+    # running once per consumer
+    cand = pair_small.union(pair_big).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     # exact verification tokenizes ONLY candidate-surviving docs (the
     # LSH S-curve keeps candidates rare), not the corpus a second time
     cand_ids = (
