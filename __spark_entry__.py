@@ -1279,6 +1279,103 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# sampling / splitting / packing (operators/sampling.py)
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: membership is a pure
+    function of (salt, doc_id) via an md5 unit hash — append-stable,
+    shuffle-free, reproducible across engines."""
+    from omop_etl_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(
+        docs, id_col="doc_id", splits={"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "split")
+
+
+# thresholds are embedded as exact Python double reprs so the oracle
+# compares against bit-identical constants
+ORACLE_SPLIT_ASSIGN = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN u < {0.9!r} THEN 'train'
+            WHEN u < {0.9 + 0.05!r} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (per-stratum rates),
+    the curation move that rebalances a multilingual corpus."""
+    from omop_etl_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.25},
+        id_col="doc_id",
+        default=0.1,
+    ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(concat('strata|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+)
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                    WHEN 'fr' THEN 0.25 ELSE 0.1 END
+"""
+
+
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents folded into ~8 KiB-cost bins by an
+    ordered prefix sum (operators/sampling.pack_sequences), then a
+    per-bin rollup — the doc->training-sequence step of an LLM data
+    pipeline."""
+    from omop_etl_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(
+        docs, cost_col="n_chars", order_col="doc_id", budget=8192
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bin_cost"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+ORACLE_PACK_BINS = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM documents
+)
+SELECT CAST(FLOOR(cum / CAST(8192 AS DOUBLE)) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS bin_cost,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -1344,6 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_topk_ivf,
         "text_token_counts": _q_text_tokens,
         "multimodal_features": _q_multimodal,
+        "split_assign": _q_split_assign,
+        "sample_stratified": _q_sample_stratified,
+        "pack_bins": _q_pack_bins,
     }
 
 
@@ -1387,4 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         # sim_topk_ivf: approximate by design → rows-only driver check
         "text_token_counts": ORACLE_TEXT_TOKENS,
         "multimodal_features": ORACLE_MULTIMODAL,
+        "split_assign": ORACLE_SPLIT_ASSIGN,
+        "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+        "pack_bins": ORACLE_PACK_BINS,
     }

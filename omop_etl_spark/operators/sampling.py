@@ -1,0 +1,174 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines.
+
+All three operators are built on the same primitive: a row's md5-derived
+unit-interval hash. That makes every decision row-local (no shuffle, no
+RNG state, embarrassingly parallel at any scale) and exactly
+reproducible across engines — a SQL oracle with an ``md5`` function
+replays the assignment bit-for-bit, and re-running the pipeline after
+adding rows never reassigns existing ones (the property that matters
+when a 100 TB corpus is split incrementally).
+
+``pack_sequences`` is the exception: packing is an ordered prefix-sum,
+so it reuses the stats-gated strategy of
+``planner/surrogate.with_surrogate_id`` — a single-partition window
+below the size threshold, a range-exchange + per-partition offsets
+path above it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "unit_hash",
+    "hash_split",
+    "stratified_sample",
+    "pack_sequences",
+]
+
+
+def unit_hash(col: Column | str, salt: str = "") -> Column:
+    """Deterministic hash of ``col`` mapped to a double in ``[0, 1)``.
+
+    First 8 hex chars of ``md5(salt || '|' || value)`` as a 32-bit
+    integer over 2^32. The integer is exact below 2^32, so the division
+    is exact in binary64 and threshold comparisons agree across any
+    engine with ``md5`` (DuckDB oracle: ``CAST(concat('0x',
+    substr(md5(...), 1, 8)) AS BIGINT) / 4294967296.0``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h / F.lit(float(1 << 32))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test-style split.
+
+    ``splits`` maps name -> weight (normalized internally; default
+    ``{"train": .9, "val": .05, "test": .05}``). A row lands in the
+    split whose cumulative-weight interval contains its
+    :func:`unit_hash` — so membership is a pure function of
+    ``(salt, id)``: stable under reruns, under appends, and across
+    engines. Row-local (no shuffle); the added column is a chained
+    ``CASE WHEN`` over one md5, fully inside whole-stage codegen."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(splits.values()))
+    u = unit_hash(id_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample.
+
+    Keeps a row iff ``unit_hash(id) < fractions[stratum]`` (strata
+    absent from ``fractions`` use ``default``). Same guarantees as
+    :func:`hash_split`: row-local, shuffle-free, reproducible, and
+    append-stable — unlike ``DataFrame.sampleBy``, whose output depends
+    on partitioning and seed-per-partition RNG state."""
+    u = unit_hash(id_col, salt)
+    frac: Column = F.lit(float(default))
+    for s, f_ in fractions.items():
+        frac = F.when(F.col(strata_col) == F.lit(s), F.lit(float(f_))).otherwise(frac)
+    return df.filter(u < frac)
+
+
+def pack_sequences(
+    df: DataFrame,
+    cost_col: str,
+    order_col: str = "doc_id",
+    budget: int = 8192,
+    bin_col: str = "bin_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pack ordered rows into fixed-budget bins (sequence packing for
+    LLM training: documents -> training sequences of ~``budget``
+    tokens).
+
+    A row's bin is ``floor(exclusive_prefix_sum(cost) / budget)`` under
+    ``ORDER BY order_col`` — deterministic, oracle-expressible as a
+    window cumsum, and every bin's cost is ~``budget`` (a bin overflows
+    by at most one row, the standard contiguous-fill packing
+    approximation; rows with ``cost > budget`` get a bin of their own).
+
+    Scale strategy mirrors ``with_surrogate_id`` (planner/surrogate.py):
+    below the stats threshold a single-partition window computes the
+    prefix sum directly; above it the frame is range-partitioned by
+    ``order_col`` once, per-partition cost totals (one tiny aggregate)
+    are exclusive-prefix-summed and broadcast back, and the
+    within-partition running sum comes from a window whose partition
+    key is the range-partition id — one wide exchange total, same as
+    any global sort."""
+    from pyspark import StorageLevel
+
+    from ..planner.surrogate import _SMALL_FRAME_BYTES, _estimated_bytes
+
+    cum_excl_name = "__pk_cum"
+    if num_partitions is None and _estimated_bytes(df) < _SMALL_FRAME_BYTES:
+        w = (
+            Window.orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = F.coalesce(F.sum(cost_col).over(w), F.lit(0))
+        return df.withColumn(
+            bin_col, F.floor(cum / F.lit(float(budget))).cast("bigint")
+        )
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    # persist is load-bearing: range boundaries are sampled per plan
+    # instantiation (see surrogate.py) — the totals branch and the
+    # assign branch must observe one partitioning
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pid = ranged.withColumn("__pk_pid", F.spark_partition_id())
+    totals = pid.groupBy("__pk_pid").agg(F.sum(cost_col).alias("__pk_tot"))
+    w_off = Window.orderBy("__pk_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pk_pid",
+        F.coalesce(F.sum("__pk_tot").over(w_off), F.lit(0)).alias("__pk_off"),
+    )
+    # the within-partition window hash-exchanges on the partition id —
+    # one extra narrow shuffle of (row, pid); acceptable because rows
+    # stay grouped exactly as ranged, and AQE splits any skewed pid
+    w_in = (
+        Window.partitionBy("__pk_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(cost_col).over(w_in), F.lit(0)) + F.col("__pk_off")
+    return (
+        pid.join(F.broadcast(offsets), "__pk_pid")
+        .withColumn(bin_col, F.floor(cum / F.lit(float(budget))).cast("bigint"))
+        .drop("__pk_pid")
+    )

@@ -1,0 +1,123 @@
+"""Deterministic sampling / splitting / packing operators
+(omop_etl_spark/operators/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+    unit_hash,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") % 7 * 100 + 50).cast("bigint").alias("n_chars"),
+    )
+
+
+def test_unit_hash_range_and_determinism(spark):
+    df = _docs(spark).select(unit_hash("doc_id", "s").alias("u"))
+    row = df.agg(F.min("u"), F.max("u")).collect()[0]
+    assert 0.0 <= row[0] and row[1] < 1.0
+    a = sorted(r["u"] for r in df.collect())
+    b = sorted(r["u"] for r in df.collect())
+    assert a == b
+
+
+def test_hash_split_partitions_everything_and_is_append_stable(spark):
+    docs = _docs(spark)
+    out = hash_split(docs, id_col="doc_id")
+    counts = dict(
+        (r["split"], r["n"])
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert sum(counts.values()) == 400
+    # ~90/5/5 with slack for a 400-row sample
+    assert counts["train"] > 300
+    # append-stability: the assignment of the first half is unchanged
+    # when computed over the first half alone
+    half = hash_split(docs.filter("doc_id < 200"), id_col="doc_id")
+    full_first = {
+        r["doc_id"]: r["split"] for r in out.filter("doc_id < 200").collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in half.collect()} == full_first
+
+
+def test_hash_split_weights_normalized(spark):
+    docs = _docs(spark)
+    a = hash_split(docs, splits={"x": 3.0, "y": 1.0}, id_col="doc_id")
+    b = hash_split(docs, splits={"x": 0.75, "y": 0.25}, id_col="doc_id")
+    assert a.collect() == b.collect()
+
+
+def test_stratified_sample_rates_and_subset(spark):
+    docs = _docs(spark)
+    out = stratified_sample(
+        docs, "lang", {"0": 1.0, "1": 0.0}, id_col="doc_id", default=0.5
+    )
+    got = dict(
+        (r["lang"], r["n"])
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert got["0"] == docs.filter("lang = '0'").count()
+    assert "1" not in got
+    n2 = got.get("2", 0)
+    assert 0 < n2 < docs.filter("lang = '2'").count()
+    # sampled rows are a subset of the input rows
+    assert out.join(docs, ["doc_id", "lang", "n_chars"], "left_anti").count() == 0
+
+
+def test_pack_sequences_bin_invariants(spark):
+    docs = _docs(spark)
+    budget = 1000
+    packed = pack_sequences(docs, cost_col="n_chars", budget=budget)
+    rows = sorted(
+        packed.select("doc_id", "n_chars", "bin_id").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # replay the exclusive-prefix definition on the driver
+    cum = 0
+    for r in rows:
+        assert r["bin_id"] == cum // budget, r
+        cum += r["n_chars"]
+    # bins are contiguous doc ranges and each holds >= 1 doc
+    bins = [r["bin_id"] for r in rows]
+    assert bins == sorted(bins)
+    # every closed bin's cumulative end reaches the next boundary (a
+    # bin under-fills only when the previous bin's overflow row already
+    # consumed part of its interval — never leaving a gap)
+    cum = 0
+    ends: dict[int, int] = {}
+    for r in rows:
+        cum += r["n_chars"]
+        ends[r["bin_id"]] = cum
+    last = max(ends)
+    for b, end in ends.items():
+        if b != last:
+            assert end >= (b + 1) * budget
+
+
+def test_pack_sequences_distributed_path_matches_window_path(spark):
+    docs = _docs(spark, n=600)
+    small = pack_sequences(docs, cost_col="n_chars", budget=1000)
+    dist = pack_sequences(docs, cost_col="n_chars", budget=1000, num_partitions=5)
+    s = sorted((r["doc_id"], r["bin_id"]) for r in small.collect())
+    d = sorted((r["doc_id"], r["bin_id"]) for r in dist.collect())
+    assert s == d
+
+
+def test_pack_sequences_oversized_row_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5000), (3, 10)], "doc_id long, n_chars long"
+    )
+    packed = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences(df, cost_col="n_chars", budget=100).collect()
+    }
+    assert packed[1] == 0
+    assert packed[2] == 0  # starts in bin 0 (overflow row)
+    assert packed[3] == 50  # next row starts a fresh bin past the giant
