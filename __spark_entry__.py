@@ -1376,6 +1376,130 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# pivot / resample / SCD2 (events table)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix via pivot. The pivot value list is
+    passed explicitly, which skips the eager distinct-values job Spark
+    otherwise runs — at 100 TB the schema must never depend on a full
+    scan."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")))
+    )
+    return wide.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"{t}_cents")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       {cols}
+FROM events
+GROUP BY 1
+""".format(
+    cols=",\n       ".join(
+        "CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT) AS {t}_cents".format(t=t)
+        for t in _EVENT_TYPES
+    )
+)
+
+
+def _q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type series regularized onto a gap-free grid with
+    forward-fill (operators/temporal.resample_ffill)."""
+    from omop_etl_spark.operators.temporal import resample_ffill
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"))
+    out = resample_ffill(
+        hourly, ["event_type"], "ts", ["cents"], step="1 HOUR", fill=F.lit(0)
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )
+
+
+ORACLE_EVENTS_RESAMPLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+grid AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g
+  FROM (SELECT DISTINCT event_type FROM hourly) t, b
+), filled AS (
+  SELECT grid.event_type, grid.g,
+         last_value(hourly.cents IGNORE NULLS) OVER (
+           PARTITION BY grid.event_type ORDER BY grid.g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
+  FROM grid LEFT JOIN hourly
+    ON hourly.event_type = grid.event_type AND hourly.h = grid.g
+)
+SELECT event_type, epoch_us(g) AS ts_us,
+       CAST(COALESCE(cents, 0) AS BIGINT) AS cents
+FROM filled
+"""
+
+
+def _q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event log
+    (operators/temporal.scd2_from_changes): each user's event_type
+    change points become versioned validity intervals."""
+    from omop_etl_spark.operators.temporal import scd2_from_changes
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    out = scd2_from_changes(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        F.unix_micros(F.col("valid_from")).alias("from_us"),
+        F.coalesce(F.unix_micros(F.col("valid_to")), F.lit(-1)).alias("to_us"),
+        "version",
+        "is_current",
+    )
+
+
+ORACLE_SCD2_USER_STATE = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, ts, event_id, event_type FROM s
+  WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       epoch_us(ts) AS from_us,
+       COALESCE(epoch_us(LEAD(ts) OVER w), -1) AS to_us,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -1444,6 +1568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "sample_stratified": _q_sample_stratified,
         "pack_bins": _q_pack_bins,
+        "events_pivot": _q_events_pivot,
+        "events_resample": _q_events_resample,
+        "scd2_user_state": _q_scd2_user_state,
     }
 
 
@@ -1490,4 +1617,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": ORACLE_SPLIT_ASSIGN,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "pack_bins": ORACLE_PACK_BINS,
+        "events_pivot": ORACLE_EVENTS_PIVOT,
+        "events_resample": ORACLE_EVENTS_RESAMPLE,
+        "scd2_user_state": ORACLE_SCD2_USER_STATE,
     }

@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "resample_ffill", "scd2_from_changes"]
 
 
 def _interval(spec: str | Column) -> Column:
@@ -216,4 +216,111 @@ def range_join(
     return joined.select(
         *[p[c] for c in points.columns],
         *[i[c] for c in payload],
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    step: str = "1 HOUR",
+    fill: Column | None = None,
+) -> DataFrame:
+    """Regularize an irregular time series onto a fixed ``step`` grid,
+    carrying the last observed value forward across gaps.
+
+    For every key tuple, emits one row per grid instant between the
+    frame-wide min and max (``date_trunc``-aligned to ``step``'s unit);
+    a grid instant with no observation inherits each value column from
+    the nearest earlier instant that has one (leading gaps take
+    ``fill``, default NULL). Input must already be aggregated to at
+    most one row per (key, truncated instant) — compose with a
+    ``groupBy`` upstream.
+
+    Scale: the grid is built per key by ``sequence`` + ``explode``
+    (O(span/step) rows per key, no cross join); the forward fill is one
+    ``last(..., ignorenulls)`` running window per key — a single hash
+    shuffle on the key columns, the same partitioning the upstream
+    hourly aggregate already produced. The global bounds are a 1-row
+    aggregate broadcast into the plan.
+    """
+    unit = step.split()[-1].lower()
+    keys = [F.col(k) for k in key_cols]
+    trunc = F.date_trunc(unit, F.col(ts_col))
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
+    )
+    obs = df.select(
+        *keys, trunc.alias("__grid"), *[F.col(v) for v in value_cols]
+    )
+    grid = (
+        obs.select(*keys).distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), _interval(step))
+            ).alias("__grid"),
+        )
+    )
+    joined = grid.join(obs, [*key_cols, "__grid"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = [
+        F.coalesce(
+            F.last(v, ignorenulls=True).over(w),
+            fill if fill is not None else F.lit(None),
+        ).alias(v)
+        for v in value_cols
+    ]
+    return joined.select(*keys, F.col("__grid").alias(ts_col), *filled)
+
+
+def scd2_from_changes(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Fold an attribute-change event log into a type-2 slowly-changing
+    dimension: one row per (key, consecutive-distinct attribute state)
+    with ``valid_from`` / ``valid_to`` interval columns, a 1-based
+    ``version``, and an ``is_current`` flag on the open interval.
+
+    The idiomatic immutable-data answer to the reference's mutable
+    UPDATE-in-place tables (reference omop_etl/generation.py:159-189):
+    instead of overwriting a dimension row, every historical state
+    stays queryable by interval — compose with :func:`range_join` for
+    point-in-time lookups.
+
+    Consecutive rows with identical attribute tuples collapse into the
+    earlier version (change-point detection via ``lag`` over the key
+    window). Two window passes over the same (key, ts) ordering — the
+    second runs on the change points only, a frame the first pass
+    already shrank — and both share ONE hash shuffle on the keys.
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = [F.col(ts_col), *[F.col(t) for t in tiebreak]]
+    state = F.struct(*[F.col(a) for a in attr_cols])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changes = (
+        df.withColumn("__prev", F.lag(state).over(w))
+        .filter(F.col("__prev").isNull() | (state != F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w2)
+    return changes.select(
+        *keys,
+        *[F.col(a) for a in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        nxt.isNull().cast("int").alias("is_current"),
     )

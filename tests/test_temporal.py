@@ -218,3 +218,89 @@ def test_range_join_plan_is_equi_join(points, intervals):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# resample_ffill
+
+
+def test_resample_ffill_fills_gaps_and_leading(spark):
+    from omop_etl_spark.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            ("a", ts(1), 10),
+            ("a", ts(4), 40),
+            ("b", ts(2), 20),
+        ],
+        "k string, t timestamp, v long",
+    )
+    out = resample_ffill(df, ["k"], "t", ["v"], step="1 HOUR")
+    got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+    # grid spans the frame-wide bounds [ts(1), ts(4)] for every key
+    assert len(got) == 8
+    assert got[("a", ts(1))] == 10
+    assert got[("a", ts(2))] == 10  # gap carried forward
+    assert got[("a", ts(3))] == 10
+    assert got[("a", ts(4))] == 40
+    assert got[("b", ts(1))] is None  # leading gap -> NULL by default
+    assert got[("b", ts(2))] == 20
+    assert got[("b", ts(4))] == 20
+
+
+def test_resample_ffill_custom_fill_and_truncation(spark):
+    from omop_etl_spark.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame(
+        [("a", ts(0) + dt.timedelta(minutes=30), 7)],
+        "k string, t timestamp, v long",
+    )
+    out = resample_ffill(df, ["k"], "t", ["v"], step="1 HOUR", fill=F.lit(0))
+    rows = out.collect()
+    # observation lands on its truncated hour
+    assert [(r["t"], r["v"]) for r in rows] == [(ts(0), 7)]
+
+
+# ---------------------------------------------------------------------------
+# scd2_from_changes
+
+
+def test_scd2_collapses_runs_and_versions(spark):
+    from omop_etl_spark.operators.temporal import scd2_from_changes
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(1), 101, "x"),
+            (1, ts(2), 102, "x"),   # same state: collapses into v1
+            (1, ts(3), 103, "y"),
+            (1, ts(4), 104, "x"),   # back to x: NEW version, not merged
+            (2, ts(5), 105, "z"),
+        ],
+        "k bigint, t timestamp, eid bigint, s string",
+    )
+    out = scd2_from_changes(df, ["k"], "t", ["s"], tiebreak=["eid"])
+    rows = sorted(
+        ((r["k"], r["version"], r["s"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out.collect())
+    )
+    assert rows == [
+        (1, 1, "x", ts(1), ts(3), 0),
+        (1, 2, "y", ts(3), ts(4), 0),
+        (1, 3, "x", ts(4), None, 1),
+        (2, 1, "z", ts(5), None, 1),
+    ]
+
+
+def test_scd2_intervals_partition_time_per_key(spark):
+    from omop_etl_spark.operators.temporal import scd2_from_changes
+
+    df = spark.createDataFrame(
+        [(1, ts(i), i, "s" + str(i % 3)) for i in range(12)],
+        "k bigint, t timestamp, eid bigint, s string",
+    )
+    out = scd2_from_changes(df, ["k"], "t", ["s"], tiebreak=["eid"]).collect()
+    ivs = sorted((r["valid_from"], r["valid_to"]) for r in out)
+    # each interval starts where the previous ended; exactly one open
+    for (a, b), (c, _d) in zip(ivs, ivs[1:]):
+        assert b == c
+    assert sum(1 for _, b in ivs if b is None) == 1
