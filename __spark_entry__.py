@@ -1500,6 +1500,71 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 # ---------------------------------------------------------------------------
+# JSON surface + fuzzy entity matching
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a typed field from the JSON
+    props payload (JVM get_json_object, no UDF) and aggregate on it."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+
+def _q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part dimension: blocked Levenshtein
+    self-match (operators/fuzzy.py) — blocks on the leading token so
+    the quadratic distance work stays inside bounded groups."""
+    from omop_etl_spark.operators.fuzzy import fuzzy_self_match
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("bigint").alias("pid"),
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ")[0].alias("block"),
+    )
+    return fuzzy_self_match(
+        part, id_col="pid", text_col="name", block_on=["block"], max_distance=2
+    )
+
+
+ORACLE_FUZZY_PARTS = """
+WITH p AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pid, p_name AS name,
+         string_split(p_name, ' ')[1] AS block
+  FROM part
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS edit_distance
+FROM p a JOIN p b
+  ON a.pid < b.pid AND a.block = b.block
+ AND abs(length(a.name) - length(b.name)) <= 2
+ AND levenshtein(a.name, b.name) <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -1571,6 +1636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "events_resample": _q_events_resample,
         "scd2_user_state": _q_scd2_user_state,
+        "events_json_agg": _q_events_json,
+        "fuzzy_part_match": _q_fuzzy_parts,
     }
 
 
@@ -1620,4 +1687,6 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "events_resample": ORACLE_EVENTS_RESAMPLE,
         "scd2_user_state": ORACLE_SCD2_USER_STATE,
+        "events_json_agg": ORACLE_EVENTS_JSON,
+        "fuzzy_part_match": ORACLE_FUZZY_PARTS,
     }
