@@ -1535,30 +1535,38 @@ GROUP BY 1
 
 def _q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution over the part dimension: blocked Levenshtein
-    self-match (operators/fuzzy.py) — blocks on the leading token so
-    the quadratic distance work stays inside bounded groups."""
+    self-match (operators/fuzzy.py). Blocking on (brand, leading token)
+    keeps the quadratic distance work inside bounded groups — the
+    selectivity knob the operator's scale model demands (first-token
+    alone leaves ~N/8-row blocks on this vocabulary: measured 24s vs
+    ~1s at sf0.1)."""
     from omop_etl_spark.operators.fuzzy import fuzzy_self_match
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.col("p_partkey").cast("bigint").alias("pid"),
         F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
         F.split(F.col("p_name"), " ")[0].alias("block"),
     )
     return fuzzy_self_match(
-        part, id_col="pid", text_col="name", block_on=["block"], max_distance=2
+        part,
+        id_col="pid",
+        text_col="name",
+        block_on=["brand", "block"],
+        max_distance=2,
     )
 
 
 ORACLE_FUZZY_PARTS = """
 WITH p AS (
   SELECT CAST(p_partkey AS BIGINT) AS pid, p_name AS name,
-         string_split(p_name, ' ')[1] AS block
+         p_brand AS brand, string_split(p_name, ' ')[1] AS block
   FROM part
 )
 SELECT a.pid AS id_a, b.pid AS id_b,
        CAST(levenshtein(a.name, b.name) AS INT) AS edit_distance
 FROM p a JOIN p b
-  ON a.pid < b.pid AND a.block = b.block
+  ON a.pid < b.pid AND a.brand = b.brand AND a.block = b.block
  AND abs(length(a.name) - length(b.name)) <= 2
  AND levenshtein(a.name, b.name) <= 2
 """
