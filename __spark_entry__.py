@@ -1573,6 +1573,79 @@ FROM p a JOIN p b
 
 
 # ---------------------------------------------------------------------------
+# funnel + cube
+
+
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user
+    (operators/temporal.funnel): later stages must strictly follow the
+    previous stage's first occurrence."""
+    from omop_etl_spark.operators.temporal import funnel
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    out = funnel(
+        ev, ["user_id"], "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("t0")).alias("t0_us"),
+        F.coalesce(F.unix_micros(F.col("t1")), F.lit(-1)).alias("t1_us"),
+        F.coalesce(F.unix_micros(F.col("t2")), F.lit(-1)).alias("t2_us"),
+        "depth",
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+  WHERE e.event_type = 'click' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(s0.user_id AS BIGINT) AS user_id,
+       epoch_us(t0) AS t0_us,
+       COALESCE(epoch_us(t1), -1) AS t1_us,
+       COALESCE(epoch_us(t2), -1) AS t2_us,
+       CAST(1 + (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT AS BIGINT) AS depth
+FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+        LEFT JOIN s2 ON s0.user_id = s2.user_id
+"""
+
+
+def _q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 2^2 grouping-set
+    combinations in one Expand-based pass, grouping() flags
+    disambiguating genuine NULLs from subtotal rows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("price_total"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+    )
+
+
+ORACLE_AGG_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS price_total,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -1646,6 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": _q_scd2_user_state,
         "events_json_agg": _q_events_json,
         "fuzzy_part_match": _q_fuzzy_parts,
+        "events_funnel": _q_events_funnel,
+        "agg_cube": _q_agg_cube,
     }
 
 
@@ -1697,4 +1772,6 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_state": ORACLE_SCD2_USER_STATE,
         "events_json_agg": ORACLE_EVENTS_JSON,
         "fuzzy_part_match": ORACLE_FUZZY_PARTS,
+        "events_funnel": ORACLE_EVENTS_FUNNEL,
+        "agg_cube": ORACLE_AGG_CUBE,
     }

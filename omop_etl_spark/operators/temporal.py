@@ -31,7 +31,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "resample_ffill", "scd2_from_changes"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "resample_ffill",
+    "scd2_from_changes",
+    "funnel",
+]
 
 
 def _interval(spec: str | Column) -> Column:
@@ -324,3 +330,52 @@ def scd2_from_changes(
         F.row_number().over(w2).cast("bigint").alias("version"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    stage_col: str,
+    stages: Sequence[str],
+    prefix: str = "t",
+) -> DataFrame:
+    """Ordered conversion funnel: for each key, the earliest timestamp
+    of stage 0, then the earliest stage-1 event STRICTLY AFTER it, and
+    so on — the standard product-analytics funnel where later stages
+    must follow the preceding stage in time, not merely occur.
+
+    Returns one row per key that reached stage 0: the per-stage
+    timestamps ``t0..tN`` (NULL once the key drops out — nulls are
+    monotone by construction) and ``depth`` = number of stages
+    reached.
+
+    Plan shape: one filtered hash aggregate per stage plus an equi-join
+    against the accumulating funnel frame — ``len(stages)`` shuffles on
+    the key columns, each over only that stage's events (the stage
+    filter pushes into the scan). No windows over the full event
+    stream, so a hot user costs one aggregate row per stage, not a
+    sort.
+    """
+    keys = list(key_cols)
+    out: DataFrame | None = None
+    for i, s in enumerate(stages):
+        ev = df.filter(F.col(stage_col) == s).select(
+            *keys, F.col(ts_col).alias("__fts")
+        )
+        if out is None:
+            out = ev.groupBy(*keys).agg(F.min("__fts").alias(f"{prefix}0"))
+            continue
+        nxt = (
+            ev.join(out.select(*keys, f"{prefix}{i-1}"), keys)
+            .filter(F.col("__fts") > F.col(f"{prefix}{i-1}"))
+            .groupBy(*keys)
+            .agg(F.min("__fts").alias(f"{prefix}{i}"))
+        )
+        out = out.join(nxt, keys, "left")
+    assert out is not None, "stages must be non-empty"
+    depth = sum(
+        (F.col(f"{prefix}{i}").isNotNull().cast("int") for i in range(len(stages))),
+        F.lit(0),
+    )
+    return out.withColumn("depth", depth.cast("bigint"))

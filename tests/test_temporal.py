@@ -304,3 +304,55 @@ def test_scd2_intervals_partition_time_per_key(spark):
     for (a, b), (c, _d) in zip(ivs, ivs[1:]):
         assert b == c
     assert sum(1 for _, b in ivs if b is None) == 1
+
+
+# ---------------------------------------------------------------------------
+# funnel
+
+
+def test_funnel_strict_ordering(spark):
+    from omop_etl_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, ts(1), "view"),
+            (1, ts(2), "click"),
+            (1, ts(3), "buy"),
+            # user 2: click BEFORE first view -> doesn't count; no click after
+            (2, ts(1), "click"),
+            (2, ts(2), "view"),
+            # user 3: view only
+            (3, ts(5), "view"),
+            # user 4: never viewed -> absent from output
+            (4, ts(1), "buy"),
+        ],
+        "u bigint, t timestamp, s string",
+    )
+    out = {
+        r["u"]: (r["t0"], r["t1"], r["t2"], r["depth"])
+        for r in funnel(df, ["u"], "t", "s", ["view", "click", "buy"]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (ts(1), ts(2), ts(3), 3)
+    assert out[2] == (ts(2), None, None, 1)
+    assert out[3] == (ts(5), None, None, 1)
+
+
+def test_funnel_uses_first_qualifying_not_first_overall(spark):
+    from omop_etl_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(2), "view"),
+            (1, ts(1), "click"),   # before the view: ignored
+            (1, ts(4), "click"),   # first click after view
+            (1, ts(3), "buy"),     # before the qualifying click: ignored
+            (1, ts(6), "buy"),
+        ],
+        "u bigint, t timestamp, s string",
+    )
+    row = funnel(df, ["u"], "t", "s", ["view", "click", "buy"]).collect()[0]
+    assert (row["t0"], row["t1"], row["t2"], row["depth"]) == (
+        ts(2), ts(4), ts(6), 3,
+    )
