@@ -1646,6 +1646,176 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# subquery surface: anti join + correlated scalar subquery
+
+
+def _q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join, per-nation counts of order-less customers.
+    Written as SQL over temp views so Catalyst's subquery rewrite
+    (RewritePredicateSubquery -> left-anti hash join) is exercised —
+    the plan must show no correlated subquery left, just an anti join
+    that AQE can broadcast."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "__sq_customer"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__sq_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c_nationkey AS nationkey,
+               COUNT(*) AS n_custs_no_orders,
+               CAST(SUM(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS acctbal_total
+        FROM __sq_customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM __sq_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+        GROUP BY c_nationkey
+        """
+    )
+
+
+ORACLE_CUST_NO_ORDERS = """
+SELECT c_nationkey AS nationkey,
+       COUNT(*) AS n_custs_no_orders,
+       CAST(SUM(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS acctbal_total
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_nationkey
+"""
+
+
+def _q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their customer's
+    average. Catalyst decorrelates the scalar subquery into an
+    aggregate + equi-join; the oracle keeps the correlated form, so a
+    hash match proves the rewrite is semantics-preserving."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__sq_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey AS custkey, COUNT(*) AS n_above
+        FROM __sq_orders o
+        WHERE o_totalprice > (
+            SELECT AVG(o2.o_totalprice) FROM __sq_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o_custkey
+        """
+    )
+
+
+ORACLE_ORDERS_ABOVE_AVG = """
+SELECT o_custkey AS custkey, COUNT(*) AS n_above
+FROM orders o
+WHERE o_totalprice > (
+    SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# decontamination / repetition / training order
+
+
+def _q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style train/eval n-gram decontamination
+    (operators/contamination.decontaminate): docs with doc_id % 17 == 0
+    stand in for the benchmark set; n=5 word-grams; benchmark grams are
+    hashed and broadcast so the corpus side is never shuffled."""
+    from omop_etl_spark.operators.contamination import decontaminate
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    out = decontaminate(docs, bench, n=5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_hits",
+        F.col("contaminated").cast("bigint").alias("contaminated"),
+    )
+
+
+ORACLE_DOCS_DECONTAMINATE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
+    THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS s FROM tok),
+g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+hits AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+         FROM g JOIN bench USING (gram) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality signals
+    (operators/contamination.repetition_stats): per-doc duplicate- and
+    top-2-gram fractions from two hash aggregates over 8-byte hashed
+    grams."""
+    from omop_etl_spark.operators.contamination import repetition_stats
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    out = repetition_stats(docs, n=2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "total_grams",
+        "distinct_grams",
+        "dup_gram_frac",
+        "top_gram_frac",
+    )
+
+
+ORACLE_DOCS_REPETITION = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+    THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS gram FROM tok),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(c) AS BIGINT) AS total_grams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_gram_frac,
+       round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_gram_frac
+FROM pg GROUP BY 1
+"""
+
+
+def _q_docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators/sampling.shuffle_shards): md5-hash shard assignment +
+    within-shard md5 rank — a reproducible random permutation
+    materialized as independently-ordered shards."""
+    from omop_etl_spark.operators.sampling import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shuffle_shards(docs, num_shards=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "shard", "pos"
+    )
+
+
+ORACLE_DOCS_SHUFFLE_ORDER = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(floor((CAST(concat('0x', substr(md5(concat('shuffle|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+              / 4294967296.0) * 8.0) AS BIGINT) AS shard,
+         md5(concat('shuffle#|', CAST(doc_id AS VARCHAR))) AS ord
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -1721,6 +1891,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_match": _q_fuzzy_parts,
         "events_funnel": _q_events_funnel,
         "agg_cube": _q_agg_cube,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_repetition": _q_docs_repetition,
+        "docs_shuffle_order": _q_docs_shuffle_order,
+        "cust_no_orders": _q_cust_no_orders,
+        "orders_above_avg": _q_orders_above_avg,
     }
 
 
@@ -1774,4 +1949,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_part_match": ORACLE_FUZZY_PARTS,
         "events_funnel": ORACLE_EVENTS_FUNNEL,
         "agg_cube": ORACLE_AGG_CUBE,
+        "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
+        "docs_repetition": ORACLE_DOCS_REPETITION,
+        "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
+        "cust_no_orders": ORACLE_CUST_NO_ORDERS,
+        "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,
     }

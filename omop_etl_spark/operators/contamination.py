@@ -1,0 +1,140 @@
+"""Train/test decontamination and intra-document repetition metrics.
+
+Standard LLM-corpus hygiene the reference has no counterpart for (its
+scope ends at SQL ETL; see SURVEY.md §2 north-star extensions):
+
+* :func:`decontaminate` — flag training documents that share any word
+  n-gram with an evaluation/benchmark set (the GPT-3/PaLM-style "13-gram
+  overlap" decontamination rule, parameterized n).
+* :func:`repetition_stats` — per-document duplicate-n-gram and
+  top-n-gram character fractions (the Gopher repetition quality
+  signals, Rae et al. 2021 §A1.1), used to drop degenerate
+  boilerplate/spam pages before training.
+
+Both are built from explode + hash-aggregate only — no windows over the
+corpus, no driver-side state — so they scale as a constant number of
+shuffles regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import token_shingles
+
+__all__ = ["decontaminate", "repetition_stats"]
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Tag every training document with its n-gram overlap against a
+    benchmark corpus.
+
+    Returns one row per input document: ``(id_col, n_hits,
+    contaminated)`` where ``n_hits`` is the number of DISTINCT document
+    shingles that also occur anywhere in the benchmark and
+    ``contaminated`` is ``n_hits > 0``. Filter on ``~contaminated`` to
+    produce the decontaminated corpus; keeping the count (not just the
+    flag) lets callers apply a laxer "≥ k collisions" rule.
+
+    Plan shape: the benchmark's distinct shingles are reduced to 8-byte
+    ``xxhash64`` keys (map-side-combined aggregate over the benchmark
+    only). With ``broadcast_benchmark`` (default — eval sets are tiny
+    next to a training corpus) the join against the exploded document
+    shingles is a broadcast hash join: the 100 TB side is never
+    shuffled, one pass, map-only until the final per-document count.
+    With it off the same plan runs as a shuffle join on the hash key,
+    which is the correct shape when the "benchmark" is itself large
+    (e.g. cross-corpus contamination). Hashing shingles to 64 bits
+    trades a ~2^-64-per-pair false-collision rate for never moving raw
+    n-gram strings through the shuffle.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(token_shingles(bcol, n)).alias("__gram")
+        )
+        .select(F.xxhash64("__gram").alias("__gh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(token_shingles(text_col, n)).alias("__gram")
+    ).select(id_col, F.xxhash64("__gram").alias("__gh"))
+
+    hits = (
+        doc_grams.join(bench_grams, "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition metrics (Gopher quality signals).
+
+    For each document, over its word n-grams WITH multiplicity:
+
+    * ``total_grams`` / ``distinct_grams``
+    * ``dup_gram_frac`` — fraction of gram occurrences that are
+      repeats: ``1 - distinct/total``
+    * ``top_gram_frac`` — occurrences of the single most frequent gram
+      over total (Gopher's "fraction of characters in the most common
+      n-gram", word-weighted)
+
+    A document of pure boilerplate repetition scores near 1 on both;
+    natural prose scores near 0. Thresholding (Gopher drops
+    ``top_2gram_frac > 0.2`` etc.) is left to the caller.
+
+    Plan shape: explode to ``(doc, gram)``, count multiplicity (one
+    hash aggregate, map-side combined), then reduce per document (a
+    second aggregate on ``doc`` alone). Both shuffles carry 8-byte
+    hashed grams and counts — raw text never leaves the scan stage, and
+    no per-document state exceeds its own distinct-gram count.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+    per_gram = (
+        docs.select(F.col(id_col), F.explode(grams).alias("__gram"))
+        .select(id_col, F.xxhash64("__gram").alias("__gh"))
+        .groupBy(id_col, "__gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__cnt").cast("bigint").alias("total_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_grams"),
+        F.round(
+            1.0 - F.count(F.lit(1)) / F.sum("__cnt").cast("double"), 6
+        ).alias("dup_gram_frac"),
+        F.round(
+            F.max("__cnt") / F.sum("__cnt").cast("double"), 6
+        ).alias("top_gram_frac"),
+    )

@@ -26,6 +26,7 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "pack_sequences",
+    "shuffle_shards",
 ]
 
 
@@ -171,4 +172,42 @@ def pack_sequences(
         pid.join(F.broadcast(offsets), "__pk_pid")
         .withColumn(bin_col, F.floor(cum / F.lit(float(budget))).cast("bigint"))
         .drop("__pk_pid")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Every row gets ``(shard, pos)``: ``shard`` from its
+    :func:`unit_hash` scaled to ``num_shards`` buckets, ``pos`` its
+    0-based rank within the shard under the full md5 of the id — i.e. a
+    reproducible random permutation of the corpus, materialized as
+    ``num_shards`` independently-ordered shards. Readers stream shard
+    files in ``pos`` order to get an unbiased training order without
+    any engine-side RNG; re-running reproduces the identical order
+    bit-for-bit (a SQL oracle replays it with ``md5`` + ``row_number``).
+
+    Plan shape: one hash exchange on ``shard`` plus a per-shard sort
+    (Spark window partitioned by ``shard``). Choose ``num_shards`` so a
+    shard fits an executor's spill budget at the target corpus size —
+    at 100 TB with 10k shards each sort is ~10 GB, a routine external
+    sort; the hash-uniform shard assignment makes skew structurally
+    impossible.
+    """
+    u = unit_hash(id_col, salt)
+    order = F.md5(F.concat(F.lit(f"{salt}#|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(shard_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn(
+            shard_col,
+            F.floor(u * F.lit(float(num_shards))).cast("bigint"),
+        )
+        .withColumn(pos_col, F.row_number().over(w).cast("bigint") - 1)
     )

@@ -1,0 +1,107 @@
+"""Decontamination + repetition metrics
+(omop_etl_spark/operators/contamination.py) and the deterministic
+global shuffle (sampling.shuffle_shards)."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.contamination import (
+    decontaminate,
+    repetition_stats,
+)
+from omop_etl_spark.operators.sampling import shuffle_shards
+
+
+def _corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "the quick brown fox went home early today"),  # shares 3-gram w/ 0
+        (3, "completely unrelated words appear here only once"),
+        (4, "a b"),  # shorter than n -> whole-text shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    # "the quick brown" + "quick brown fox" shared by docs 0 and 2
+    assert out[0] == (2, True)
+    assert out[2] == (2, True)
+    assert out[1] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
+
+
+def test_decontaminate_shuffle_join_path_matches(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id bigint, text string"
+    )
+    a = sorted(map(tuple, decontaminate(docs, bench, n=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            decontaminate(docs, bench, n=3, broadcast_benchmark=False).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_repetition_stats_degenerate_vs_natural(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),  # one distinct 2-gram
+            (1, "one two three four five six"),  # all 2-grams distinct
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs, n=2).collect()}
+    assert out[0]["total_grams"] == 5 and out[0]["distinct_grams"] == 1
+    assert out[0]["dup_gram_frac"] == 0.8
+    assert out[0]["top_gram_frac"] == 1.0
+    assert out[1]["dup_gram_frac"] == 0.0
+    assert out[1]["top_gram_frac"] == 0.2
+
+
+def test_repetition_stats_counts_multiplicity(spark):
+    # "a b a b a" -> 2-grams: ab, ba, ab, ba -> total 4, distinct 2
+    docs = spark.createDataFrame([(0, "a b a b a")], "doc_id bigint, text string")
+    row = repetition_stats(docs, n=2).collect()[0]
+    assert row["total_grams"] == 4
+    assert row["distinct_grams"] == 2
+    assert row["dup_gram_frac"] == 0.5
+    assert row["top_gram_frac"] == 0.5
+
+
+def test_shuffle_shards_is_permutation_and_deterministic(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(df, num_shards=8)
+    rows = [(r["doc_id"], r["shard"], r["pos"]) for r in out.collect()]
+    assert len(rows) == 500
+    # every shard's positions are 0..len-1 (dense ranks, no gaps)
+    by_shard = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic across recomputation
+    again = [(r["doc_id"], r["shard"], r["pos"]) for r in out.collect()]
+    assert sorted(rows) == sorted(again)
+    # and actually shuffled: within-shard id order differs from pos order
+    some_shard = max(by_shard, key=lambda s: len(by_shard[s]))
+    ids_by_pos = sorted(
+        ((p, i) for i, s, p in rows if s == some_shard), key=lambda t: t[0]
+    )
+    ids = [i for _, i in ids_by_pos]
+    assert ids != sorted(ids)
