@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TPCH_TABLES = (
@@ -1646,6 +1646,66 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# higher-order array functions + lead/lag windows
+
+
+def _q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector statistics via JVM higher-order functions — the whole
+    computation stays inside whole-stage codegen (F.aggregate for the
+    L2 norm, array min/max/mean), no Python, no shuffle at all:
+    a map-only scan at any corpus size."""
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding")
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(total / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_min(v).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_val"),
+    )
+
+
+ORACLE_EMBED_NORM_STATS = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+       round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 6) AS mean_val,
+       round(list_aggregate(embedding::DOUBLE[], 'min'), 6) AS min_val,
+       round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_val
+FROM embeddings
+"""
+
+
+def _q_orders_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: lead/lag windows give the gap to the
+    previous order and an ntile cohort — one hash exchange on custkey
+    serves all three window functions (single Window spec)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("days_since_prev"),
+        F.ntile(4).over(w).cast("bigint").alias("cadence_quartile"),
+    )
+
+
+ORACLE_ORDERS_GAPS = """
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+       CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev,
+       CAST(ntile(4) OVER w AS BIGINT) AS cadence_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # subquery surface: anti join + correlated scalar subquery
 
 
@@ -1896,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_order": _q_docs_shuffle_order,
         "cust_no_orders": _q_cust_no_orders,
         "orders_above_avg": _q_orders_above_avg,
+        "embed_norm_stats": _q_embed_norm_stats,
+        "orders_gaps": _q_orders_gaps,
     }
 
 
@@ -1954,4 +2016,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,
+        "embed_norm_stats": ORACLE_EMBED_NORM_STATS,
+        "orders_gaps": ORACLE_ORDERS_GAPS,
     }
