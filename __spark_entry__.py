@@ -1646,6 +1646,67 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# multi-join star query (TPC-H Q5 shape)
+
+
+def _q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (TPC-H Q5 shape): revenue by nation for
+    local supplier-customer pairs in one region-year. Dims (nation,
+    region, supplier) broadcast; Catalyst reorders the fact joins and
+    pushes the region/date filters to the scans. Revenue is summed as
+    per-row-floored BIGINT so the result is order-independent and
+    hash-comparable across engines."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "bigint"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("bigint").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(F.col("n_name").alias("nation"), "revenue", "n_lineitems")
+    )
+
+
+ORACLE_REGIONAL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # higher-order array functions + lead/lag windows
 
 
@@ -1958,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_avg": _q_orders_above_avg,
         "embed_norm_stats": _q_embed_norm_stats,
         "orders_gaps": _q_orders_gaps,
+        "regional_supplier_volume": _q_regional_supplier_volume,
     }
 
 
@@ -2018,4 +2080,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,
         "embed_norm_stats": ORACLE_EMBED_NORM_STATS,
         "orders_gaps": ORACLE_ORDERS_GAPS,
+        "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER_VOLUME,
     }
