@@ -1646,6 +1646,53 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# embedding quantization
+
+
+def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization (operators/similarity.
+    quantize_embeddings): global-range codes via floor-rounding — the
+    exact arithmetic replays in any IEEE engine, so codes and
+    reconstruction error hash-match the oracle."""
+    from omop_etl_spark.operators.similarity import quantize_embeddings
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings(emb, num_bits=8)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.array_min("codes").cast("bigint").alias("code_min"),
+        F.array_max("codes").cast("bigint").alias("code_max"),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH st AS (
+  SELECT min(list_aggregate(embedding::DOUBLE[], 'min')) AS lo,
+         max(list_aggregate(embedding::DOUBLE[], 'max')) AS hi
+  FROM embeddings
+), enc AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> floor((x - lo) * (255.0 / (hi - lo)) + 0.5)) AS codes,
+         list_transform(embedding::DOUBLE[],
+             x -> (x - (lo + floor((x - lo) * (255.0 / (hi - lo)) + 0.5) * ((hi - lo) / 255.0)))
+                * (x - (lo + floor((x - lo) * (255.0 / (hi - lo)) + 0.5) * ((hi - lo) / 255.0)))) AS sqerr
+  FROM embeddings, st
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+       CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
+       round(sqrt(list_aggregate(sqerr, 'sum')), 6) AS recon_err
+FROM enc
+"""
+
+
+# ---------------------------------------------------------------------------
 # multi-join star query (TPC-H Q5 shape)
 
 
@@ -2020,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_norm_stats": _q_embed_norm_stats,
         "orders_gaps": _q_orders_gaps,
         "regional_supplier_volume": _q_regional_supplier_volume,
+        "embed_quantize": _q_embed_quantize,
     }
 
 
@@ -2081,4 +2129,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_norm_stats": ORACLE_EMBED_NORM_STATS,
         "orders_gaps": ORACLE_ORDERS_GAPS,
         "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER_VOLUME,
+        "embed_quantize": ORACLE_EMBED_QUANTIZE,
     }

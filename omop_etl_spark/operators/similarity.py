@@ -35,6 +35,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "label_centroids",
+    "quantize_embeddings",
 ]
 
 
@@ -544,4 +545,58 @@ def lsh_topk(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_bits: int = 8,
+    code_col: str = "codes",
+    err_col: str = "recon_err",
+) -> DataFrame:
+    """Scalar quantization of an embedding column to ``num_bits`` codes
+    (the standard 4× memory reduction before ANN indexing at corpus
+    scale: float32 -> uint8 at 8 bits).
+
+    Uses a single global ``[lo, hi]`` range over all vector components
+    (one scalar aggregate — tiny, broadcast back via a 1-row cross
+    join, so the plan stays fully lazy with no driver collect). Each
+    component maps to ``floor((x - lo) * scale + 0.5)`` — plain
+    floor-rounding on a non-negative operand, bit-identical across any
+    engine with IEEE doubles, unlike banker's/half-up ``round``
+    variants. Adds:
+
+    * ``code_col``: ``array<bigint>`` of codes in ``[0, 2^bits - 1]``
+    * ``err_col``: the vector's L2 reconstruction error against the
+      dequantized codes — the quality metric callers threshold on when
+      choosing ``num_bits``.
+
+    Plan shape: one pass to reduce min/max (map-side combined), one
+    map-only pass to encode. Nothing shuffles the vectors themselves.
+    """
+    levels = (1 << num_bits) - 1
+    v = _as_double(F.col(vec_col))
+    stats = df.agg(
+        F.min(F.array_min(F.col(vec_col))).cast("double").alias("__q_lo"),
+        F.max(F.array_max(F.col(vec_col))).cast("double").alias("__q_hi"),
+    )
+    lo, hi = F.col("__q_lo"), F.col("__q_hi")
+    # degenerate all-equal range: every code 0, dequantizes exactly to lo
+    scale = F.when(hi > lo, F.lit(float(levels)) / (hi - lo)).otherwise(F.lit(0.0))
+    step = F.when(hi > lo, (hi - lo) / F.lit(float(levels))).otherwise(F.lit(0.0))
+    codes = F.transform(v, lambda x: F.floor((x - lo) * scale + F.lit(0.5)))
+    deq = lambda c: lo + c.cast("double") * step  # noqa: E731
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, F.col(code_col), lambda x, c: (x - deq(c)) * (x - deq(c))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(code_col, codes)
+        .withColumn(err_col, err)
+        .drop("__q_lo", "__q_hi")
     )

@@ -434,3 +434,46 @@ def test_two_stage_agg_matches_direct(spark):
         ).collect()
     }
     assert staged == direct
+
+
+def test_quantize_embeddings_codes_and_error(spark):
+    from omop_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.5, 0.25]), (2, [1.0, 0.75])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # range [0,1] over 255 levels: extremes hit 0 and 255 exactly
+    assert out[0]["codes"] == [0, 255]
+    assert out[2]["codes"][0] == 255
+    for r in out.values():
+        assert all(0 <= c <= 255 for c in r["codes"])
+        # 8-bit quantization on [0,1]: recon error per dim <= step/2
+        assert r["recon_err"] <= (1.0 / 255) * (2 ** 0.5)
+    # exact grid points reconstruct exactly
+    assert out[0]["recon_err"] == 0.0
+
+
+def test_quantize_embeddings_degenerate_range(spark):
+    from omop_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [2.5, 2.5]), (1, [2.5, 2.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    for r in quantize_embeddings(df).collect():
+        assert r["codes"] == [0, 0]
+        assert r["recon_err"] == 0.0
+
+
+def test_quantize_embeddings_fewer_bits_coarser(spark):
+    from omop_etl_spark.operators.similarity import quantize_embeddings
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    e8 = sum(r["recon_err"] for r in quantize_embeddings(df, num_bits=8).collect())
+    e4 = sum(r["recon_err"] for r in quantize_embeddings(df, num_bits=4).collect())
+    assert e8 < e4
