@@ -1646,6 +1646,50 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# z-order layout key
+
+
+def _q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton clustering key over (user_id, ts)
+    (operators/layout.zorder_key): the write-side primitive behind
+    OPTIMIZE ZORDER BY — pure JVM bit arithmetic, lazy 1-row range
+    stats, bit-exact against the integer-arithmetic oracle."""
+    from omop_etl_spark.operators.layout import zorder_key
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    return zorder_key(ev, ["user_id", "ts"], bits=16).select(
+        F.col("event_id").cast("bigint").alias("event_id"), "zkey"
+    )
+
+
+def _zorder_oracle() -> str:
+    norm = {
+        "u": "CAST(floor((CAST(user_id AS DOUBLE) - lo0) * (CASE WHEN hi0 > lo0 THEN 65535.0 / (hi0 - lo0) ELSE 0.0 END) + 0.5) AS BIGINT)",
+        "t": "CAST(floor((CAST(epoch_us(ts) AS DOUBLE) - lo1) * (CASE WHEN hi1 > lo1 THEN 65535.0 / (hi1 - lo1) ELSE 0.0 END) + 0.5) AS BIGINT)",
+    }
+    terms = []
+    for b in range(16):
+        for i, c in enumerate(("u", "t")):
+            terms.append(f"((({c} >> {b}) & 1) << {b * 2 + i})")
+    return f"""
+WITH st AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS lo0, max(CAST(user_id AS DOUBLE)) AS hi0,
+         min(CAST(epoch_us(ts) AS DOUBLE)) AS lo1, max(CAST(epoch_us(ts) AS DOUBLE)) AS hi1
+  FROM events
+), n AS (
+  SELECT event_id, {norm['u']} AS u, {norm['t']} AS t FROM events, st
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST({' + '.join(terms)} AS BIGINT) AS zkey
+FROM n
+"""
+
+
+ORACLE_EVENTS_ZORDER = _zorder_oracle()
+
+
+# ---------------------------------------------------------------------------
 # embedding quantization
 
 
@@ -2068,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gaps": _q_orders_gaps,
         "regional_supplier_volume": _q_regional_supplier_volume,
         "embed_quantize": _q_embed_quantize,
+        "events_zorder": _q_events_zorder,
     }
 
 
@@ -2130,4 +2175,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_gaps": ORACLE_ORDERS_GAPS,
         "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER_VOLUME,
         "embed_quantize": ORACLE_EMBED_QUANTIZE,
+        "events_zorder": ORACLE_EVENTS_ZORDER,
     }
