@@ -1646,6 +1646,54 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# group-wise top-k (WindowGroupLimit pushdown)
+
+
+def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest users per event type: two-stage hash aggregate then a
+    rank-filtered window. Spark's WindowGroupLimit rewrite runs a
+    PARTIAL top-k inside each map task before the exchange, so the
+    window shuffle carries at most k rows per group per task instead of
+    the full aggregate — the property that keeps per-group top-k
+    viable when a group spans billions of rows."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_events",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+ORACLE_EVENTS_TOP_USERS = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(user_id AS BIGINT) AS user_id, n_events,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, user_id) AS rnk
+  FROM c
+) t
+WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # z-order layout key
 
 
@@ -2113,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supplier_volume": _q_regional_supplier_volume,
         "embed_quantize": _q_embed_quantize,
         "events_zorder": _q_events_zorder,
+        "events_top_users": _q_events_top_users,
     }
 
 
@@ -2176,4 +2225,5 @@ def oracle_sql() -> dict[str, str]:
         "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER_VOLUME,
         "embed_quantize": ORACLE_EMBED_QUANTIZE,
         "events_zorder": ORACLE_EVENTS_ZORDER,
+        "events_top_users": ORACLE_EVENTS_TOP_USERS,
     }
