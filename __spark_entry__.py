@@ -1646,6 +1646,54 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# multi-granularity rollup (hypertable continuous-aggregate shape)
+
+
+def _q_events_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour and day rollups in ONE pass via GROUPING SETS: a single
+    Expand node duplicates each row into its two grains before one hash
+    aggregate — the timeseries-db 'continuous aggregate at multiple
+    granularities' materialization without scanning the fact table
+    twice."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    ev.createOrReplaceTempView("__mg_events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(hour_ts) = 0 THEN 'hour' ELSE 'day' END AS grain,
+               COALESCE(hour_ts, day_ts) AS bucket_ts,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM (
+          SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_ts,
+                 CAST(date_trunc('day', ts) AS STRING) AS day_ts,
+                 event_type, value
+          FROM __mg_events
+        )
+        GROUP BY GROUPING SETS ((hour_ts, event_type), (day_ts, event_type))
+        """
+    )
+
+
+ORACLE_EVENTS_MULTIGRAIN = """
+SELECT CASE WHEN grouping(hour_ts) = 0 THEN 'hour' ELSE 'day' END AS grain,
+       COALESCE(hour_ts, day_ts) AS bucket_ts,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (
+  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+         CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day_ts,
+         event_type, value
+  FROM events
+)
+GROUP BY GROUPING SETS ((hour_ts, event_type), (day_ts, event_type))
+"""
+
+
+# ---------------------------------------------------------------------------
 # group-wise top-k (WindowGroupLimit pushdown)
 
 
@@ -2162,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": _q_embed_quantize,
         "events_zorder": _q_events_zorder,
         "events_top_users": _q_events_top_users,
+        "events_multigrain": _q_events_multigrain,
     }
 
 
@@ -2226,4 +2275,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_quantize": ORACLE_EMBED_QUANTIZE,
         "events_zorder": ORACLE_EVENTS_ZORDER,
         "events_top_users": ORACLE_EVENTS_TOP_USERS,
+        "events_multigrain": ORACLE_EVENTS_MULTIGRAIN,
     }
