@@ -142,3 +142,71 @@ def test_minhash_lsh_degenerate_identical_corpus_bounded(spark):
     assert len(rows) == n - 1
     assert all(r.id_a == 0 and r.jaccard == 1.0 for r in rows)
     assert {r.id_b for r in rows} == set(range(1, n))
+
+
+# ---------------------------------------------------------------------------
+# funnel
+
+
+def _py_funnel(events, stages):
+    """events: list of (user, ts, stage). Returns {user: (times, depth)}."""
+    out = {}
+    by_user = {}
+    for u, t, s in events:
+        by_user.setdefault(u, []).append((t, s))
+    for u, evs in by_user.items():
+        evs.sort()
+        times = []
+        cur = None
+        for stage in stages:
+            cand = [t for t, s in evs if s == stage and (cur is None or t > cur)]
+            if not cand:
+                break
+            cur = min(cand)
+            times.append(cur)
+        if times:
+            times += [None] * (len(stages) - len(times))
+            out[u] = (tuple(times), sum(1 for t in times if t is not None))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),                       # user
+            st.integers(0, 20),                      # ts (seconds)
+            st.sampled_from(["a", "b", "c"]),        # stage
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_funnel_matches_python_reference(spark, events):
+    from datetime import datetime, timezone
+
+    from omop_etl_spark.operators.temporal import funnel
+
+    rows = [
+        (u, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None), s)
+        for u, t, s in events
+    ]
+    df = spark.createDataFrame(rows, "u bigint, t timestamp, s string")
+    got = {
+        r["u"]: ((r["t0"], r["t1"], r["t2"]), r["depth"])
+        for r in funnel(df, ["u"], "t", "s", ["a", "b", "c"]).collect()
+    }
+    want = {
+        u: (
+            tuple(
+                datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None)
+                if t is not None
+                else None
+                for t in times
+            ),
+            depth,
+        )
+        for u, (times, depth) in _py_funnel(events, ["a", "b", "c"]).items()
+    }
+    assert got == want
