@@ -48,9 +48,12 @@ def main() -> None:
     # reads, and the engine's one-time catalog registration are session
     # setup, not query latency
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    entrymod._engine(spark, sf_dir)
-    for t in ("documents", "embeddings", "events"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    try:
+        entrymod._engine(spark, sf_dir)
+        for t in ("documents", "embeddings", "events"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    except Exception as exc:  # noqa: BLE001 - warmup is best-effort
+        print(f"# warmup failed: {exc}", file=sys.stderr)
 
     def _identity(batches):
         yield from batches
@@ -76,10 +79,18 @@ def main() -> None:
     # 2-4x with neighbor load; the minimum measures the engine
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # per-query isolation: one broken query must not kill the whole
+    # bench (BENCH_r03/r04 were rc=1 with no numbers because a single
+    # AnalysisException escaped the warmup)
     for name, fn in entrymod.queries().items():
-        n = fn(spark, sf_dir).count()  # per-query warmup + row count
-        timings[name] = min(timed(fn, sf_dir) for _ in range(runs))
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        try:
+            n = fn(spark, sf_dir).count()  # per-query warmup + row count
+            timings[name] = min(timed(fn, sf_dir) for _ in range(runs))
+            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
     # one quick pass at sf0.01: cheap enough to be noise-free, so
     # round-over-round regressions are separable from host load
@@ -89,7 +100,10 @@ def main() -> None:
         sf_dir
     ):
         for name, fn in entrymod.queries().items():
-            small[name] = timed(fn, small_dir)
+            try:
+                small[name] = timed(fn, small_dir)
+            except Exception:  # noqa: BLE001 - already recorded at full SF
+                pass
 
     total = round(sum(timings.values()), 3)
     # The driver keeps only the last 2000 chars of output and parses the
@@ -105,6 +119,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
+    if errors:
+        out["errors"] = len(errors)
     detail = {
         "metric": out["metric"],
         "value": total,
@@ -112,6 +128,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        detail["errors"] = errors
     if small:
         ms = re.search(r"sf([\d.]+)", small_dir)
         detail["sf_small"] = float(ms.group(1)) if ms else -1.0

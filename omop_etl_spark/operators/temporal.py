@@ -89,6 +89,12 @@ def asof_join(
     left_on, right_on = list(left_on), list(right_on)
     if len(left_on) != len(right_on) or not left_on:
         raise ValueError("asof_join: left_on/right_on must be equal-length, non-empty")
+    lt, rt = left.schema[left_ts].dataType, right.schema[right_ts].dataType
+    if lt != rt and {lt.typeName(), rt.typeName()} <= {"timestamp", "timestamp_ntz"}:
+        # Mixed TIMESTAMP/TIMESTAMP_NTZ inputs would fail the unionByName
+        # below with an AnalysisException; normalize the right side to the
+        # left's type (epoch-preserving under a UTC session timezone).
+        right = right.withColumn(right_ts, F.col(right_ts).cast(lt))
     payload_cols = list(
         value_cols
         if value_cols is not None

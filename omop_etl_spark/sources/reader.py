@@ -1,11 +1,18 @@
-"""Source readers: parquet with nanosecond-timestamp compatibility.
+"""Source readers: parquet with timestamp-encoding compatibility.
 
-Spark's vectorized parquet reader rejects ``TIMESTAMP(NANOS)`` columns
-(``PARQUET_TYPE_ILLEGAL``) which pandas/pyarrow writers emit by default.
-With ``spark.sql.legacy.parquet.nanosAsLong=true`` (a session conf) the
-column surfaces as a raw epoch-nanos ``bigint``; we convert back to a
-proper timestamp with integer division (``div 1000`` — double division
-would lose precision above 2^53 ns).
+Pandas/pyarrow writers emit timestamps in encodings Spark handles
+awkwardly; this reader normalizes the known ones to plain ``timestamp``:
+
+* ``TIMESTAMP(NANOS)`` — Spark's vectorized reader rejects it
+  (``PARQUET_TYPE_ILLEGAL``).  With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` the column surfaces as a
+  raw epoch-nanos ``bigint``; we convert back with integer division
+  (``div 1000`` — double division would lose precision above 2^53 ns).
+* ``timestamp[us]`` without a timezone — Spark reads it as
+  ``TIMESTAMP_NTZ``, which breaks ``unix_micros()`` and mixes badly with
+  ``TIMESTAMP`` in unions/joins.  We cast to ``timestamp``; with the
+  session timezone pinned to UTC (done in :func:`enable_nanos_compat`)
+  the cast is epoch-identical to the naive wall-clock the oracle sees.
 """
 
 from __future__ import annotations
@@ -21,6 +28,9 @@ EVENTS_NS_COLUMNS = {"events": ["ts"]}
 
 def enable_nanos_compat(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session tz so the TIMESTAMP_NTZ -> TIMESTAMP cast below is
+    # epoch-exact everywhere, not just on UTC hosts (ADVICE r4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def read_parquet_table(
@@ -31,6 +41,11 @@ def read_parquet_table(
     enable_nanos_compat(spark)
     df = spark.read.parquet(path)
     for c in ns_columns or ():
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":  # legacy nanos-as-long encoding
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtype == "timestamp_ntz":  # pandas timestamp[us] without tz
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -56,19 +56,32 @@ EVENTS_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events parquet directory (or a single
     parquet file — streamed via a glob filter on its parent, since the
-    file source requires a directory)."""
+    file source requires a directory).
+
+    The file source needs a user-supplied schema; rather than hard-code
+    one timestamp encoding (the round-4 outage: the testdata moved from
+    ``timestamp[ns]`` to ``timestamp[us]``-no-tz), we take the schema
+    from a batch footer read of the same path and normalize ``ts`` the
+    same way :func:`~omop_etl_spark.sources.read_parquet_table` does.
+    """
     from pathlib import Path
 
     from ..sources.reader import enable_nanos_compat
 
     enable_nanos_compat(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    on_disk = spark.read.parquet(path).schema  # footer-only, cheap
+    reader = spark.readStream.schema(on_disk).format("parquet")
     p = Path(path)
     if p.is_file():
         reader = reader.option("pathGlobFilter", p.name)
         path = str(p.parent)
     raw = reader.load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":  # epoch nanos via nanosAsLong
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":  # pandas timestamp[us] without tz
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_counts(
