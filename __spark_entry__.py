@@ -971,12 +971,126 @@ FROM reach GROUP BY id
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate LSH near-dup pairs — rows-only check; precision is
-    # exact (verified jaccard), recall < 1 near the threshold
+    # LSH near-dup pairs with the md5 base hash, so the ENTIRE pipeline
+    # (signature → banding → bucket cap → exact-jaccard verify) replays
+    # bit-for-bit in DuckDB: a full hash-checked row, not rows-only.
+    # Precision is exact (verified jaccard); recall < 1 near the
+    # threshold — but recall is a deterministic function of the seeded
+    # signatures, so the oracle reproduces the exact same pair set.
     from omop_etl_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=8, threshold=0.8)
+    return minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.8, base_hash="md5"
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _minhash_pair_ctes(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.8,
+    max_bucket: int = 256,
+) -> str:
+    """CTE chain (``sh`` … ``mh_pairs``) replaying
+    operators.dedup.minhash_lsh_pairs(base_hash="md5") bit-for-bit in
+    DuckDB: same md5-derived 32-bit shingle hash, same seeded affine
+    rehash family, same banding, same over-full-bucket star-linking,
+    same exact-jaccard verification. ``mh_pairs`` has columns
+    ``(id_a, id_b, jaccard)``."""
+    from omop_etl_spark.operators.dedup import _MERSENNE_P, _affine_params
+
+    rows = num_hashes // bands
+    params = _affine_params(num_hashes)
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {_MERSENNE_P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"m{b * rows + r} AS x{r}" for r in range(rows))
+        + " FROM sig"
+        for b in range(bands)
+    )
+    xs = ", ".join(f"x{r}" for r in range(rows))
+    xeq = " AND ".join(f"a.x{r} = b.x{r}" for r in range(rows))
+    return f"""sh AS ({_DUCK_SHINGLES}),
+h AS (SELECT doc_id,
+             list_transform(s, g -> CAST('0x' || substr(md5('0|' || g), 1, 8) AS BIGINT)) AS hs
+      FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h),
+banded AS ({band_selects}),
+stats AS (
+  SELECT doc_id, band, {xs},
+         COUNT(*) OVER w AS cnt, MIN(doc_id) OVER w AS mn
+  FROM banded WINDOW w AS (PARTITION BY band, {xs})
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM stats a JOIN stats b
+      ON a.band = b.band AND {xeq} AND a.doc_id < b.doc_id
+    WHERE a.cnt <= {max_bucket}
+    UNION ALL
+    SELECT mn, doc_id FROM stats WHERE cnt > {max_bucket} AND doc_id <> mn
+  )
+),
+mh_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+  WHERE len(list_intersect(a.s, b.s)) /
+        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= {threshold}
+)"""
+
+
+def _oracle_minhash_lsh(**kw) -> str:
+    return f"""
+WITH {_minhash_pair_ctes(**kw)}
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard
+FROM mh_pairs
+"""
+
+
+def _q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end approximate corpus dedup — the LLM-pipeline flagship:
+    MinHash-LSH candidate pairs (md5 base hash, oracle-replicable)
+    verified by exact Jaccard, folded into connected components
+    (large/small-star), one survivor elected per cluster. The full
+    oracle replays signature → banding → verify → transitive closure."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=8, threshold=0.8, base_hash="md5"
+    )
+    return assign_clusters(docs, pairs, id_col="doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_survivor",
+    )
+
+
+def _oracle_near_clusters(**kw) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes(**kw)},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM reach GROUP BY id
+"""
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2178,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": _q_sim_topk_lsh,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_near_clusters": _q_dedup_near_clusters,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "text_quality": _q_text_quality,
         "text_pii_scrub": _q_pii_scrub,
@@ -2240,10 +2355,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
         "sim_topk": ORACLE_SIM_TOPK,
-        # sim_topk_lsh, dedup_minhash_lsh: approximate by design →
-        # rows-only driver check (no SQL equivalent with recall < 1)
+        # sim_topk_lsh: approximate by design → rows-only driver check
+        "dedup_minhash_lsh": _oracle_minhash_lsh(),
         "ngram_jaccard_pairs": ORACLE_JACCARD_PAIRS,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "dedup_near_clusters": _oracle_near_clusters(),
         "text_quality": ORACLE_TEXT_QUALITY,
         "text_pii_scrub": ORACLE_PII_SCRUB,
         "text_langid": _oracle_langid(),

@@ -366,6 +366,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     max_bucket: int = 256,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash banding: signatures split
     into ``bands``; pairs colliding in ≥1 band become candidates, then
@@ -375,6 +376,13 @@ def minhash_lsh_pairs(
     One shuffle to bucket (band-hash join), one to verify — no O(N²)
     stage. This is the 100 TB path; :func:`jaccard_pairs` is the exact
     oracle-checkable sibling.
+
+    ``base_hash`` picks the 32-bit shingle hash under the affine
+    rehashes: ``"xxhash64"`` (default, JVM-native, the production
+    path) or ``"md5"`` (engine-portable — any SQL engine with ``md5``
+    can replay the signature bit-for-bit, which is what makes the
+    whole LSH pipeline DuckDB-oracle-checkable). Same hash family,
+    same banding behavior; signature VALUES differ between the two.
 
     **Bucket cap**: a band bucket holding more than ``max_bucket``
     documents (e.g. thousands of identical boilerplate pages) would
@@ -399,14 +407,15 @@ def minhash_lsh_pairs(
     )
     # xxhash64 masked to 32 bits: JVM-native and an order of magnitude
     # cheaper than the md5+conv base hash, and non-negative so the
-    # affine rehash (a < 2^29) stays inside int64. LSH candidates have
-    # no SQL-oracle obligation (rows-only check) — md5 is kept only
-    # where an ANSI oracle must replicate the hash (simhash, prefix
-    # filter).
-    h = ex.select(
-        "__id",
-        F.xxhash64("__g").bitwiseAND(F.lit((1 << 32) - 1)).alias("__h"),
-    )
+    # affine rehash (a < 2^29) stays inside int64. The md5 form is the
+    # engine-portable alternative an ANSI oracle can replicate.
+    if base_hash == "md5":
+        hc = _md5_hash(F.col("__g"), 0)
+    elif base_hash == "xxhash64":
+        hc = F.xxhash64("__g").bitwiseAND(F.lit((1 << 32) - 1))
+    else:
+        raise ValueError(f"minhash_lsh_pairs: base_hash={base_hash!r}")
+    h = ex.select("__id", hc.alias("__h"))
     params = _affine_params(num_hashes)
     mins = h.groupBy("__id").agg(
         *[
