@@ -1075,6 +1075,79 @@ def _q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (64 tokens, 16 overlap) — the
+    map-only first stage of an embedding/pre-tokenization pipeline."""
+    from omop_etl_spark.operators.chunking import chunk_documents
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return chunk_documents(
+        docs, chunk_tokens=64, overlap=16, keep_cols=("lang",)
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+ORACLE_DOCS_CHUNK = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(s.i AS INT) AS chunk_id,
+       array_to_string(toks[s.i * 48 + 1 : s.i * 48 + 64], ' ') AS chunk_text,
+       CAST(least(len(toks) - s.i * 48, 64) AS INT) AS n_tokens
+FROM t, LATERAL (
+  SELECT unnest(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS i
+) s
+WHERE len(toks) > 0
+"""
+
+
+def _q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf, lexicographic
+    tie-break) — keyword extraction over the corpus."""
+    from omop_etl_spark.operators.chunking import tfidf_topk
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=5).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_DOCS_TFIDF = """
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln((n.n_docs + 1) / CAST(dfreq.df + 1 AS DOUBLE)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _oracle_near_clusters(**kw) -> str:
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes(**kw)},
@@ -2293,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_near_clusters": _q_dedup_near_clusters,
+        "docs_chunk": _q_docs_chunk,
+        "docs_tfidf": _q_docs_tfidf,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "text_quality": _q_text_quality,
         "text_pii_scrub": _q_pii_scrub,
@@ -2360,6 +2435,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": ORACLE_JACCARD_PAIRS,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_near_clusters": _oracle_near_clusters(),
+        "docs_chunk": ORACLE_DOCS_CHUNK,
+        "docs_tfidf": ORACLE_DOCS_TFIDF,
         "text_quality": ORACLE_TEXT_QUALITY,
         "text_pii_scrub": ORACLE_PII_SCRUB,
         "text_langid": _oracle_langid(),

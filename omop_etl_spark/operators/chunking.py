@@ -1,0 +1,133 @@
+"""Corpus-level text operators for training-data preparation:
+fixed-window document chunking and TF-IDF term scoring.
+
+Reference parity: the reference engine (clinical-ai/omop-etl) has no
+text-corpus surface — these belong to the LLM-data-pipeline extension
+(project brief), alongside ``operators/dedup.py`` and
+``operators/contamination.py``.
+
+Scale notes:
+
+* :func:`chunk_documents` is MAP-ONLY — tokenize, build the window
+  start sequence with ``F.sequence`` (JVM), explode, slice. No shuffle
+  anywhere, so it scales linearly with input bytes and stays entirely
+  inside whole-stage codegen; the natural first stage of an embedding
+  or pre-tokenization pipeline over a 100 TB corpus.
+* :func:`tfidf_topk` shuffles twice (doc-term counts, term document
+  frequencies) plus one window pass on the doc key — all hash
+  partitioned, no global sort, and the DF side aggregates to
+  vocabulary size (≪ corpus size) before joining back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["chunk_documents", "tfidf_topk"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split each document's whitespace token stream into fixed-size
+    windows of ``chunk_tokens`` tokens advancing by ``chunk_tokens -
+    overlap`` (trailing chunks may be shorter). Documents with no
+    tokens produce no rows. Output: one row per chunk with
+    ``(id_col, chunk_id, chunk_text, n_tokens)`` plus any ``keep_cols``
+    carried through. ``chunk_id`` is the 0-based window index —
+    ``(id_col, chunk_id)`` is a stable key for downstream
+    embedding/dedup joins.
+
+    Map-only: no shuffle, no UDF; everything is JVM array functions
+    inside one codegen stage.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... strictly below n
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    out = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("__toks")) - F.col("__start"), F.lit(chunk_tokens)
+            ).alias("n_tokens"),
+        )
+    )
+    return out
+
+
+def _term_tokens(text_col: str) -> Column:
+    """Lowercased word terms (letters+digits runs) — the tokenization
+    both the Spark and oracle sides share."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF:
+    ``tf * ln((N + 1) / (df + 1))`` where ``tf`` is the in-document
+    term count, ``df`` the number of documents containing the term and
+    ``N`` the corpus size. Ties (identical scores — e.g. equal tf on
+    equal-df terms) break lexicographically on the term, so the result
+    is fully deterministic and engine-portable.
+
+    Returns ``(id_col, term, tf, df, score, rank)`` with ``rank`` in
+    ``1..k``.
+
+    Two hash shuffles (doc-term counts; term DF) + one window on the
+    doc key. The DF frame is vocabulary-sized, so the join back is
+    broadcast-able at typical vocab sizes; at web-corpus vocab it
+    degrades gracefully to a hash join on the term key.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(_term_tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

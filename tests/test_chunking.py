@@ -1,0 +1,92 @@
+"""Unit tests for operators/chunking.py (document chunking + TF-IDF)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.chunking import chunk_documents, tfidf_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_and_overlap(spark):
+    text = " ".join(str(i) for i in range(10))  # tokens 0..9
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=4, overlap=2
+    ).orderBy("chunk_id").collect()
+    # starts 0,2,4,6,8 -> windows [0..3],[2..5],[4..7],[6..9],[8..9]
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3, 4]
+    assert out[0].chunk_text == "0 1 2 3"
+    assert out[1].chunk_text == "2 3 4 5"
+    assert out[4].chunk_text == "8 9"
+    assert [r.n_tokens for r in out] == [4, 4, 4, 4, 2]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "a b"), (2, ""), (3, "   ")]),
+        chunk_tokens=8,
+        overlap=2,
+    ).collect()
+    # doc 1: one short chunk; docs 2-3: no tokens -> no rows
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].chunk_text == "a b" and out[0].n_tokens == 2
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_tokens=4, overlap=4)
+
+
+def test_chunk_is_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # the 100 TB contract: zero shuffles
+
+
+def test_chunk_reconstruction_covers_all_tokens(spark):
+    # every token index of every doc appears in >=1 chunk window
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    total = docs.select(
+        F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")))
+    ).collect()[0][0]
+    covered = (
+        chunk_documents(docs, chunk_tokens=64, overlap=16)
+        .select("doc_id", "chunk_id", "n_tokens")
+        .groupBy("doc_id")
+        # non-final chunks advance by step=48; the final chunk
+        # contributes its full length
+        .agg((F.max("chunk_id") * 48 + F.max_by("n_tokens", "chunk_id")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert covered == total
+
+
+def test_tfidf_topk_scores_and_ties(spark):
+    out = tfidf_topk(
+        _docs(
+            spark,
+            [
+                (1, "apple banana apple cherry"),
+                (2, "banana cherry cherry durian"),
+            ],
+        ),
+        k=3,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    # apple: tf=2 df=1 -> rarest+frequent wins; banana/cherry tie on
+    # score (tf=1, df=2) -> lexicographic order
+    assert [r.term for r in d1] == ["apple", "banana", "cherry"]
+    assert d1[0].tf == 2 and d1[0].df == 1
+    d2 = sorted(by_doc[2], key=lambda r: r.rank)
+    # durian: tf=1 df=1 -> only positive idf; banana/cherry both score
+    # 0 (df=2 with N=2 -> ln(3/3)=0, tf irrelevant) -> lexicographic
+    assert [r.term for r in d2] == ["durian", "banana", "cherry"]
+    assert all(r.rank == i + 1 for d in (d1, d2) for i, r in enumerate(d))
