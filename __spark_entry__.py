@@ -1371,6 +1371,45 @@ SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= 0.4
 """
 
 
+def _q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: exact cosine near-dup pairs folded
+    into connected components with one survivor per cluster — the
+    embedding-space sibling of ``dedup_near_clusters``."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.similarity import cosine_pairs
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_pairs(emb, threshold=0.4, num_blocks=4)
+    return assign_clusters(emb, pairs, id_col="vec_id").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_survivor",
+    )
+
+
+ORACLE_EMBED_DEDUP_CLUSTERS = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.id = e2.v
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM reach GROUP BY id
+"""
+
+
 def _q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding corpus (posexplode + hash
     agg; fixed-point mode for engine-exact determinism)."""
@@ -2368,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_clusters": _q_dedup_near_clusters,
         "docs_chunk": _q_docs_chunk,
         "docs_tfidf": _q_docs_tfidf,
+        "embed_dedup_clusters": _q_embed_dedup_clusters,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "text_quality": _q_text_quality,
         "text_pii_scrub": _q_pii_scrub,
@@ -2437,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_clusters": _oracle_near_clusters(),
         "docs_chunk": ORACLE_DOCS_CHUNK,
         "docs_tfidf": ORACLE_DOCS_TFIDF,
+        "embed_dedup_clusters": ORACLE_EMBED_DEDUP_CLUSTERS,
         "text_quality": ORACLE_TEXT_QUALITY,
         "text_pii_scrub": ORACLE_PII_SCRUB,
         "text_langid": _oracle_langid(),
