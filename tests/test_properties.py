@@ -210,3 +210,43 @@ def test_funnel_matches_python_reference(spark, events):
         for u, (times, depth) in _py_funnel(events, ["a", "b", "c"]).items()
     }
     assert got == want
+
+
+def _py_chunks(text: str, chunk: int, overlap: int):
+    toks = [t for t in text.split() if t]
+    step = chunk - overlap
+    out = []
+    i = 0
+    start = 0
+    while start < len(toks):
+        w = toks[start : start + chunk]
+        out.append((i, " ".join(w), len(w)))
+        i += 1
+        start += step
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.lists(words, min_size=0, max_size=20).map(" ".join),
+             min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=6),
+)
+def test_chunking_matches_python_reference(spark, doc_texts, chunk, overlap):
+    from omop_etl_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    docs = [(i, t) for i, t in enumerate(doc_texts)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    }
+    want = {
+        (i, cid): (ctext, ntok)
+        for i, t in docs
+        for cid, ctext, ntok in _py_chunks(t, chunk, overlap)
+    }
+    assert got == want
