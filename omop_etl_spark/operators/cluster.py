@@ -61,6 +61,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    rows_per_partition: int = 1_000_000,
 ) -> DataFrame:
     """Return ``(id, component)`` for every node appearing in
     ``edges``, where ``component`` is the smallest node id of its
@@ -68,9 +69,40 @@ def connected_components(
 
     Isolated nodes never appear in ``edges`` and so are absent here —
     :func:`assign_clusters` adds them back from the full node set.
+
+    The iterative stage sizes its shuffle width from the measured edge
+    count (``ceil(|E| / rows_per_partition)``, capped at the session
+    setting): each half-round is 2 shuffles + a checkpoint, and paying
+    a full ``spark.sql.shuffle.partitions``-way exchange per round for
+    a few thousand surviving edges is pure task-scheduling overhead —
+    the dominant cost of small/medium dedup graphs. At cluster scale
+    the cap leaves the configured width untouched. The session conf is
+    restored on exit (every round materializes eagerly via
+    ``localCheckpoint``, so no lazy plan escapes with the narrow
+    setting); sessions running concurrent queries on other threads
+    should pass ``rows_per_partition=0`` to disable the adjustment.
     """
     b = _canonical(edges, src, dst).localCheckpoint()
     sig = _signature(b)
+    conf = edges.sparkSession.conf
+    orig_parts: str | None = None
+    if rows_per_partition:
+        try:
+            cur = int(conf.get("spark.sql.shuffle.partitions"))
+            narrow = max(1, min(cur, -(-max(sig[0], 1) // rows_per_partition)))
+            if narrow < cur:
+                orig_parts = str(cur)
+                conf.set("spark.sql.shuffle.partitions", str(narrow))
+        except (TypeError, ValueError):
+            pass
+    try:
+        return _cc_loop(b, sig, max_iterations)
+    finally:
+        if orig_parts is not None:
+            conf.set("spark.sql.shuffle.partitions", orig_parts)
+
+
+def _cc_loop(b: DataFrame, sig: tuple[int, int], max_iterations: int) -> DataFrame:
     for _ in range(max_iterations):
         # large-star: sym view, m(u) = min(u, min neighbors); for
         # every neighbor v > u hang (v, m). One shuffle (window by u).
