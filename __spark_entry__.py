@@ -1496,6 +1496,52 @@ FROM documents
 """
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # video-shaped plumbing end-to-end: resize (binary->binary stage)
+    # joined with every-4th-frame sampling (fan-out mapInPandas — one
+    # output row per kept frame); stub compute derives from md5 hex so
+    # the whole thing replays in SQL
+    from omop_etl_spark.operators.multimodal import (
+        fake_frame_extractor,
+        fake_resizer,
+        resize_media,
+        sample_frames,
+        with_media_metadata,
+    )
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    media = with_media_metadata(
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        ),
+        media_type="video",
+        fmt="txt",
+    )
+    frames = sample_frames(media, every_n=4, extractor=fake_frame_extractor)
+    resized = resize_media(media, 64, 64, resizer=fake_resizer).select(
+        "media_id", F.md5("payload").alias("resized_checksum")
+    )
+    return frames.select(
+        "media_id", "frame_idx", "n_frames", "frame_hash"
+    ).join(resized, "media_id")
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS hx,
+         CAST(1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 32 AS INT) AS n_frames
+  FROM documents
+)
+SELECT media_id, CAST(s.i AS INT) AS frame_idx, n_frames,
+       md5(hx || ':' || CAST(s.i AS VARCHAR)) AS frame_hash,
+       md5(md5(hx || ':64x64')) AS resized_checksum
+FROM m, LATERAL (
+  SELECT unnest(range(0, n_frames, 4)) AS i
+) s
+"""
+
+
 ORACLE_TEXT_TOKENS = r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
@@ -2419,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_topk_ivf,
         "text_token_counts": _q_text_tokens,
         "multimodal_features": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
         "split_assign": _q_split_assign,
         "sample_stratified": _q_sample_stratified,
         "pack_bins": _q_pack_bins,
@@ -2488,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
         # sim_topk_ivf: approximate by design → rows-only driver check
         "text_token_counts": ORACLE_TEXT_TOKENS,
         "multimodal_features": ORACLE_MULTIMODAL,
+        "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
         "split_assign": ORACLE_SPLIT_ASSIGN,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "pack_bins": ORACLE_PACK_BINS,

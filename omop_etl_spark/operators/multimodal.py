@@ -34,9 +34,14 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
     "with_media_metadata",
     "decode_and_extract",
+    "resize_media",
+    "sample_frames",
     "fake_decoder",
+    "fake_resizer",
+    "fake_frame_extractor",
 ]
 
 #: canonical multimodal column bundle: payload + typed metadata
@@ -63,7 +68,20 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+#: output schema of the frame-sampling stage (one row per kept frame)
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
 Decoder = Callable[[bytes, str], dict]
+Resizer = Callable[[bytes, int, int], bytes]
+FrameExtractor = Callable[[bytes, str], list]
 
 
 def with_media_metadata(
@@ -140,3 +158,125 @@ def decode_and_extract(
             yield out
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: the "resized" payload is the md5
+    hex of (content hash, target dims), as ascii bytes — replicable in
+    SQL as ``md5(md5(text) || ':WxH')``."""
+    hx = hashlib.md5(payload or b"").hexdigest()
+    return hashlib.md5(f"{hx}:{width}x{height}".encode()).hexdigest().encode()
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Resizer | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """Arrow-batched binary→binary resize stage: ``(media_id,
+    media_type, payload, width, height)`` with the payload replaced by
+    the resized bytes. Same stub contract as :func:`decode_and_extract`
+    — raises ``NotImplementedError`` at execution time unless a resizer
+    (e.g. :func:`fake_resizer`, or PIL in production) is injected.
+
+    Payload bytes cross the Python boundary exactly once per direction,
+    Arrow-columnar in batches bounded by ``maxRecordsPerBatch``.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "no media resizer available in this environment; "
+                    "inject one (e.g. multimodal.fake_resizer)"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "media_type": pdf[type_col].values,
+                    "payload": [resizer(p, width, height) for p in pdf[payload_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    return df.mapInPandas(run, out_schema)
+
+
+def fake_frame_extractor(payload: bytes, media_type: str) -> list:
+    """Deterministic frame-extraction stand-in: frame count derived
+    like :func:`fake_decoder` (images are single-frame), each frame's
+    hash ``md5(hex ':' idx)`` — replicable in SQL with md5 + a range
+    generator."""
+    hx = hashlib.md5(payload or b"").hexdigest()
+    b2 = int(hx[4:6], 16)
+    n = 1 if media_type == "image" else 1 + b2 % 32
+    return [hashlib.md5(f"{hx}:{i}".encode()).hexdigest() for i in range(n)]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    extractor: FrameExtractor | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """Frame sampling for video payloads: keep every ``every_n``-th
+    frame (index 0, n, 2n, …), one OUTPUT ROW per kept frame — the
+    fan-out ``mapInPandas`` shape (a batch of k videos yields a batch
+    of ``sum(ceil(n_frames/every_n))`` rows; Arrow handles the
+    asymmetry natively, no explode of a materialized array column).
+    Raises ``NotImplementedError`` at execution time unless an
+    extractor (e.g. :func:`fake_frame_extractor`, or ffmpeg in
+    production) is injected.
+    """
+    if every_n < 1:
+        raise ValueError("sample_frames: every_n must be >= 1")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if extractor is None:
+                raise NotImplementedError(
+                    "no frame extractor available in this environment; "
+                    "inject one (e.g. multimodal.fake_frame_extractor)"
+                )
+            ids, types, idxs, totals, hashes = [], [], [], [], []
+            for mid, mtype, p in zip(
+                pdf[id_col], pdf[type_col], pdf[payload_col]
+            ):
+                frames = extractor(p, mtype)
+                for i in range(0, len(frames), every_n):
+                    ids.append(mid)
+                    types.append(mtype)
+                    idxs.append(i)
+                    totals.append(len(frames))
+                    hashes.append(frames[i])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "frame_hash": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

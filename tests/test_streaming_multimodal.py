@@ -178,3 +178,59 @@ def test_stream_dedup_first_seen_wins(spark):
     )
     assert len(rows) == n_users
     assert len({r.user_id for r in rows}) == n_users
+
+
+def _media(spark):
+    from omop_etl_spark.operators.multimodal import with_media_metadata
+
+    raw = spark.createDataFrame(
+        [(1, b"aaa"), (2, b"bbbb"), (3, b"")], "media_id long, payload binary"
+    )
+    return with_media_metadata(raw, media_type="video")
+
+
+def test_resize_media_plumbing(spark):
+    import hashlib
+
+    from omop_etl_spark.operators.multimodal import fake_resizer, resize_media
+
+    out = {r.media_id: r for r in resize_media(_media(spark), 64, 64,
+                                               resizer=fake_resizer).collect()}
+    assert set(out) == {1, 2, 3}
+    for mid, payload in [(1, b"aaa"), (2, b"bbbb"), (3, b"")]:
+        r = out[mid]
+        assert (r.width, r.height) == (64, 64)
+        assert bytes(r.payload) == fake_resizer(payload, 64, 64)
+        # resized payload is content-derived, not pass-through
+        assert bytes(r.payload) != payload
+
+
+def test_resize_media_requires_decoder(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from omop_etl_spark.operators.multimodal import resize_media
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        resize_media(_media(spark), 64, 64).collect()
+
+
+def test_sample_frames_fanout(spark):
+    from omop_etl_spark.operators.multimodal import (
+        fake_frame_extractor,
+        sample_frames,
+    )
+
+    rows = sample_frames(
+        _media(spark), every_n=4, extractor=fake_frame_extractor
+    ).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, payload in [(1, b"aaa"), (2, b"bbbb"), (3, b"")]:
+        frames = fake_frame_extractor(payload, "video")
+        got = sorted(by_media[mid], key=lambda r: r.frame_idx)
+        # every 4th frame kept, indices 0,4,8..., hashes match the stub
+        assert [r.frame_idx for r in got] == list(range(0, len(frames), 4))
+        assert all(r.n_frames == len(frames) for r in got)
+        assert [r.frame_hash for r in got] == frames[::4]
