@@ -2335,6 +2335,44 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def _q_docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal: lines shared by >=2 distinct
+    docs are dropped everywhere (on the synthetic single-line corpus
+    this strips exact-duplicate documents to empty)."""
+    from omop_etl_spark.operators.contamination import strip_boilerplate
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return strip_boilerplate(docs, min_docs=2).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text_clean",
+        "n_lines_kept",
+    )
+
+
+ORACLE_DOCS_STRIP = """
+WITH l AS (
+  SELECT doc_id, s.i AS line_no, lines[s.i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+       LATERAL (SELECT unnest(range(0, len(lines))) AS i) s
+),
+hot AS (
+  SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.* FROM l ANTI JOIN hot USING (line)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_lines_kept
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
 def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality signals
     (operators/contamination.repetition_stats): per-doc duplicate- and
@@ -2478,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": _q_agg_cube,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_repetition": _q_docs_repetition,
+        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
         "docs_shuffle_order": _q_docs_shuffle_order,
         "cust_no_orders": _q_cust_no_orders,
         "orders_above_avg": _q_orders_above_avg,
@@ -2548,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_cube": ORACLE_AGG_CUBE,
         "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
         "docs_repetition": ORACLE_DOCS_REPETITION,
+        "docs_strip_boilerplate": ORACLE_DOCS_STRIP,
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

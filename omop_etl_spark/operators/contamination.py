@@ -23,7 +23,60 @@ from pyspark.sql import functions as F
 
 from .dedup import token_shingles
 
-__all__ = ["decontaminate", "repetition_stats"]
+__all__ = ["decontaminate", "repetition_stats", "strip_boilerplate"]
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    pattern): a line occurring in ``min_docs`` or more DISTINCT
+    documents is boilerplate (nav bars, cookie banners, license
+    headers) and is dropped from every document. Returns one row per
+    input document: ``(id_col, text_clean, n_lines_kept)`` — documents
+    whose every line was boilerplate keep their row with an empty
+    ``text_clean``.
+
+    Plan shape: explode lines (map-side), one hash aggregate on the
+    line value to find hot lines (map-side combined — the aggregate
+    output is boilerplate-vocabulary-sized, tiny next to the corpus),
+    one anti-join back (broadcast-able: the hot-line set is small by
+    construction), one hash aggregate on the doc key to reassemble.
+    No global sort; line order inside a doc is restored with
+    ``array_sort`` over (line_no, line) structs within the doc's
+    aggregate row.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+    )
+    hot = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(F.broadcast(hot), "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ln", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("int").alias("n_lines_kept"),
+    )
 
 
 def decontaminate(

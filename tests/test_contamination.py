@@ -105,3 +105,48 @@ def test_shuffle_shards_is_permutation_and_deterministic(spark):
     )
     ids = [i for _, i in ids_by_pos]
     assert ids != sorted(ids)
+
+
+def test_strip_boilerplate_removes_shared_lines(spark):
+    from omop_etl_spark.operators.contamination import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nFOOTER"),
+            (2, "COOKIE BANNER\nunique beta\nFOOTER"),
+            (3, "totally original\ncontent here"),
+            (4, "COOKIE BANNER\nFOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate(docs, min_docs=2).collect()}
+    assert len(out) == 4
+    # shared lines stripped everywhere, order of survivors preserved
+    assert out[1].text_clean == "unique alpha" and out[1].n_lines_kept == 1
+    assert out[2].text_clean == "unique beta"
+    assert out[3].text_clean == "totally original\ncontent here"
+    assert out[3].n_lines_kept == 2
+    # all-boilerplate doc keeps its row, empty
+    assert out[4].text_clean == "" and out[4].n_lines_kept == 0
+
+
+def test_strip_boilerplate_line_order_restored(spark):
+    from omop_etl_spark.operators.contamination import strip_boilerplate
+
+    text = "\n".join(f"line {i:03d}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "other doc")], "doc_id long, text string"
+    ).repartition(4)
+    out = {r.doc_id: r for r in strip_boilerplate(docs, min_docs=2).collect()}
+    assert out[1].text_clean == text  # nothing shared -> intact, ordered
+
+
+def test_strip_boilerplate_distinct_doc_count_not_occurrences(spark):
+    from omop_etl_spark.operators.contamination import strip_boilerplate
+
+    # "dup" appears twice but only in ONE doc -> NOT boilerplate
+    docs = spark.createDataFrame(
+        [(1, "dup\nmiddle\ndup"), (2, "unrelated")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in strip_boilerplate(docs, min_docs=2).collect()}
+    assert out[1].text_clean == "dup\nmiddle\ndup"
