@@ -2373,6 +2373,37 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
 
 
+def _q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus bigrams with total and document frequencies —
+    the vocabulary-training / frequency-filter primitive."""
+    from omop_etl_spark.operators.chunking import corpus_ngram_counts
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return corpus_ngram_counts(docs, n=2, top_k=200).select(
+        "ngram",
+        F.col("count").cast("bigint").alias("count"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+ORACLE_CORPUS_VOCAB = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(toks[s.i : s.i + 1], ' ') AS ngram
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) s
+  WHERE len(toks) >= 2
+),
+pd AS (SELECT doc_id, ngram, COUNT(*) AS c FROM g GROUP BY doc_id, ngram)
+SELECT ngram, CAST(SUM(c) AS BIGINT) AS count, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pd GROUP BY ngram
+ORDER BY count DESC, ngram ASC LIMIT 200
+"""
+
+
 def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality signals
     (operators/contamination.repetition_stats): per-doc duplicate- and
@@ -2517,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_repetition": _q_docs_repetition,
         "docs_strip_boilerplate": _q_docs_strip_boilerplate,
+        "corpus_vocab": _q_corpus_vocab,
         "docs_shuffle_order": _q_docs_shuffle_order,
         "cust_no_orders": _q_cust_no_orders,
         "orders_above_avg": _q_orders_above_avg,
@@ -2588,6 +2620,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
         "docs_repetition": ORACLE_DOCS_REPETITION,
         "docs_strip_boilerplate": ORACLE_DOCS_STRIP,
+        "corpus_vocab": ORACLE_CORPUS_VOCAB,
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

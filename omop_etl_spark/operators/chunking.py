@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "tfidf_topk"]
+__all__ = ["chunk_documents", "tfidf_topk", "corpus_ngram_counts"]
 
 
 def chunk_documents(
@@ -131,3 +131,57 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def corpus_ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide word-``n``-gram counts — the raw material of
+    tokenizer/vocabulary training and frequency-based filtering.
+    Returns ``(ngram, count, n_docs)``; with ``top_k``, only the
+    ``top_k`` most frequent (ties broken lexicographically on the
+    ngram, so the cut is deterministic).
+
+    One corpus scan, two map-side-combinable hash aggregates: first by
+    ``(doc, ngram)`` (combines within a document before anything
+    shuffles), then by ``ngram`` over the already per-doc-collapsed
+    stream — ``n_docs`` falls out as a plain row count, no
+    ``countDistinct`` expand. The optional top-k is a
+    ``TakeOrderedAndProject`` (per-partition heaps + driver merge of
+    ``top_k`` rows), never a global sort of the vocabulary.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    grams = (
+        toks
+        if n == 1
+        else F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    # the synthetic doc id MUST be pinned in its own projection below
+    # the Generate: monotonically_increasing_id() in the same select as
+    # explode() evaluates per OUTPUT row (one fresh id per ngram, which
+    # silently turns n_docs into a copy of count)
+    base = df.select(
+        F.monotonically_increasing_id().alias("__doc"), grams.alias("__g")
+    )
+    per_doc = (
+        base.select("__doc", F.explode("__g").alias("ngram"))
+        .groupBy("__doc", "ngram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    out = per_doc.groupBy("ngram").agg(
+        F.sum("__c").alias("count"), F.count(F.lit(1)).alias("n_docs")
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("count"), F.asc("ngram")).limit(top_k)
+    return out

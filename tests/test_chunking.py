@@ -90,3 +90,28 @@ def test_tfidf_topk_scores_and_ties(spark):
     # 0 (df=2 with N=2 -> ln(3/3)=0, tf irrelevant) -> lexicographic
     assert [r.term for r in d2] == ["durian", "banana", "cherry"]
     assert all(r.rank == i + 1 for d in (d1, d2) for i, r in enumerate(d))
+
+
+def test_corpus_ngram_counts_distinct_docs(spark):
+    from omop_etl_spark.operators.chunking import corpus_ngram_counts
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat and the cat ran"),  # "the cat" twice, 1 doc
+            (2, "the cat slept"),
+            (3, "no overlap here"),
+        ],
+    )
+    uni = {r.ngram: (r["count"], r.n_docs)
+           for r in corpus_ngram_counts(docs, n=1).collect()}
+    # total occurrences vs DISTINCT docs must differ for repeated terms
+    assert uni["the"] == (3, 2)
+    assert uni["cat"] == (3, 2)
+    bi = {r.ngram: (r["count"], r.n_docs)
+          for r in corpus_ngram_counts(docs, n=2).collect()}
+    assert bi["the cat"] == (3, 2)
+    assert bi["cat sat"] == (1, 1)
+    # short/empty docs contribute no n-grams; ordering+limit determinism
+    top = corpus_ngram_counts(docs, n=2, top_k=2).collect()
+    assert [r.ngram for r in top] == ["the cat", "and the"]
