@@ -42,10 +42,12 @@ def strip_boilerplate(
     ``text_clean``.
 
     Plan shape: explode lines (map-side), one hash aggregate on the
-    line value to find hot lines (map-side combined — the aggregate
-    output is boilerplate-vocabulary-sized, tiny next to the corpus),
-    one anti-join back (broadcast-able: the hot-line set is small by
-    construction), one hash aggregate on the doc key to reassemble.
+    line value to find hot lines (map-side combined), one anti-join
+    back, one hash aggregate on the doc key to reassemble. The hot set
+    is usually small (boilerplate vocabulary), but on a web corpus with
+    heavy page duplication it can be arbitrarily large, so the join
+    strategy is left to AQE — it broadcasts when the measured size
+    allows and falls back to a shuffled hash join when it does not.
     No global sort; line order inside a doc is restored with
     ``array_sort`` over (line_no, line) structs within the doc's
     aggregate row.
@@ -60,7 +62,7 @@ def strip_boilerplate(
         .filter(F.col("__nd") >= min_docs)
         .select("__line")
     )
-    kept = lines.join(F.broadcast(hot), "__line", "left_anti")
+    kept = lines.join(hot, "__line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,
