@@ -116,8 +116,11 @@ def _verify_jaccard(
         .union(cand.select(F.col("id_b").alias("__cid")))
         .distinct()
     )
+    # semi-join strategy left to AQE: candidate ids are usually rare
+    # (LSH S-curve) but approach corpus size on heavily duplicated
+    # corpora, where a forced broadcast would OOM the driver
     verify = df.join(
-        F.broadcast(cand_ids), df[id_col] == cand_ids["__cid"], "left_semi"
+        cand_ids, df[id_col] == cand_ids["__cid"], "left_semi"
     ).select(
         F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
     )
@@ -484,8 +487,10 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("__cid")))
         .distinct()
     )
+    # semi-join strategy left to AQE (see jaccard_pairs: a forced
+    # broadcast OOMs when candidates approach corpus size)
     sh = df.join(
-        F.broadcast(cand_ids), df[id_col] == cand_ids["__cid"], "left_semi"
+        cand_ids, df[id_col] == cand_ids["__cid"], "left_semi"
     ).select(
         F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
     )
