@@ -2404,6 +2404,56 @@ ORDER BY count DESC, ngram ASC LIMIT 200
 """
 
 
+def _q_docs_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation pipeline: boilerplate strip -> drop emptied
+    docs -> exact dedup (min doc_id survives) -> 64/16 chunking. Every
+    stage oracle-replayable, composed into one SQL."""
+    from omop_etl_spark.pipelines import curate_corpus
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return curate_corpus(
+        docs, boilerplate_min_docs=2, dedup_exact=True,
+        chunk_tokens=64, overlap=16,
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+ORACLE_DOCS_CURATE = """
+WITH l AS (
+  SELECT doc_id, s.i AS line_no, lines[s.i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+       LATERAL (SELECT unnest(range(0, len(lines))) AS i) s
+),
+hot AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM kept GROUP BY doc_id
+),
+surv AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM rebuilt WHERE text <> ''
+  GROUP BY text
+),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM surv
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(s.i AS INT) AS chunk_id,
+       array_to_string(toks[s.i * 48 + 1 : s.i * 48 + 64], ' ') AS text,
+       CAST(least(len(toks) - s.i * 48, 64) AS INT) AS n_tokens
+FROM t, LATERAL (
+  SELECT unnest(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS i
+) s
+WHERE len(toks) > 0
+"""
+
+
 def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality signals
     (operators/contamination.repetition_stats): per-doc duplicate- and
@@ -2549,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_strip_boilerplate": _q_docs_strip_boilerplate,
         "corpus_vocab": _q_corpus_vocab,
+        "docs_curate": _q_docs_curate,
         "docs_shuffle_order": _q_docs_shuffle_order,
         "cust_no_orders": _q_cust_no_orders,
         "orders_above_avg": _q_orders_above_avg,
@@ -2621,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": ORACLE_DOCS_REPETITION,
         "docs_strip_boilerplate": ORACLE_DOCS_STRIP,
         "corpus_vocab": ORACLE_CORPUS_VOCAB,
+        "docs_curate": ORACLE_DOCS_CURATE,
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

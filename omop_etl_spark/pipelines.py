@@ -1,0 +1,97 @@
+"""End-to-end corpus curation: the composition a training-data team
+actually runs, wired from the individual operators.
+
+Reference parity: none — the reference engine (clinical-ai/omop-etl)
+has no corpus surface; this is the LLM-data-pipeline capstone composing
+``operators/contamination.py`` (boilerplate strip),
+``operators/dedup.py`` (exact dedup), ``functions/text.py`` (quality /
+language gates) and ``operators/chunking.py`` (fixed-window chunking).
+
+Every stage is individually 100 TB-shaped (see each operator's
+docstring); the composition adds nothing quadratic — Catalyst fuses the
+row-level gates into the scans and each corpus-wide stage keeps its
+documented shuffle budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.text import lang_id, quality_score, token_count
+from .operators.chunking import chunk_documents
+from .operators.contamination import strip_boilerplate
+from .operators.dedup import exact_dedup
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    langs: tuple[str, ...] | None = None,
+    min_quality: float | None = None,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    boilerplate_min_docs: int | None = 2,
+    dedup_exact: bool = True,
+    chunk_tokens: int | None = None,
+    overlap: int = 0,
+) -> DataFrame:
+    """Curate a raw document corpus into training-ready text.
+
+    Stage order (each optional, controlled by its parameter):
+
+    1. **Row-level gates** — language (``lang_id``), quality score,
+       token-count bounds. Pure column predicates: Catalyst pushes
+       them into the scan, no shuffle.
+    2. **Boilerplate strip** (``boilerplate_min_docs``) — corpus-wide
+       shared-line removal; the text column becomes the cleaned text.
+       Documents left empty are dropped.
+    3. **Exact dedup** (``dedup_exact``) — one survivor per distinct
+       cleaned text, smallest ``id_col`` wins (deterministic).
+    4. **Chunking** (``chunk_tokens``) — fixed-window splitting with
+       ``overlap``; omitted, the output stays one row per document.
+
+    Returns ``(id_col, text, n_tokens)`` per document, or per chunk
+    (plus ``chunk_id``) when ``chunk_tokens`` is set.
+    """
+    out = docs.select(F.col(id_col), F.col(text_col))
+    gates = []
+    if langs is not None:
+        gates.append(lang_id(text_col).isin(*langs))
+    if min_quality is not None:
+        gates.append(quality_score(text_col) >= min_quality)
+    if min_tokens is not None:
+        gates.append(token_count(text_col) >= min_tokens)
+    if max_tokens is not None:
+        gates.append(token_count(text_col) <= max_tokens)
+    for g in gates:
+        out = out.filter(g)
+
+    if boilerplate_min_docs is not None:
+        out = (
+            strip_boilerplate(
+                out, id_col=id_col, text_col=text_col,
+                min_docs=boilerplate_min_docs,
+            )
+            .filter(F.col("text_clean") != "")
+            .select(F.col(id_col), F.col("text_clean").alias(text_col))
+        )
+
+    if dedup_exact:
+        out = exact_dedup(out, keys=[text_col], tiebreak=[id_col])
+
+    if chunk_tokens is not None:
+        return chunk_documents(
+            out, id_col=id_col, text_col=text_col,
+            chunk_tokens=chunk_tokens, overlap=overlap,
+        ).select(
+            F.col(id_col), "chunk_id",
+            F.col("chunk_text").alias(text_col), "n_tokens",
+        )
+    return out.select(
+        F.col(id_col), F.col(text_col), token_count(text_col).alias("n_tokens")
+    )
