@@ -105,7 +105,11 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - already recorded at full SF
                 pass
 
-    total = round(sum(timings.values()), 3)
+    # A failed query must not make the total look FASTER (ADVICE r5):
+    # charge each error a fixed 60 s penalty so round-over-round `value`
+    # comparisons stay honest even if only the aggregate is read.
+    penalty = 60.0 * len(errors)
+    total = round(sum(timings.values()) + penalty, 3)
     # The driver keeps only the last 2000 chars of output and parses the
     # final line as JSON (BENCH_r02 failed to parse when this line grew
     # past that with a second per-query map).  Keep stdout to ONE compact
@@ -113,7 +117,8 @@ def main() -> None:
     # map.  Full-precision detail (incl. the sf0.01 pass) goes to
     # bench_detail.json next to this script.
     out = {
-        "metric": f"total sec, all queries, best-of-{runs} noop-sink runs",
+        "metric": f"total sec, all queries, best-of-{runs} noop-sink runs"
+        + (", +60s/failed query" if errors else ""),
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},

@@ -18,6 +18,8 @@ shuffles regardless of corpus size.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,9 +54,15 @@ def strip_boilerplate(
     ``array_sort`` over (line_no, line) structs within the doc's
     aggregate row.
     """
+    # F.split takes a Java regex while concat_ws below reassembles with
+    # the literal string — escape so a separator like "." or "|" splits
+    # literally too (re.escape output is Java-regex-safe: it never
+    # escapes alphanumerics, and Java accepts \<punct> as the literal).
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "__ln", "__line"
+        ),
     )
     hot = (
         lines.groupBy("__line")

@@ -93,7 +93,20 @@ def asof_join(
     if lt != rt and {lt.typeName(), rt.typeName()} <= {"timestamp", "timestamp_ntz"}:
         # Mixed TIMESTAMP/TIMESTAMP_NTZ inputs would fail the unionByName
         # below with an AnalysisException; normalize the right side to the
-        # left's type (epoch-preserving under a UTC session timezone).
+        # left's type. The cast is epoch-preserving ONLY under a UTC
+        # session timezone (pinned by sources.reader.enable_nanos_compat);
+        # surface the assumption where it is relied on (ADVICE r5).
+        tz = right.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz != "UTC":
+            import warnings
+
+            warnings.warn(
+                "asof_join: casting between TIMESTAMP and TIMESTAMP_NTZ "
+                f"with session timeZone={tz!r}; the cast shifts epochs "
+                "unless the session timezone is UTC "
+                "(see omop_etl_spark.sources.reader.enable_nanos_compat)",
+                stacklevel=2,
+            )
         right = right.withColumn(right_ts, F.col(right_ts).cast(lt))
     payload_cols = list(
         value_cols

@@ -27,9 +27,18 @@ EVENTS_NS_COLUMNS = {"events": ["ts"]}
 
 
 def enable_nanos_compat(spark: SparkSession) -> None:
+    """Enable nanos-as-long parquet reads AND pin the session timezone
+    to UTC.
+
+    The timezone pin is a deliberate, documented session-global side
+    effect (ADVICE r5): the TIMESTAMP_NTZ -> TIMESTAMP casts in
+    :func:`read_parquet_table` and in ``asof_join``'s mixed-type
+    normalization are epoch-preserving only under UTC. Callers that
+    need a different session timezone must restore it after reading and
+    must not mix NTZ/instant timestamps downstream; ``asof_join`` warns
+    when it has to cast under a non-UTC session.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Pin the session tz so the TIMESTAMP_NTZ -> TIMESTAMP cast below is
-    # epoch-exact everywhere, not just on UTC hosts (ADVICE r4).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
