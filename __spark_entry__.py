@@ -889,15 +889,88 @@ WHERE rn <= 5
 """
 
 
+# shared by the query and its oracle so the parameters cannot drift
+_LSH_PARAMS = dict(k=5, num_bits=8, num_probes=4, num_tables=2, seed=42, dim=64)
+_IVF_PARAMS = dict(k=5, num_centroids=16, nprobe=4, seed=42, dim=64)
+
+
 def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate variant — rows-only check (recall < 1 by design)
+    # approximate by design (recall < 1 vs sim_topk), but fully
+    # DETERMINISTIC given the seed — the oracle below replays the same
+    # hyperplanes, so the driver value-checks this query like any other
     from omop_etl_spark.operators.similarity import lsh_topk
 
     emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     # multi-probe + 2 hash tables: sparse home buckets no longer starve
     # queries below k (VERDICT r1 #4); recall gated in test_operators
-    return lsh_topk(q, emb, k=5, num_bits=8, num_probes=4, num_tables=2)
+    return lsh_topk(q, emb, **_LSH_PARAMS)
+
+
+def _sql_dvec(row) -> str:
+    """A numpy vector as an exact DuckDB DOUBLE[] literal (repr is the
+    shortest round-trip form, so the oracle sees bit-identical planes)."""
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+
+def _oracle_sim_topk_lsh() -> str:
+    """DuckDB replay of lsh_topk (VERDICT r5 #1): the seeded Gaussian
+    hyperplanes are emitted as a VALUES table; bucket = the weighted sum
+    of projection sign bits; query probes = home bucket + the buckets
+    reached by flipping the ``num_probes - 1`` smallest-|margin| bits
+    (ties by bit index, matching numpy's stable argsort); candidates
+    dedup across tables before the exact cosine rerank."""
+    import numpy as np
+
+    p = _LSH_PARAMS
+    nb, seed, dim = p["num_bits"], p["seed"], p["dim"]
+    weights = [1 << (nb - 1 - i) for i in range(nb)]
+    rows = []
+    for t in range(p["num_tables"]):
+        planes = np.random.default_rng(seed + 7919 * t).standard_normal((nb, dim))
+        for i in range(nb):
+            rows.append(f"({t}, {i}, {weights[i]}, {_sql_dvec(planes[i])})")
+    nflip = min(max(p["num_probes"] - 1, 0), nb)
+    return f"""
+WITH planes(tbl, bit_i, w, pv) AS (VALUES {", ".join(rows)}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cproj AS (SELECT neighbor_id, tbl, w, list_dot_product(cv, pv) AS d
+          FROM c CROSS JOIN planes),
+cb AS (SELECT neighbor_id, tbl,
+              CAST(SUM(CASE WHEN d >= 0 THEN w ELSE 0 END) AS BIGINT) AS bucket
+       FROM cproj GROUP BY neighbor_id, tbl),
+qproj AS (SELECT query_id, tbl, bit_i, w, list_dot_product(qv, pv) AS d
+          FROM q CROSS JOIN planes),
+qbase AS (SELECT query_id, tbl,
+                 CAST(SUM(CASE WHEN d >= 0 THEN w ELSE 0 END) AS BIGINT) AS base
+          FROM qproj GROUP BY query_id, tbl),
+qflip AS (SELECT query_id, tbl, w,
+                 row_number() OVER (PARTITION BY query_id, tbl
+                                    ORDER BY abs(d) ASC, bit_i ASC) AS mr
+          FROM qproj),
+qprobe AS (SELECT query_id, tbl, base AS bucket FROM qbase
+           UNION ALL
+           SELECT f.query_id, f.tbl, xor(b.base, CAST(f.w AS BIGINT)) AS bucket
+           FROM qflip f JOIN qbase b USING (query_id, tbl)
+           WHERE f.mr <= {nflip}),
+cand AS (SELECT DISTINCT p2.query_id, cb.neighbor_id
+         FROM qprobe p2 JOIN cb ON p2.tbl = cb.tbl AND p2.bucket = cb.bucket),
+s AS (SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qv, cv) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+             AS score
+      FROM cand JOIN q ON cand.query_id = q.query_id
+                JOIN c ON cand.neighbor_id = c.neighbor_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM s) t
+WHERE rn <= {p["k"]}
+"""
 
 
 # word-3-gram shingles as DuckDB SQL (mirrors operators.dedup.token_shingles)
@@ -1439,12 +1512,60 @@ FROM expl GROUP BY label, pos
 
 
 def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF coarse-quantized ANN — rows-only check (recall < 1 by design)
+    # IVF coarse-quantized ANN — approximate vs sim_topk but
+    # deterministic given the seed; value-oracled via _oracle_sim_topk_ivf
     from omop_etl_spark.operators.similarity import ivf_topk
 
     emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(q, emb, k=5, num_centroids=16, nprobe=4)
+    return ivf_topk(q, emb, **_IVF_PARAMS)
+
+
+def _oracle_sim_topk_ivf() -> str:
+    """DuckDB replay of ivf_topk (VERDICT r5 #1): the seeded unit-norm
+    centroids are emitted as a VALUES table; each corpus vector joins
+    its argmax-dot centroid (ties by centroid id, matching numpy's
+    stable argsort), each query its top-``nprobe``; the probed lists
+    get an exact cosine rerank."""
+    import numpy as np
+
+    p = _IVF_PARAMS
+    rng = np.random.default_rng(p["seed"])
+    cents = rng.standard_normal((p["num_centroids"], p["dim"]))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = [f"({i}, {_sql_dvec(cents[i])})" for i in range(p["num_centroids"])]
+    return f"""
+WITH cents(centroid_id, ccv) AS (VALUES {", ".join(rows)}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+qa AS (SELECT query_id, qv, centroid_id FROM (
+         SELECT q.query_id, q.qv, cents.centroid_id,
+                row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY list_dot_product(qv, ccv) DESC,
+                                            centroid_id) AS rn
+         FROM q CROSS JOIN cents) t
+       WHERE rn <= {p["nprobe"]}),
+ca AS (SELECT neighbor_id, cv, centroid_id FROM (
+         SELECT c.neighbor_id, c.cv, cents.centroid_id,
+                row_number() OVER (PARTITION BY c.neighbor_id
+                                   ORDER BY list_dot_product(cv, ccv) DESC,
+                                            centroid_id) AS rn
+         FROM c CROSS JOIN cents) t
+       WHERE rn = 1),
+s AS (SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+             AS score
+      FROM ca JOIN qa USING (centroid_id))
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM s) t
+WHERE rn <= {p["k"]}
+"""
 
 
 def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2534,7 +2655,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered by driver-verification need (VERDICT r5 #2): the driver's
+    # CORRECTNESS gate covers the FIRST 50 entries, so the queries it
+    # has never hash-checked come first — (a) the 18 entries absent
+    # from CORRECTNESS_r05, (b) the two ANN queries whose value oracles
+    # are new this round, (c) queries added this round.  The tail holds
+    # the 18 longest-green queries (driver-verified every round since
+    # r01) — those fall back to the committed LOCALCHECK artifact.
     return {
+        # (a) driver-uncovered in r05
+        "fuzzy_part_match": _q_fuzzy_parts,
+        "events_funnel": _q_events_funnel,
+        "agg_cube": _q_agg_cube,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_repetition": _q_docs_repetition,
+        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
+        "corpus_vocab": _q_corpus_vocab,
+        "docs_curate": _q_docs_curate,
+        "docs_shuffle_order": _q_docs_shuffle_order,
+        "cust_no_orders": _q_cust_no_orders,
+        "orders_above_avg": _q_orders_above_avg,
+        "embed_norm_stats": _q_embed_norm_stats,
+        "orders_gaps": _q_orders_gaps,
+        "regional_supplier_volume": _q_regional_supplier_volume,
+        "embed_quantize": _q_embed_quantize,
+        "events_zorder": _q_events_zorder,
+        "events_top_users": _q_events_top_users,
+        "events_multigrain": _q_events_multigrain,
+        # (b) value oracles new in r06 (previously rows-only)
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "sim_topk_ivf": _q_sim_topk_ivf,
+        # r05-verified, non-ETL
+        "events_sessionize": _q_events_sessionize,
+        "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "sim_topk": _q_sim_topk,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_near_clusters": _q_dedup_near_clusters,
+        "docs_chunk": _q_docs_chunk,
+        "docs_tfidf": _q_docs_tfidf,
+        "embed_dedup_clusters": _q_embed_dedup_clusters,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "text_quality": _q_text_quality,
+        "text_pii_scrub": _q_pii_scrub,
+        "text_langid": _q_text_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_simhash": _q_dedup_simhash,
+        "embed_neardup_pairs": _q_embed_neardup,
+        "embed_centroids": _q_embed_centroids,
+        "text_token_counts": _q_text_tokens,
+        "multimodal_features": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
+        "split_assign": _q_split_assign,
+        "sample_stratified": _q_sample_stratified,
+        "pack_bins": _q_pack_bins,
+        "events_pivot": _q_events_pivot,
+        "events_resample": _q_events_resample,
+        "scd2_user_state": _q_scd2_user_state,
+        "events_json_agg": _q_events_json,
+        # longest-green (driver-verified r01-r05; local check covers them)
         "etl_copy": lambda s, d: _run_etl(s, d, [ETL_COPY], "person_copy"),
         "etl_merge_entities": lambda s, d: _run_etl(s, d, [ETL_MERGE], "entity_dim"),
         "etl_fk_remap": lambda s, d: _run_etl(
@@ -2560,56 +2742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": _q_agg_percentiles,
         "agg_multi_distinct": _q_agg_multi_distinct,
         "events_hourly": _q_events_hourly,
-        "events_sessionize": _q_events_sessionize,
-        "asof_join_events": _q_asof_join,
-        "range_join_events": _q_range_join,
-        "dedup_exact": _q_dedup_exact,
-        "text_stats": _q_text_stats,
-        "sim_topk": _q_sim_topk,
-        "sim_topk_lsh": _q_sim_topk_lsh,
-        "ngram_jaccard_pairs": _q_jaccard_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_near_clusters": _q_dedup_near_clusters,
-        "docs_chunk": _q_docs_chunk,
-        "docs_tfidf": _q_docs_tfidf,
-        "embed_dedup_clusters": _q_embed_dedup_clusters,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "text_quality": _q_text_quality,
-        "text_pii_scrub": _q_pii_scrub,
-        "text_langid": _q_text_langid,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "dedup_simhash": _q_dedup_simhash,
-        "embed_neardup_pairs": _q_embed_neardup,
-        "embed_centroids": _q_embed_centroids,
-        "sim_topk_ivf": _q_sim_topk_ivf,
-        "text_token_counts": _q_text_tokens,
-        "multimodal_features": _q_multimodal,
-        "multimodal_frames": _q_multimodal_frames,
-        "split_assign": _q_split_assign,
-        "sample_stratified": _q_sample_stratified,
-        "pack_bins": _q_pack_bins,
-        "events_pivot": _q_events_pivot,
-        "events_resample": _q_events_resample,
-        "scd2_user_state": _q_scd2_user_state,
-        "events_json_agg": _q_events_json,
-        "fuzzy_part_match": _q_fuzzy_parts,
-        "events_funnel": _q_events_funnel,
-        "agg_cube": _q_agg_cube,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_repetition": _q_docs_repetition,
-        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
-        "corpus_vocab": _q_corpus_vocab,
-        "docs_curate": _q_docs_curate,
-        "docs_shuffle_order": _q_docs_shuffle_order,
-        "cust_no_orders": _q_cust_no_orders,
-        "orders_above_avg": _q_orders_above_avg,
-        "embed_norm_stats": _q_embed_norm_stats,
-        "orders_gaps": _q_orders_gaps,
-        "regional_supplier_volume": _q_regional_supplier_volume,
-        "embed_quantize": _q_embed_quantize,
-        "events_zorder": _q_events_zorder,
-        "events_top_users": _q_events_top_users,
-        "events_multigrain": _q_events_multigrain,
     }
 
 
@@ -2639,7 +2771,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": ORACLE_TEXT_STATS,
         "sim_topk": ORACLE_SIM_TOPK,
-        # sim_topk_lsh: approximate by design → rows-only driver check
+        "sim_topk_lsh": _oracle_sim_topk_lsh(),
         "dedup_minhash_lsh": _oracle_minhash_lsh(),
         "ngram_jaccard_pairs": ORACLE_JACCARD_PAIRS,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
@@ -2654,7 +2786,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _oracle_simhash_pairs(),
         "embed_neardup_pairs": ORACLE_EMBED_NEARDUP,
         "embed_centroids": ORACLE_EMBED_CENTROIDS,
-        # sim_topk_ivf: approximate by design → rows-only driver check
+        "sim_topk_ivf": _oracle_sim_topk_ivf(),
         "text_token_counts": ORACLE_TEXT_TOKENS,
         "multimodal_features": ORACLE_MULTIMODAL,
         "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
