@@ -973,13 +973,19 @@ WHERE rn <= {p["k"]}
 """
 
 
-# word-3-gram shingles as DuckDB SQL (mirrors operators.dedup.token_shingles)
-_DUCK_SHINGLES = """
-SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+def _duck_shingles(source: str = "documents", n: int = 3) -> str:
+    """Distinct word-n-gram shingles of ``source(doc_id, text)`` as
+    DuckDB SQL (mirrors operators.dedup.token_shingles: space-split,
+    whole text as the single shingle for docs shorter than n)."""
+    return f"""
+SELECT doc_id, list_distinct(CASE WHEN len(toks) >= {n}
+    THEN list_transform(range(1, len(toks) - {n} + 2), i -> array_to_string(toks[i:i+{n - 1}], ' '))
     ELSE [array_to_string(toks, ' ')] END) AS s
-FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) raw
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {source}) raw
 """
+
+
+_DUCK_SHINGLES = _duck_shingles()
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,7 +1070,7 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_pair_ctes(
     num_hashes: int = 16, bands: int = 8, threshold: float = 0.8,
-    max_bucket: int = 256,
+    max_bucket: int = 256, source: str = "documents",
 ) -> str:
     """CTE chain (``sh`` … ``mh_pairs``) replaying
     operators.dedup.minhash_lsh_pairs(base_hash="md5") bit-for-bit in
@@ -1089,9 +1095,9 @@ def _minhash_pair_ctes(
     )
     xs = ", ".join(f"x{r}" for r in range(rows))
     xeq = " AND ".join(f"a.x{r} = b.x{r}" for r in range(rows))
-    return f"""sh AS ({_DUCK_SHINGLES}),
+    return f"""sh AS ({_duck_shingles(source)}),
 h AS (SELECT doc_id,
-             list_transform(s, g -> CAST('0x' || substr(md5('0|' || g), 1, 8) AS BIGINT)) AS hs
+             list_transform(s, g -> CAST('0x' || substr(md5('0|' || g), 1, 8) AS BIGINT) & {_MERSENNE_P}) AS hs
       FROM sh),
 sig AS (SELECT doc_id, {mins} FROM h),
 banded AS ({band_selects}),
@@ -2575,6 +2581,73 @@ WHERE len(toks) > 0
 """
 
 
+def _q_docs_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline (VERDICT r5 #5): token gate ->
+    boilerplate strip -> decontaminate against a benchmark slice
+    (13-gram overlap) -> exact dedup -> MinHash-LSH near-dup dedup
+    (md5 base hash, oracle-replayable) -> per-doc token counts. The
+    oracle replays every stage in one DuckDB SQL."""
+    from omop_etl_spark.pipelines import curate_corpus
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return curate_corpus(
+        docs,
+        min_tokens=5,
+        boilerplate_min_docs=2,
+        benchmark=bench,
+        decontaminate_n=13,
+        dedup_exact=True,
+        near_dedup_threshold=0.8,
+        near_dedup_opts={"base_hash": "md5"},
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+def _oracle_docs_curate_full() -> str:
+    return f"""
+WITH RECURSIVE
+g AS (SELECT doc_id, text FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5),
+l AS (
+  SELECT doc_id, s.i AS line_no, lines[s.i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM g),
+       LATERAL (SELECT unnest(range(0, len(lines))) AS i) s
+),
+hot AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM kept GROUP BY doc_id
+  HAVING string_agg(line, chr(10) ORDER BY line_no) <> ''
+),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+bg AS (SELECT DISTINCT unnest(s) AS gram FROM ({_duck_shingles("bench", 13)}) bsh),
+dg AS (SELECT doc_id, unnest(s) AS gram FROM ({_duck_shingles("rebuilt", 13)}) dsh),
+bad AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram)),
+clean AS (SELECT r.* FROM rebuilt r ANTI JOIN bad USING (doc_id)),
+surv AS (SELECT MIN(doc_id) AS doc_id, text FROM clean GROUP BY text),
+{_minhash_pair_ctes(source="surv")},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+nd AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) = id)
+SELECT CAST(s2.doc_id AS BIGINT) AS doc_id, s2.text,
+       CAST(len(list_filter(string_split_regex(s2.text, '\\s+'), x -> x <> ''))
+            AS INT) AS n_tokens
+FROM surv s2 JOIN nd USING (doc_id)
+"""
+
+
 def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality signals
     (operators/contamination.repetition_stats): per-doc duplicate- and
@@ -2685,6 +2758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) value oracles new in r06 (previously rows-only)
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
+        # (c) new in r06
+        "docs_curate_full": _q_docs_curate_full,
         # r05-verified, non-ETL
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
@@ -2805,6 +2880,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_strip_boilerplate": ORACLE_DOCS_STRIP,
         "corpus_vocab": ORACLE_CORPUS_VOCAB,
         "docs_curate": ORACLE_DOCS_CURATE,
+        "docs_curate_full": _oracle_docs_curate_full(),
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

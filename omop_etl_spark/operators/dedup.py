@@ -313,18 +313,26 @@ def _md5_hash(col: Column, salt: int) -> Column:
     )
 
 
-_MERSENNE_P = (1 << 61) - 1
+#: Mersenne prime for the affine rehash family. MUST be paired with
+#: base hashes truncated to 31 bits (``x & _MERSENNE_P``): with x and a
+#: both below 2^31, a*x stays inside int64 AND a*x + b actually wraps
+#: the modulus many times, so each h_i induces an independent-looking
+#: ordering of the shingle set. (The previous 2^61-1 prime with
+#: a < 2^29 and 32-bit x NEVER wrapped — every h_i was monotone in x,
+#: all num_hashes minima picked the same argmin shingle, and the whole
+#: signature degenerated to a single hash: banding recall was J, not
+#: the S-curve. Caught by a near-dup pipeline test in r6.)
+_MERSENNE_P = (1 << 31) - 1
 
 
 def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family
-    ``h_i(x) = (a_i * x + b_i) mod p`` (a < 2^29 keeps a*x inside
-    int64 for 32-bit base hashes)."""
+    ``h_i(x) = (a_i * x + b_i) mod p`` over 31-bit base hashes."""
     import random
 
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, 1 << 29) | 1, rng.randrange(0, 1 << 29))
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
         for _ in range(num_hashes)
     ]
 
@@ -345,7 +353,9 @@ def minhash_signature(
     behavior, not interchangeable bit-for-bit). Fully deterministic
     (seeded params, md5 base hash).
     """
-    base = F.transform(shingles, lambda g: _md5_hash(g, 0))
+    base = F.transform(
+        shingles, lambda g: _md5_hash(g, 0).bitwiseAND(F.lit(_MERSENNE_P))
+    )
 
     def rehash(a: int, b: int):
         # closure factory: a default-arg lambda would change the arity
@@ -408,14 +418,16 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         F.explode(token_shingles(text_col, n)).alias("__g"),
     )
-    # xxhash64 masked to 32 bits: JVM-native and an order of magnitude
-    # cheaper than the md5+conv base hash, and non-negative so the
-    # affine rehash (a < 2^29) stays inside int64. The md5 form is the
+    # base hash masked to 31 bits — required by the affine family (see
+    # _MERSENNE_P: 31-bit x keeps a*x inside int64 while letting the
+    # modulus wrap, which is what makes the num_hashes orderings
+    # independent). xxhash64 is JVM-native and an order of magnitude
+    # cheaper than the md5+conv base hash; the md5 form is the
     # engine-portable alternative an ANSI oracle can replicate.
     if base_hash == "md5":
-        hc = _md5_hash(F.col("__g"), 0)
+        hc = _md5_hash(F.col("__g"), 0).bitwiseAND(F.lit(_MERSENNE_P))
     elif base_hash == "xxhash64":
-        hc = F.xxhash64("__g").bitwiseAND(F.lit((1 << 32) - 1))
+        hc = F.xxhash64("__g").bitwiseAND(F.lit(_MERSENNE_P))
     else:
         raise ValueError(f"minhash_lsh_pairs: base_hash={base_hash!r}")
     h = ex.select("__id", hc.alias("__h"))

@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 from .functions.text import lang_id, quality_score, token_count
 from .operators.chunking import chunk_documents
-from .operators.contamination import strip_boilerplate
-from .operators.dedup import exact_dedup
+from .operators.cluster import assign_clusters
+from .operators.contamination import decontaminate, strip_boilerplate
+from .operators.dedup import exact_dedup, minhash_lsh_pairs
 
 __all__ = ["curate_corpus"]
 
@@ -36,7 +37,11 @@ def curate_corpus(
     min_tokens: int | None = None,
     max_tokens: int | None = None,
     boilerplate_min_docs: int | None = 2,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
     dedup_exact: bool = True,
+    near_dedup_threshold: float | None = None,
+    near_dedup_opts: dict | None = None,
     chunk_tokens: int | None = None,
     overlap: int = 0,
 ) -> DataFrame:
@@ -50,9 +55,21 @@ def curate_corpus(
     2. **Boilerplate strip** (``boilerplate_min_docs``) — corpus-wide
        shared-line removal; the text column becomes the cleaned text.
        Documents left empty are dropped.
-    3. **Exact dedup** (``dedup_exact``) — one survivor per distinct
+    3. **Decontamination** (``benchmark``) — drop documents sharing
+       any ``decontaminate_n``-gram with the benchmark/eval corpus
+       (``operators.contamination.decontaminate``); the benchmark's
+       hashed gram set broadcasts, so the corpus side never shuffles.
+    4. **Exact dedup** (``dedup_exact``) — one survivor per distinct
        cleaned text, smallest ``id_col`` wins (deterministic).
-    4. **Chunking** (``chunk_tokens``) — fixed-window splitting with
+    5. **Near-dup dedup** (``near_dedup_threshold``) — MinHash-LSH
+       candidate pairs at that Jaccard threshold
+       (``operators.dedup.minhash_lsh_pairs``; tune via
+       ``near_dedup_opts``, e.g. ``{"base_hash": "md5"}`` for the
+       oracle-replayable hash family), folded into connected
+       components with one survivor per cluster — banded buckets and
+       the O(log n)-round star contraction keep this the 100 TB path
+       (nothing quadratic enters the composition).
+    6. **Chunking** (``chunk_tokens``) — fixed-window splitting with
        ``overlap``; omitted, the output stays one row per document.
 
     Returns ``(id_col, text, n_tokens)`` per document, or per chunk
@@ -81,8 +98,33 @@ def curate_corpus(
             .select(F.col(id_col), F.col("text_clean").alias(text_col))
         )
 
+    if benchmark is not None:
+        flags = decontaminate(
+            out, benchmark, id_col=id_col, text_col=text_col,
+            n=decontaminate_n,
+        )
+        out = (
+            out.join(flags, id_col)
+            .filter(~F.col("contaminated"))
+            .select(F.col(id_col), F.col(text_col))
+        )
+
     if dedup_exact:
         out = exact_dedup(out, keys=[text_col], tiebreak=[id_col])
+
+    if near_dedup_threshold is not None:
+        opts = dict(n=3, num_hashes=16, bands=8, base_hash="xxhash64")
+        opts.update(near_dedup_opts or {})
+        pairs = minhash_lsh_pairs(
+            out, id_col=id_col, text_col=text_col,
+            threshold=near_dedup_threshold, **opts,
+        )
+        survivors = (
+            assign_clusters(out, pairs, id_col=id_col)
+            .filter(F.col("is_survivor") == 1)
+            .select(F.col(id_col))
+        )
+        out = out.join(survivors, id_col)
 
     if chunk_tokens is not None:
         return chunk_documents(

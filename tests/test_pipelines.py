@@ -57,6 +57,43 @@ def test_curate_row_gates(spark):
     assert out[0].n_tokens == 9
 
 
+def test_curate_decontaminate_stage(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, "unrelated prose entirely here"),
+        ],
+    )
+    # doc 1 shares a 4-gram with the benchmark verbatim; doc 2 shares
+    # nothing
+    bench = _docs(spark, [(100, "prefix alpha beta gamma delta suffix")])
+    out = curate_corpus(
+        docs, boilerplate_min_docs=None, dedup_exact=False,
+        benchmark=bench, decontaminate_n=4,
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [2, 3]
+
+
+def test_curate_near_dedup_stage(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = _docs(
+        spark,
+        [
+            (1, base + "tail one"),
+            (2, base + "tail one"),  # exact dup of 1 -> exact stage
+            (3, base + "tail two"),  # near dup of 1 -> minhash stage
+            (4, "completely different text about spark catalyst plans"),
+        ],
+    )
+    out = curate_corpus(
+        docs, boilerplate_min_docs=None, dedup_exact=True,
+        near_dedup_threshold=0.5,
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [1, 4]
+
+
 def test_curate_doc_mode_no_chunking(spark):
     docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
     out = {r.doc_id: r for r in curate_corpus(
