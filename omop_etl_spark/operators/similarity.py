@@ -33,6 +33,8 @@ __all__ = [
     "simhash_buckets",
     "simhash_probe_buckets",
     "lsh_topk",
+    "ivf_assign",
+    "ivf_topk_probe",
     "ivf_topk",
     "label_centroids",
     "quantize_embeddings",
@@ -352,6 +354,121 @@ def simhash_probe_buckets(
     return F.concat(F.array(base), flips)
 
 
+def _ivf_centroids(num_centroids: int, dim: int, seed: int):
+    """Seeded unit-norm centroid matrix (dim × C). Drawn on the driver
+    and closed over into the assignment UDF — deterministic across
+    runs/executors without an ML-pipeline dependency (a KMeans fit can
+    be substituted: only the centroid matrix changes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((num_centroids, dim))
+    return (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T  # dim×C
+
+
+def _centroid_assigner(id_name: str, vec_name: str, n: int, cents):
+    """mapInPandas fn: each batch scores against all centroids as one
+    numpy matmul (an earlier per-row literal-array-fold form was ~3×
+    slower) and emits the top-``n`` centroid ids per vector (ties by
+    centroid id, numpy stable argsort)."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf[vec_name].to_numpy()).astype("float64")
+            S = V @ cents  # rows × C
+            top = np.argsort(-S, axis=1, kind="stable")[:, :n]
+            yield pd.DataFrame(
+                {
+                    id_name: np.repeat(pdf[id_name].to_numpy(), n),
+                    vec_name: np.repeat(pdf[vec_name].to_numpy(), n),
+                    "centroid_id": top.ravel().astype("int32"),
+                }
+            )
+
+    return assign
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Coarse-quantize a corpus: ``(corpus_id, vec_col as
+    array<double>, centroid_id)`` — each vector labeled with its
+    argmax-dot centroid in ONE narrow Arrow-batched pass (no shuffle).
+
+    This is the IVF *index build*. At 100 TB, write the result once
+    with ``Engine.register_bucketed(..., ["centroid_id"])``: every
+    later :func:`ivf_topk_probe` against the bucketed table then joins
+    with NO corpus-side exchange (verified in test_plan_quality) — the
+    Spark analogue of reading only probed inverted lists.
+    """
+    cents = _ivf_centroids(num_centroids, dim, seed)
+    return corpus.select(
+        F.col(corpus_id), _as_double(F.col(vec_col)).alias(vec_col)
+    ).mapInPandas(
+        _centroid_assigner(corpus_id, vec_col, 1, cents),
+        f"{corpus_id} long, {vec_col} array<double>, centroid_id int",
+    )
+
+
+def ivf_topk_probe(
+    queries: DataFrame,
+    assigned: DataFrame,
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int = 64,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Probe phase of IVF top-k against a pre-assigned corpus (the
+    output of :func:`ivf_assign`, optionally persisted bucketed by
+    ``centroid_id``). Centroid parameters must match the assign call.
+
+    With ``broadcast_queries`` (default) the probe is a broadcast hash
+    join — right for interactive query batches. With it off the join
+    runs as a shuffle join on ``centroid_id``; against a
+    centroid-bucketed corpus table only the QUERY side exchanges,
+    which is the batch-probe shape at corpus scale (millions of
+    queries re-ranked against a 100 TB index without moving it).
+    """
+    cents = _ivf_centroids(num_centroids, dim, seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).mapInPandas(
+        _centroid_assigner("query_id", "__qv", nprobe, cents),
+        "query_id long, __qv array<double>, centroid_id int",
+    )
+    c = assigned.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "centroid_id",
+    )
+    scored = c.join(F.broadcast(q) if broadcast_queries else q, "centroid_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -365,73 +482,26 @@ def ivf_topk(
     dim: int = 64,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
-    ``num_centroids`` inverted lists, probe each query against its
-    ``nprobe`` nearest centroids, exact cosine rerank inside the probed
+    ``num_centroids`` inverted lists (:func:`ivf_assign`), probe each
+    query against its ``nprobe`` nearest centroids
+    (:func:`ivf_topk_probe`), exact cosine rerank inside the probed
     lists. Same output shape as :func:`cosine_topk`; recall grows with
     ``nprobe`` (``nprobe == num_centroids`` degenerates to exact).
 
-    Centroids are drawn from a seeded Gaussian on the driver and closed
-    over into the assignment UDF — deterministic across runs/executors
-    without an ML-pipeline dependency (a KMeans fit can be substituted:
-    only the centroid matrix changes). Corpus assignment is one narrow
-    Arrow-batched pass (each batch scores against all centroids as a
-    single numpy matmul — an earlier per-row literal-array-fold form
-    was ~3× slower); the probe join is an equi-join on ``centroid_id``
-    (hash shuffle partitioned by list, the IVF analogue of reading only
-    probed postings); the rerank window shuffles id+score rows only.
-    At 100 TB the corpus side would be written bucketed by
-    ``centroid_id`` so the probe join needs no corpus shuffle at all.
+    One-shot form: assignment is one narrow Arrow-batched corpus pass,
+    the probe join is an equi-join on ``centroid_id``, and the rerank
+    window shuffles id+score rows only. For a standing index, run
+    :func:`ivf_assign` once into a centroid-bucketed table instead and
+    probe it repeatedly with no corpus-side shuffle.
     """
-    import numpy as np
-    import pandas as pd
-
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((num_centroids, dim))
-    cents = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T  # dim×C
-
-    def assigner(id_name: str, vec_name: str, n: int):
-        def assign(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                V = np.vstack(pdf[vec_name].to_numpy()).astype("float64")
-                S = V @ cents  # rows × C
-                # top-n centroids by dot, desc; ties by centroid id desc
-                # (mirrors the previous struct-sort ordering)
-                top = np.argsort(-S, axis=1, kind="stable")[:, :n]
-                yield pd.DataFrame(
-                    {
-                        id_name: np.repeat(pdf[id_name].to_numpy(), n),
-                        vec_name: np.repeat(pdf[vec_name].to_numpy(), n),
-                        "centroid_id": top.ravel().astype("int32"),
-                    }
-                )
-
-        return assign
-
-    q = queries.select(
-        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).mapInPandas(
-        assigner("query_id", "__qv", nprobe),
-        "query_id long, __qv array<double>, centroid_id int",
+    assigned = ivf_assign(
+        spread(corpus), corpus_id=corpus_id, vec_col=vec_col,
+        num_centroids=num_centroids, seed=seed, dim=dim,
     )
-    c = spread(corpus).select(
-        F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
-    ).mapInPandas(
-        assigner("neighbor_id", "__cv", 1),
-        "neighbor_id long, __cv array<double>, centroid_id int",
-    )
-    scored = c.join(F.broadcast(q), "centroid_id").select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
-        .drop("__rank")
-        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    return ivf_topk_probe(
+        queries, assigned, k,
+        num_centroids=num_centroids, nprobe=nprobe, query_id=query_id,
+        corpus_id=corpus_id, vec_col=vec_col, seed=seed, dim=dim,
     )
 
 

@@ -5,6 +5,12 @@ import pytest
 from pyspark.sql import SparkSession
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: bench-scale (sf0.1) tests, seconds-to-minutes each"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     wh = tempfile.mkdtemp(prefix="spark-wh-")

@@ -61,6 +61,45 @@ def test_topk_uses_broadcast_join(spark, entry):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_probe_on_bucketed_corpus_needs_no_corpus_exchange(spark):
+    """The promise in operators/similarity.ivf_assign (VERDICT r5 #4):
+    a corpus written bucketed by centroid_id is probed with NO
+    corpus-side shuffle — only the query side exchanges. Forces a
+    shuffle join (broadcast off) and compares Exchange counts against
+    the identical plan over an unbucketed corpus."""
+    from pyspark.sql import functions as F
+
+    from omop_etl_spark import Engine
+    from omop_etl_spark.operators.similarity import ivf_assign, ivf_topk_probe
+
+    eng = Engine(spark)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eng.register_bucketed(
+        "ann.corpus_ivf", ivf_assign(emb), ["centroid_id"], num_buckets=8
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = _plan(
+            ivf_topk_probe(
+                q, spark.table("ann.corpus_ivf"), k=5, nprobe=4,
+                broadcast_queries=False,
+            )
+        )
+        plain = _plan(
+            ivf_topk_probe(
+                q, ivf_assign(emb), k=5, nprobe=4, broadcast_queries=False
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # bucketed scan feeds the probe join directly; the unbucketed plan
+    # pays one more exchange (the corpus side of the shuffle join)
+    assert "SelectedBucketsCount" in bucketed or "Bucketed: true" in bucketed
+    assert bucketed.count("Exchange") == plain.count("Exchange") - 1
+
+
 def test_topk_avoids_global_sort(spark, entry):
     # orderBy+limit must compile to TakeOrderedAndProject, not a full
     # range-exchange sort of the aggregate output

