@@ -113,6 +113,14 @@ def curate_corpus(
         out = exact_dedup(out, keys=[text_col], tiebreak=[id_col])
 
     if near_dedup_threshold is not None:
+        from pyspark import StorageLevel
+
+        # the curated frame above is consumed FOUR times below (minhash
+        # signature build, jaccard-verify semi-join, cluster patch-back,
+        # survivor join); without a persist every consumer re-executes
+        # the whole gates->strip->decontaminate->dedup subplan (measured
+        # ~4x the stage cost at sf0.1)
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
         opts = dict(n=3, num_hashes=16, bands=8, base_hash="xxhash64")
         opts.update(near_dedup_opts or {})
         pairs = minhash_lsh_pairs(
