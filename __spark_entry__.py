@@ -2708,6 +2708,292 @@ FROM h
 """
 
 
+def _q_docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global keep-first exact line dedup
+    (operators/contamination.dedup_lines, Lee et al. 2022 line-granular
+    exact-substring dedup): a line >= 20 chars survives only at its
+    first (doc_id, position) occurrence."""
+    from omop_etl_spark.operators.contamination import dedup_lines
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return dedup_lines(docs, min_chars=20).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text_clean",
+        "n_lines_kept",
+    )
+
+
+ORACLE_DOCS_DEDUP_LINES = """
+WITH l AS (
+  SELECT doc_id, s.i AS line_no, lines[s.i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+       LATERAL (SELECT unnest(range(0, len(lines))) AS i) s
+),
+r AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN length(line) >= 20
+              THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no)
+              ELSE 1 END AS rn
+  FROM l
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM r WHERE rn = 1 GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(rb.text_clean, '') AS text_clean,
+       CAST(COALESCE(rb.n_kept, 0) AS INT) AS n_lines_kept
+FROM documents d LEFT JOIN rebuilt rb ON d.doc_id = rb.doc_id
+"""
+
+
+def _q_docs_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplication metrics
+    (operators/contamination.cross_doc_dup_stats): per doc, the share
+    of its distinct 13-gram shingles that occur in other docs too."""
+    from omop_etl_spark.operators.contamination import cross_doc_dup_stats
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return cross_doc_dup_stats(docs, n=13).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_grams",
+        "dup_grams",
+        "dup_frac",
+    )
+
+
+ORACLE_DOCS_CROSS_DUP = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 13
+    THEN list_transform(range(1, len(toks) - 11), i -> array_to_string(toks[i:i+12], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS gram FROM tok)),
+dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+per AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_grams
+        FROM g JOIN dfreq USING (gram) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(dup_grams, 0) AS BIGINT) AS dup_grams,
+       round(COALESCE(dup_grams, 0)
+             / CAST(greatest(COALESCE(n_grams, 0), 1) AS DOUBLE), 6) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def _q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 3-gram Jaccard overlap
+    (operators/contamination.source_overlap) — the corpus-forensics
+    matrix consulted before mixing sources into a training run."""
+    from omop_etl_spark.operators.contamination import source_overlap
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return source_overlap(docs, strata_col="source", n=3)
+
+
+ORACLE_CORPUS_SOURCE_OVERLAP = """
+WITH tok AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT DISTINCT source, gram FROM (
+  SELECT source, unnest(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS gram FROM tok)),
+sizes AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY 1),
+common AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS common_grams
+           FROM g a JOIN g b USING (gram)
+           WHERE a.source < b.source GROUP BY 1, 2)
+SELECT src_a, src_b,
+       CAST(sa.sz AS BIGINT) AS grams_a,
+       CAST(sb.sz AS BIGINT) AS grams_b,
+       CAST(common_grams AS BIGINT) AS common_grams,
+       round(common_grams / CAST(sa.sz + sb.sz - common_grams AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.src_a = sa.source
+JOIN sizes sb ON common.src_b = sb.source
+"""
+
+
+_MIXTURE_WEIGHTS = {
+    "src0": 0.3,
+    "src1": 0.25,
+    "src2": 0.2,
+    "src3": 0.15,
+    "src4": 0.1,
+}
+
+
+def _q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling
+    (operators/sampling.mixture_sample): per-source keep-rates derived
+    from target domain weights and measured counts, membership a pure
+    md5 function of the id."""
+    from omop_etl_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs, "source", _MIXTURE_WEIGHTS, target_frac=0.1
+    ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+
+
+def _oracle_docs_mixture_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in _MIXTURE_WEIGHTS.items()
+    )
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM documents d JOIN counts USING (source), tot
+WHERE (CAST(concat('0x', substr(md5(concat('mixture|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+       / 4294967296.0)
+      < least(1.0, (CASE source {cases} ELSE 0.0 END)
+                   * (0.1 * CAST(total AS DOUBLE)) / CAST(cnt AS DOUBLE))
+"""
+
+
+def _q_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile quality gate (operators/sampling.rank_filter):
+    keep the top 30% of the corpus by quality score, global rank via
+    the surrogate-id machinery (no single-partition window at scale)."""
+    from omop_etl_spark.functions.text import quality_score
+    from omop_etl_spark.operators.sampling import rank_filter
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        F.col("doc_id"), F.round(quality_score("text"), 4).alias("quality")
+    )
+    return rank_filter(
+        scored, [F.col("quality").desc(), "doc_id"], 0.3, rank_col="rank"
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "quality",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+ORACLE_DOCS_QUALITY_GATE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         length(text) AS n_len,
+         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN n_len > 0 THEN n_punct / CAST(n_len AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mtl
+  FROM t
+), q AS (
+  SELECT doc_id,
+         round(least(n / 20.0, 1.0)
+               * (1.0 - least(punct_ratio * 4, 1.0))
+               * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END), 4) AS quality
+  FROM m
+), ranked AS (
+  SELECT doc_id, quality,
+         row_number() OVER (ORDER BY quality DESC, doc_id) AS rank,
+         COUNT(*) OVER () AS total
+  FROM q
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, quality, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= ceil(0.3 * CAST(total AS DOUBLE))
+"""
+
+
+def _q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction
+    (operators/similarity.random_projection): 64 float dims -> 16
+    exact-int projections against the seeded Achlioptas {-1,0,1}
+    matrix; map-only, whole-stage codegen."""
+    from omop_etl_spark.operators.similarity import random_projection
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    return random_projection(emb, k=16, dim=64, seed=42).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode("proj").alias("pos", "proj_val"),
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"), "proj_val")
+
+
+def _oracle_embed_project() -> str:
+    from omop_etl_spark.operators.similarity import rp_coefficients
+
+    coeffs = rp_coefficients(16, 64, 42)
+    vals = ", ".join(
+        f"({ki}, {j}, {int(c)})"
+        for ki, row in enumerate(coeffs)
+        for j, c in enumerate(row)
+    )
+    return f"""
+WITH planes(k, j, c) AS (VALUES {vals}),
+x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+      FROM embeddings)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(p.k AS INT) AS pos,
+       CAST(SUM(x.xq * p.c) AS BIGINT) AS proj_val
+FROM x JOIN planes p ON x.j = p.j
+GROUP BY 1, 2
+"""
+
+
+def _q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of exact fixed-point k-means
+    (operators/kmeans.kmeans_assign, k=8): deterministic seed (8
+    smallest vec_ids), integer distances, integer-floor centroid
+    means — the full iterative algorithm value-replayed by the
+    oracle's chained CTEs."""
+    from omop_etl_spark.operators.kmeans import kmeans_assign
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=8, iters=2)
+
+
+def _oracle_embed_kmeans() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(q.xq, {c}.cq),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    assign = """
+a{t} AS (
+  SELECT vec_id, xq, cluster_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+  FROM (SELECT q.vec_id, q.xq, {c}.cluster_id, {d} AS dist
+        FROM q CROSS JOIN {c})
+),
+w{t} AS (SELECT vec_id, xq, cluster_id, dist FROM a{t} WHERE rn = 1)"""
+    update = """
+m{t} AS (SELECT cluster_id, generate_subscripts(xq, 1) AS pos, unnest(xq) AS x FROM w{t}),
+cm{t} AS (SELECT cluster_id, pos, CAST(floor(AVG(x)) AS BIGINT) AS m
+          FROM m{t} GROUP BY 1, 2),
+cents{t} AS (SELECT cluster_id, list(m ORDER BY pos) AS cq FROM cm{t} GROUP BY 1)"""
+    return (
+        """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
+         xq AS cq
+  FROM q ORDER BY vec_id LIMIT 8
+),"""
+        + assign.format(t=1, c="seeds", d=dist.format(c="seeds"))
+        + ","
+        + update.format(t=1)
+        + ","
+        + assign.format(t=2, c="cents1", d=dist.format(c="cents1"))
+        + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cluster_id AS INT) AS cluster_id,
+       CAST(dist AS BIGINT) AS dist_sq
+FROM w2
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -2760,6 +3046,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_topk_ivf,
         # (c) new in r06
         "docs_curate_full": _q_docs_curate_full,
+        "docs_dedup_lines": _q_docs_dedup_lines,
+        "docs_cross_dup": _q_docs_cross_dup,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_quality_gate": _q_docs_quality_gate,
+        "embed_project": _q_embed_project,
+        "embed_kmeans": _q_embed_kmeans,
         # r05-verified, non-ETL
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
@@ -2881,6 +3174,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocab": ORACLE_CORPUS_VOCAB,
         "docs_curate": ORACLE_DOCS_CURATE,
         "docs_curate_full": _oracle_docs_curate_full(),
+        "docs_dedup_lines": ORACLE_DOCS_DEDUP_LINES,
+        "docs_cross_dup": ORACLE_DOCS_CROSS_DUP,
+        "corpus_source_overlap": ORACLE_CORPUS_SOURCE_OVERLAP,
+        "docs_mixture_sample": _oracle_docs_mixture_sample(),
+        "docs_quality_gate": ORACLE_DOCS_QUALITY_GATE,
+        "embed_project": _oracle_embed_project(),
+        "embed_kmeans": _oracle_embed_kmeans(),
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 from .dedup import token_shingles
 
-__all__ = ["decontaminate", "repetition_stats", "strip_boilerplate"]
+__all__ = [
+    "cross_doc_dup_stats",
+    "decontaminate",
+    "dedup_lines",
+    "repetition_stats",
+    "source_overlap",
+    "strip_boilerplate",
+]
 
 
 def strip_boilerplate(
@@ -86,6 +93,198 @@ def strip_boilerplate(
         F.col(id_col),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("int").alias("n_lines_kept"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-global exact line dedup, keep-first (the line-granular
+    form of Lee et al. 2022's "Deduplicating Training Data" exact
+    substring dedup). Every line of at least ``min_chars`` characters
+    is kept only at its FIRST occurrence in the corpus — first by
+    ``(id_col, line position)`` — and removed everywhere else. Lines
+    shorter than ``min_chars`` (blank lines, bullets, code braces) are
+    never deduplicated: they are legitimate repeats, and removing them
+    would shred document structure.
+
+    Complements :func:`strip_boilerplate`: that operator removes a hot
+    line from EVERY document (frequency >= min_docs), this one keeps
+    exactly one canonical occurrence — the right semantics when the
+    duplicated span is real content (syndicated articles, quoted
+    passages) rather than chrome.
+
+    Returns one row per input document: ``(id_col, text_clean,
+    n_lines_kept)``; fully-deduplicated documents keep their row with
+    an empty ``text_clean``.
+
+    Plan shape: explode lines (map-side), reduce to the first
+    ``(id, position)`` per 8-byte ``xxhash64`` line key (one hash
+    aggregate, map-side combined — skew-robust even when one line
+    repeats 10^6 times, unlike a window over the line key), join that
+    winner set back on the hash (strategy left to AQE), rebuild with
+    one aggregate on the doc key. Raw line text never enters a shuffle:
+    both wide stages carry the 8-byte hash.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "__ln", "__line"
+        ),
+    ).withColumn("__lh", F.xxhash64("__line"))
+
+    dedupable = F.length("__line") >= min_chars
+    firsts = (
+        lines.filter(dedupable)
+        .groupBy("__lh")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__first"))
+    )
+    kept = (
+        lines.join(firsts, "__lh", "left")
+        .filter(
+            ~dedupable
+            | (
+                (F.col(f"__first.{id_col}") == F.col(id_col))
+                & (F.col("__first.__ln") == F.col("__ln"))
+            )
+        )
+        .select(id_col, "__ln", "__line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ln", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("int").alias("n_lines_kept"),
+    )
+
+
+def cross_doc_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document CROSS-document duplication metrics: of a document's
+    distinct word ``n``-grams, how many also occur in at least one
+    OTHER document. The corpus-internal dual of :func:`decontaminate`
+    (there the "other side" is a benchmark; here it is the rest of the
+    corpus itself) and the cross-doc dual of :func:`repetition_stats`
+    (which is within-document). High ``dup_frac`` flags syndicated /
+    mirrored / templated pages that exact and near dedup may miss when
+    edits are scattered.
+
+    Returns ``(id_col, n_grams, dup_grams, dup_frac)`` with one row per
+    input document (documents shorter than ``n`` tokens count their
+    whole text as one gram, matching ``token_shingles``).
+
+    Plan shape: explode distinct shingles to ``(doc, hash)`` (one
+    aggregate), count documents per hash (second aggregate on the
+    8-byte key, map-side combined), join the document-frequency back
+    and reduce per doc (third aggregate). All shuffles carry hashed
+    grams + counts; nothing is quadratic — a gram shared by 10^6 docs
+    contributes one row per (doc, gram), same as the explode input.
+    """
+    # token_shingles is already distinct-per-document, so the exploded
+    # (doc, hash) pairs are unique without an extra shuffle
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(token_shingles(text_col, n)).alias("__gram"),
+    ).select(id_col, F.xxhash64("__gram").alias("__gh"))
+    gram_df = doc_grams.groupBy("__gh").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        doc_grams.join(gram_df, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("__df") >= 2).cast("bigint")).alias("dup_grams"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
+        F.round(
+            F.coalesce("dup_grams", F.lit(0))
+            / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap between corpus strata (sources,
+    dumps, snapshots). For every unordered pair of strata, over each
+    stratum's DISTINCT word-``n``-gram set: ``|A ∩ B| / |A ∪ B|``.
+    The standard corpus-forensics view for "how much of source X is
+    re-hosted in source Y" before mixing sources into a training run.
+
+    Returns ``(src_a, src_b, grams_a, grams_b, common_grams, jaccard)``
+    with ``src_a < src_b`` lexicographically.
+
+    Plan shape: reduce to distinct ``(stratum, gram-hash)`` (one
+    aggregate; raw grams never shuffle), self-join on the hash with
+    ``src_a < src_b`` to count intersections (the per-gram fan-out is
+    bounded by the number of strata, not documents, so the join output
+    is at most ``S^2/2`` rows per gram — strata counts are small by
+    construction), broadcast the per-stratum set sizes (one row per
+    stratum) onto the pair counts. Suitable when strata number in the
+    hundreds; it is a strata-pair matrix, not a document operator.
+    """
+    grams = (
+        docs.select(
+            F.col(strata_col).alias("__src"),
+            F.explode(token_shingles(text_col, n)).alias("__gram"),
+        )
+        .select("__src", F.xxhash64("__gram").alias("__gh"))
+        .distinct()
+    )
+    sizes = grams.groupBy("__src").agg(F.count(F.lit(1)).alias("__sz"))
+    a = grams.select(F.col("__src").alias("src_a"), "__gh")
+    b = grams.select(F.col("__src").alias("src_b"), "__gh")
+    common = (
+        a.join(b, "__gh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("common_grams"))
+    )
+    sz_a = F.broadcast(sizes.select(F.col("__src").alias("src_a"), F.col("__sz").alias("grams_a")))
+    sz_b = F.broadcast(sizes.select(F.col("__src").alias("src_b"), F.col("__sz").alias("grams_b")))
+    return (
+        common.join(sz_a, "src_a")
+        .join(sz_b, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("grams_a").cast("bigint").alias("grams_a"),
+            F.col("grams_b").cast("bigint").alias("grams_b"),
+            F.col("common_grams").cast("bigint").alias("common_grams"),
+            F.round(
+                F.col("common_grams")
+                / (
+                    F.col("grams_a") + F.col("grams_b") - F.col("common_grams")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -25,6 +25,8 @@ __all__ = [
     "unit_hash",
     "hash_split",
     "stratified_sample",
+    "mixture_sample",
+    "rank_filter",
     "pack_sequences",
     "shuffle_shards",
 ]
@@ -98,6 +100,101 @@ def stratified_sample(
     for s, f_ in fractions.items():
         frac = F.when(F.col(strata_col) == F.lit(s), F.lit(float(f_))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    target_frac: float,
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic training-mixture sampling: downsample each stratum
+    so the output approximates ``target_frac`` of the corpus distributed
+    across strata in proportion to ``weights`` (normalized internally;
+    strata absent from ``weights`` get weight 0 and are dropped).
+
+    The per-stratum keep-rate is ``min(1, w_s * T / count_s)`` with
+    ``T = target_frac * total_rows`` — the standard mixture-reweighting
+    rule (cf. The Pile / DoReMi-style domain weighting): a stratum whose
+    natural share exceeds its target share is thinned, one already
+    below it is kept whole (no upsampling; repetition policy belongs to
+    the training loader). Membership is ``unit_hash(id) < rate`` — a
+    pure function of ``(salt, id, corpus counts)``: stable under reruns
+    and engine-portable.
+
+    Plan shape: one tiny aggregate for per-stratum counts (rows =
+    #strata) broadcast back onto the scan, plus a 1-row total broadcast
+    — the corpus itself is filtered in place, never shuffled. The rate
+    arithmetic is fixed-order binary64 (``w * (frac * total) / cnt``)
+    so an ANSI-SQL oracle reproduces the exact doubles.
+    """
+    wsum = float(sum(weights.values()))
+    # default weight must be 0.0, not NULL: Spark's least() SKIPS nulls,
+    # so a NULL rate would silently keep the whole stratum
+    wcol: Column = F.lit(0.0)
+    for s, w_ in weights.items():
+        wcol = F.when(F.col(strata_col) == F.lit(s), F.lit(w_ / wsum)).otherwise(wcol)
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__mx_cnt"))
+    total = df.select(F.count(F.lit(1)).alias("__mx_total"))
+    rate = F.least(
+        F.lit(1.0),
+        wcol
+        * (F.lit(float(target_frac)) * F.col("__mx_total").cast("double"))
+        / F.col("__mx_cnt").cast("double"),
+    )
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .crossJoin(F.broadcast(total))
+        .filter(unit_hash(id_col, salt) < rate)
+        .drop("__mx_cnt", "__mx_total")
+    )
+
+
+def rank_filter(
+    df: DataFrame,
+    order_cols: list,
+    keep_frac: float,
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keep the best ``keep_frac`` of the corpus under ``ORDER BY
+    order_cols`` — the exact-percentile quality gate ("train on the top
+    30% by quality score"). A row survives iff its global 1-based rank
+    is ``<= ceil(keep_frac * total_rows)``; pass e.g.
+    ``[F.col("score").desc(), "doc_id"]`` (the id tiebreak makes the
+    cut deterministic under score ties).
+
+    Exactness matters here because approximate quantile thresholds
+    (``approxQuantile``) make the kept set irreproducible across runs
+    and engines; this operator is oracle-replayable row-for-row.
+
+    Scale strategy is ``with_surrogate_id`` (planner/surrogate.py)
+    verbatim: below the stats threshold a single-partition window,
+    above it ONE range exchange + per-partition offsets — the same
+    cost as any global sort of the frame. The total count rides the
+    rank frame (a 1-row aggregate broadcast), so the whole gate is one
+    wide shuffle end-to-end. With ``rank_col`` set the global rank is
+    kept in the output (useful for curriculum ordering downstream).
+    """
+    from ..planner.surrogate import with_surrogate_id
+
+    out_rank = rank_col or "__rk_rank"
+    ranked = with_surrogate_id(
+        df, order_cols, id_col=out_rank, num_partitions=num_partitions
+    )
+    total = df.select(F.count(F.lit(1)).alias("__rk_total"))
+    kept = (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(
+            F.col(out_rank)
+            <= F.ceil(F.lit(float(keep_frac)) * F.col("__rk_total").cast("double"))
+        )
+        .drop("__rk_total")
+    )
+    return kept if rank_col else kept.drop(out_rank)
 
 
 def pack_sequences(

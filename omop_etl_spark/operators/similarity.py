@@ -38,6 +38,8 @@ __all__ = [
     "ivf_topk",
     "label_centroids",
     "quantize_embeddings",
+    "random_projection",
+    "rp_coefficients",
 ]
 
 
@@ -616,6 +618,71 @@ def lsh_topk(
         .drop("__rank")
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
     )
+
+
+def rp_coefficients(k: int, dim: int, seed: int = 42):
+    """Seeded Achlioptas sparse-projection matrix: ``k`` rows of
+    ``dim`` coefficients drawn from ``{-1, 0, +1}`` with probabilities
+    ``{1/6, 2/3, 1/6}`` (Achlioptas 2003, "Database-friendly random
+    projections" — satisfies the Johnson-Lindenstrauss lemma with the
+    same distortion bounds as Gaussian planes at a third of the
+    multiplies). Integer coefficients keep the projection arithmetic
+    EXACT, so the operator is value-oracle-replayable, unlike a float
+    Gaussian matrix whose dot products drift across engines.
+
+    Generated on the driver (k × dim ints) and closed over as column
+    literals — the same seeded-constants convention as
+    :func:`_ivf_centroids`."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1, 0, 1], size=(k, dim), p=[1 / 6, 2 / 3, 1 / 6])
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    scale: int = 1_000_000,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction of an embedding
+    column: ``dim`` float components -> ``k`` integer projections, the
+    standard pre-step before indexing / clustering a 100 TB embedding
+    corpus (JL guarantees pairwise distances survive within
+    ``1 ± O(sqrt(log n / k))``).
+
+    Each input component is fixed-pointed once
+    (``floor(x * scale)`` — exact int64), then folded against the
+    seeded :func:`rp_coefficients` row per output dimension. All
+    arithmetic is int64 (max ``|proj|`` ≈ ``scale · dim`` ≪ 2^63), so
+    results are bit-identical across engines and replayable by a SQL
+    oracle joining the coefficient matrix as a VALUES table.
+
+    Returns ``(id_col, out_col array<bigint>)``. Plan shape: map-only —
+    one projection pass inside whole-stage codegen, no shuffle, no
+    Python. Cost per row is ``k × dim`` multiply-adds on literals.
+    """
+    coeffs = rp_coefficients(k, dim, seed)
+    xq = F.transform(
+        _as_double(F.col(vec_col)), lambda x: F.floor(x * F.lit(float(scale)))
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                xq,
+                F.array(*[F.lit(int(c)) for c in row]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for row in coeffs
+    ]
+    return df.select(F.col(id_col), F.array(*projs).alias(out_col))
 
 
 def quantize_embeddings(

@@ -150,3 +150,120 @@ def test_strip_boilerplate_distinct_doc_count_not_occurrences(spark):
     )
     out = {r.doc_id: r for r in strip_boilerplate(docs, min_docs=2).collect()}
     assert out[1].text_clean == "dup\nmiddle\ndup"
+
+
+def test_dedup_lines_keep_first_occurrence(spark):
+    from omop_etl_spark.operators.contamination import dedup_lines
+
+    syndicated = "this syndicated paragraph is long enough to dedup"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening line of doc one\n{syndicated}\nshort"),
+            (2, f"{syndicated}\nunique middle line of doc two here"),
+            (3, f"short\n{syndicated}"),
+        ],
+        "doc_id long, text string",
+    ).repartition(3)
+    out = {r.doc_id: r for r in dedup_lines(docs, min_chars=20).collect()}
+    # doc 1 holds the first occurrence -> intact
+    assert out[1].text_clean == (
+        f"unique opening line of doc one\n{syndicated}\nshort"
+    )
+    # later occurrences removed; short lines never deduped
+    assert out[2].text_clean == "unique middle line of doc two here"
+    assert out[3].text_clean == "short"
+    assert out[3].n_lines_kept == 1
+
+
+def test_dedup_lines_first_is_by_position_within_doc(spark):
+    from omop_etl_spark.operators.contamination import dedup_lines
+
+    dup = "a repeated line well over the char threshold"
+    docs = spark.createDataFrame(
+        [(5, f"{dup}\nmiddle content line that is long\n{dup}")],
+        "doc_id long, text string",
+    )
+    out = dedup_lines(docs, min_chars=20).collect()[0]
+    # within one doc the FIRST position survives
+    assert out.text_clean == f"{dup}\nmiddle content line that is long"
+
+
+def test_dedup_lines_matches_python_reference(spark):
+    import random
+
+    from omop_etl_spark.operators.contamination import dedup_lines
+
+    rng = random.Random(7)
+    pool = [f"shared content line number {i} padded out" for i in range(12)]
+    docs = []
+    for d in range(40):
+        lines = [f"doc {d} own line {j} with enough padding chars" for j in range(3)]
+        lines += rng.sample(pool, rng.randint(0, 4)) + ["x"]
+        rng.shuffle(lines)
+        docs.append((d, "\n".join(lines)))
+
+    seen: set[str] = set()
+    expect = {}
+    for d, text in sorted(docs):
+        kept = []
+        for ln in text.split("\n"):
+            if len(ln) < 20:
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        expect[d] = "\n".join(kept)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(5)
+    got = {r.doc_id: r.text_clean for r in dedup_lines(df, min_chars=20).collect()}
+    assert got == expect
+
+
+def test_cross_doc_dup_stats(spark):
+    from omop_etl_spark.operators.contamination import cross_doc_dup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),  # shares 'alpha beta gamma'
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cross_doc_dup_stats(docs, n=3).collect()}
+    assert out[1].n_grams == 2 and out[1].dup_grams == 1
+    assert out[1].dup_frac == 0.5
+    assert out[2].dup_grams == 1
+    assert out[3].dup_grams == 0 and out[3].dup_frac == 0.0
+
+
+def test_cross_doc_dup_short_doc_whole_text_gram(spark):
+    from omop_etl_spark.operators.contamination import cross_doc_dup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cross_doc_dup_stats(docs, n=13).collect()}
+    assert out[1].dup_grams == 1 and out[2].dup_grams == 1
+    assert out[3].dup_grams == 0
+
+
+def test_source_overlap_jaccard(spark):
+    from omop_etl_spark.operators.contamination import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),
+            (2, "b", "one two three five"),
+            (3, "c", "six seven eight nine"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {(r.src_a, r.src_b): r for r in source_overlap(docs, n=3).collect()}
+    # a: {one two three, two three four}; b: {one two three, two three five}
+    r = rows[("a", "b")]
+    assert r.grams_a == 2 and r.grams_b == 2 and r.common_grams == 1
+    assert abs(r.jaccard - 1 / 3) < 1e-6
+    # disjoint pair emits no row
+    assert ("a", "c") not in rows and ("b", "c") not in rows

@@ -1,0 +1,118 @@
+"""Fixed-point k-means (operators/kmeans.py) and Achlioptas random
+projection (similarity.random_projection)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.kmeans import kmeans_assign
+from omop_etl_spark.operators.similarity import random_projection, rp_coefficients
+
+
+def _blobs(spark, dim=8, per=30, centers=((5.0,) * 8, (-5.0,) * 8, (0.0,) * 8)):
+    # vec_ids interleave across blobs so the deterministic seeding (k
+    # smallest ids) draws one seed per blob — Lloyd's cannot merge two
+    # blobs whose seeds start apart
+    rng = random.Random(3)
+    rows = []
+    for j in range(per):
+        for ci, c in enumerate(centers):
+            rows.append(
+                (
+                    j * len(centers) + ci,
+                    [c[d] + rng.gauss(0, 0.3) for d in range(dim)],
+                    ci,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, true_label int"
+    )
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    df = _blobs(spark)
+    out = kmeans_assign(df, k=3, iters=3, scale=1000)
+    joined = out.join(df.select("vec_id", "true_label"), "vec_id")
+    # every true blob maps to exactly one k-means cluster and vice versa
+    m = joined.groupBy("true_label", "cluster_id").count().collect()
+    assert len(m) == 3
+    assert {r["count"] for r in m} == {30}
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    df = _blobs(spark)
+    a = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_sq"])
+        for r in kmeans_assign(df, k=3, iters=2, scale=1000).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_sq"])
+        for r in kmeans_assign(
+            df.repartition(7), k=3, iters=2, scale=1000
+        ).collect()
+    )
+    assert a == b
+
+
+def test_kmeans_iteration_reduces_inertia(spark):
+    df = _blobs(spark, centers=((3.0,) * 8, (-3.0,) * 8))
+    inertia = [
+        kmeans_assign(df, k=2, iters=t, scale=1000)
+        .agg(F.sum("dist_sq").alias("s"))
+        .collect()[0]["s"]
+        for t in (1, 3)
+    ]
+    assert inertia[1] <= inertia[0]
+
+
+def test_rp_coefficients_seeded_and_sparse():
+    a = rp_coefficients(16, 64, seed=42)
+    b = rp_coefficients(16, 64, seed=42)
+    assert (a == b).all()
+    assert set(a.ravel().tolist()) <= {-1, 0, 1}
+    # Achlioptas density: ~1/3 nonzero
+    nz = (a != 0).mean()
+    assert 0.2 < nz < 0.5
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    # JL sanity: the projection of far-apart vs near points keeps order
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    far = [rng.gauss(0, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(df, k=32, dim=64, seed=1).collect()
+    }
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    assert dist(out[0], out[1]) < dist(out[0], out[2])
+
+
+def test_random_projection_exact_integer_replay(spark):
+    # the operator's contract: proj == sum(floor(x*scale) * coeff)
+    vec = [0.5, -0.25, 0.125, 1.0]
+    coeffs = rp_coefficients(3, 4, seed=9)
+    df = spark.createDataFrame([(7, vec)], "vec_id long, embedding array<double>")
+    out = random_projection(df, k=3, dim=4, seed=9, scale=1000).collect()[0]
+    xq = [math.floor(x * 1000) for x in vec]
+    expect = [sum(q * int(c) for q, c in zip(xq, row)) for row in coeffs]
+    assert list(out["proj"]) == expect
+
+
+@pytest.mark.slow
+def test_kmeans_bench_scale(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    out = kmeans_assign(emb, k=8, iters=2)
+    n = out.count()
+    assert n == emb.count()
+    sizes = [r["count"] for r in out.groupBy("cluster_id").count().collect()]
+    assert len(sizes) >= 2

@@ -121,3 +121,73 @@ def test_pack_sequences_oversized_row_gets_own_bin(spark):
     assert packed[1] == 0
     assert packed[2] == 0  # starts in bin 0 (overflow row)
     assert packed[3] == 50  # next row starts a fresh bin past the giant
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from omop_etl_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # equal natural shares (500 each); target 50% split 60/20/20/0
+    weights = {"s0": 0.6, "s1": 0.2, "s2": 0.2}
+    out = mixture_sample(df, "source", weights, target_frac=0.5)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # expected kept: s0 min(1, .6*1000/500)=1.0 -> 500;
+    # s1/s2 rate .4 -> ~200; s3 weight 0 -> dropped entirely
+    assert counts["s0"] == 500
+    assert "s3" not in counts
+    for s in ("s1", "s2"):
+        assert 150 < counts[s] < 250, counts
+    # deterministic under rerun and repartition
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(7), "source", weights, target_frac=0.5
+        ).collect()
+    )
+    assert a == b
+
+
+def test_mixture_sample_never_upsamples(spark):
+    from omop_etl_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "rare" if i < 20 else "common") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, "source", {"rare": 0.9, "common": 0.1}, 0.5)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # rare target (0.9*500=450) exceeds its 20 rows -> kept whole, no repeat
+    assert counts["rare"] == 20
+    assert counts["common"] < 100
+
+
+def test_rank_filter_exact_cut_and_tiebreak(spark):
+    from omop_etl_spark.operators.sampling import rank_filter
+
+    rows = [(i, float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = rank_filter(df, [F.col("score").desc(), "doc_id"], 0.25, rank_col="rk")
+    got = sorted((r["rk"], r["doc_id"]) for r in out.collect())
+    assert len(got) == 25
+    # top 25 under (score desc, doc_id asc): scores 9,8 fully (20 rows)
+    # then the 5 smallest ids of score 7
+    ids = {r[1] for r in got}
+    assert all(i in ids for i in range(9, 100, 10))
+    assert all(i in ids for i in range(8, 100, 10))
+    assert {7, 17, 27, 37, 47} <= ids and 57 not in ids
+
+
+def test_rank_filter_distributed_path_matches_window_path(spark):
+    from omop_etl_spark.operators.sampling import rank_filter
+
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    order = [F.col("score").desc(), "doc_id"]
+    small = sorted(r["doc_id"] for r in rank_filter(df, order, 0.3).collect())
+    dist = sorted(
+        r["doc_id"]
+        for r in rank_filter(df, order, 0.3, num_partitions=7).collect()
+    )
+    assert small == dist and len(small) == 150
