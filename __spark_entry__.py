@@ -2995,6 +2995,390 @@ FROM w2
 
 
 # ---------------------------------------------------------------------------
+# classic decision-support join/agg shapes (TPC-H Q3/Q4/Q6/Q10/Q14)
+
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way fact join with selective dimension filter,
+    grouped revenue, top-10. The segment filter prunes customer before
+    the join (pushed to the scan); the final top-k compiles to
+    TakeOrderedAndProject — no global sort. Deterministic tiebreak
+    (revenue DESC, o_orderkey ASC) keeps the limit hash-stable across
+    engines."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("bigint")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("bigint").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderdate",
+            "revenue",
+        )
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    non-equi residual (l_shipdate > o_orderdate + 60 days). Catalyst
+    keeps the equi part (orderkey) as the shuffle key and evaluates the
+    date residual as a join filter — no cross product, one shuffle, and
+    the semi-join short-circuits per order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .select("o_orderpriority", "order_count")
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def _q_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan→filter→scalar-aggregate, the pushdown
+    showcase — every predicate reaches the parquet reader (PushedFilters
+    on l_shipdate/l_discount/l_quantity), only 4 columns are read, and
+    the whole query is one map-side-combined partial aggregate with a
+    single-row final exchange."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 1000).cast("bigint")
+    return l.agg(
+        F.sum(rev).cast("bigint").alias("revenue_micros"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_FILTER_REVENUE = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1000) AS BIGINT)) AS BIGINT) AS revenue_micros,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue by customer with a
+    broadcast nation dim, top-20 by lost revenue. The returnflag and
+    order-date filters push to the scans; nation broadcasts; the top-k
+    is TakeOrderedAndProject with a deterministic custkey tiebreak."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("bigint")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("bigint").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+    )
+
+
+ORACLE_RETURNED_ITEMS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name AS nation,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-revenue share over a
+    lineitem⋈part join. Both sums are per-row-floored BIGINTs and the
+    share is derived from those integers, so the ratio is bit-stable
+    across engines regardless of float summation order. Part is the
+    build side (broadcast-eligible at test SF; sort-merge at 100 TB —
+    either way the join key is the only shuffle)."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("bigint")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("bigint").alias("total_revenue"),
+        )
+        .select(
+            F.col("month").cast("int").alias("month"),
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_share"),
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT CAST(month(l_shipdate) AS INT) AS month,
+         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS rev,
+         p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_revenue,
+       CAST(SUM(rev) AS BIGINT) AS total_revenue,
+       round(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) / CAST(SUM(rev) AS DOUBLE), 6) AS promo_share
+FROM j
+GROUP BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group statistical outlier flagging (z-score feature engineering)
+
+
+def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging — the feature-engineering /
+    data-quality primitive: one map-side-combined aggregate computes
+    per-type mean/stddev, the tiny stats frame broadcasts back onto the
+    fact scan (no second shuffle of events), and the flag is a pure
+    JVM expression. At 100 TB the stats frame stays |event_type|-sized,
+    so the broadcast never grows with the data."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_samp("value").alias("__sigma"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+ORACLE_EVENTS_ANOMALY = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round((e.value - s.mu) / s.sigma, 4) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus profiling
+
+
+def _q_docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (count, char volume, EXACT median
+    length, language diversity) — the curation dashboard query. One
+    hash aggregate; the exact percentile is per-group (bounded state),
+    not a global sort. Spark's `percentile` and DuckDB's
+    `quantile_cont` share linear-interpolation semantics, so the median
+    is hash-comparable."""
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select("source", "n_docs", "total_chars", "median_chars", "n_langs")
+    )
+
+
+ORACLE_DOCS_SOURCE_STATS = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup dedup: new batch vs existing corpus
+
+
+def _q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: a 'new batch' (doc_id % 7 == 0) is
+    LSH-joined against the already-curated corpus (the rest) — the
+    existing corpus is never re-paired against itself, so steady-state
+    cost is proportional to the batch. md5 base hash makes the full
+    signature → band-join → bucket-cap → exact-jaccard-verify pipeline
+    replay bit-for-bit in the DuckDB oracle."""
+    from omop_etl_spark.operators.dedup import minhash_lsh_join
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    existing = docs.filter(F.col("doc_id") % 7 != 0)
+    return minhash_lsh_join(
+        incoming,
+        existing,
+        n=3,
+        num_hashes=16,
+        bands=8,
+        threshold=0.8,
+        base_hash="md5",
+    ).select(
+        F.col("in_id").cast("bigint").alias("in_id"),
+        F.col("ex_id").cast("bigint").alias("ex_id"),
+        "jaccard",
+    )
+
+
+def _oracle_incremental_dedup(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.8,
+    max_bucket: int = 256,
+) -> str:
+    """DuckDB replay of operators.dedup.minhash_lsh_join(base_hash="md5"):
+    both sides share the md5-derived 31-bit shingle hash and seeded
+    affine rehash family; the existing-side bucket cap keeps only the
+    bucket-minimum id for over-full bands; verification is exact
+    shingle Jaccard."""
+    from omop_etl_spark.operators.dedup import _MERSENNE_P, _affine_params
+
+    rows = num_hashes // bands
+    params = _affine_params(num_hashes)
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {_MERSENNE_P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    def banded(side: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + ", ".join(f"m{b * rows + r} AS x{r}" for r in range(rows))
+            + f" FROM sig{side}"
+            for b in range(bands)
+        )
+    xs = ", ".join(f"x{r}" for r in range(rows))
+    xeq = " AND ".join(f"i.x{r} = k.x{r}" for r in range(rows))
+    return f"""
+WITH shI AS ({_duck_shingles("(SELECT * FROM documents WHERE doc_id % 7 = 0) dI")}),
+shE AS ({_duck_shingles("(SELECT * FROM documents WHERE doc_id % 7 <> 0) dE")}),
+hI AS (SELECT doc_id,
+             list_transform(s, g -> CAST('0x' || substr(md5('0|' || g), 1, 8) AS BIGINT) & {_MERSENNE_P}) AS hs
+      FROM shI),
+hE AS (SELECT doc_id,
+             list_transform(s, g -> CAST('0x' || substr(md5('0|' || g), 1, 8) AS BIGINT) & {_MERSENNE_P}) AS hs
+      FROM shE),
+sigI AS (SELECT doc_id, {mins} FROM hI),
+sigE AS (SELECT doc_id, {mins} FROM hE),
+bandedI AS ({banded("I")}),
+bandedE AS ({banded("E")}),
+statsE AS (
+  SELECT doc_id, band, {xs},
+         COUNT(*) OVER w AS cnt, MIN(doc_id) OVER w AS mn
+  FROM bandedE WINDOW w AS (PARTITION BY band, {xs})
+),
+keepE AS (SELECT doc_id, band, {xs} FROM statsE
+          WHERE cnt <= {max_bucket} OR doc_id = mn),
+cand AS (
+  SELECT DISTINCT i.doc_id AS in_id, k.doc_id AS ex_id
+  FROM bandedI i JOIN keepE k ON i.band = k.band AND {xeq}
+)
+SELECT CAST(c.in_id AS BIGINT) AS in_id, CAST(c.ex_id AS BIGINT) AS ex_id,
+       round(len(list_intersect(a.s, b.s)) /
+             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN shI a ON a.doc_id = c.in_id JOIN shE b ON b.doc_id = c.ex_id
+WHERE len(list_intersect(a.s, b.s)) /
+      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -3053,6 +3437,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_gate": _q_docs_quality_gate,
         "embed_project": _q_embed_project,
         "embed_kmeans": _q_embed_kmeans,
+        # (d) new in r06: decision-support joins, outlier flagging,
+        # corpus profiling, incremental cross-corpus dedup
+        "agg_shipping_priority": _q_shipping_priority,
+        "agg_order_priority": _q_order_priority,
+        "agg_filter_revenue": _q_filter_revenue,
+        "agg_returned_items": _q_returned_items,
+        "agg_promo_share": _q_promo_revenue_share,
+        "events_anomaly_zscore": _q_events_anomaly,
+        "docs_source_stats": _q_docs_source_stats,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
         # r05-verified, non-ETL
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
@@ -3181,6 +3575,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_gate": ORACLE_DOCS_QUALITY_GATE,
         "embed_project": _oracle_embed_project(),
         "embed_kmeans": _oracle_embed_kmeans(),
+        "agg_shipping_priority": ORACLE_SHIPPING_PRIORITY,
+        "agg_order_priority": ORACLE_ORDER_PRIORITY,
+        "agg_filter_revenue": ORACLE_FILTER_REVENUE,
+        "agg_returned_items": ORACLE_RETURNED_ITEMS,
+        "agg_promo_share": ORACLE_PROMO_REVENUE_SHARE,
+        "events_anomaly_zscore": ORACLE_EVENTS_ANOMALY,
+        "docs_source_stats": ORACLE_DOCS_SOURCE_STATS,
+        "docs_incremental_dedup": _oracle_incremental_dedup(),
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

@@ -20,6 +20,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_lsh_join",
     "simhash_text",
     "simhash_signatures",
     "simhash_pairs",
@@ -370,6 +371,71 @@ def minhash_signature(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    base_hash: str,
+) -> DataFrame:
+    """Banded MinHash signatures as ``(__id, __band)`` rows (``bands``
+    rows per document, band index prefixed into the band string so the
+    rows are distinct by construction).
+
+    Relational build: explode shingles, base-hash each ONCE, then one
+    map-side-combined aggregate with ``num_hashes`` min() columns. (The
+    Column-form :func:`minhash_signature` inlines the md5 subtree into
+    every per-hash fold after Catalyst collapses projections — the same
+    num_hashes-fold blowup simhash_signatures avoids.)
+
+    The base hash is masked to 31 bits — required by the affine family
+    (see ``_MERSENNE_P``: 31-bit x keeps a*x inside int64 while letting
+    the modulus wrap, which is what makes the num_hashes orderings
+    independent). ``xxhash64`` is JVM-native and an order of magnitude
+    cheaper than the md5+conv base hash; the md5 form is the
+    engine-portable alternative an ANSI oracle can replicate.
+    """
+    rows = num_hashes // bands
+    ex = spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(token_shingles(text_col, n)).alias("__g"),
+    )
+    if base_hash == "md5":
+        hc = _md5_hash(F.col("__g"), 0).bitwiseAND(F.lit(_MERSENNE_P))
+    elif base_hash == "xxhash64":
+        hc = F.xxhash64("__g").bitwiseAND(F.lit(_MERSENNE_P))
+    else:
+        raise ValueError(f"minhash banded signatures: base_hash={base_hash!r}")
+    h = ex.select("__id", hc.alias("__h"))
+    params = _affine_params(num_hashes)
+    mins = h.groupBy("__id").agg(
+        *[
+            F.min((F.col("__h") * a + b) % _MERSENNE_P).alias(f"__m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    base = mins.select(
+        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig")
+    )
+    return base.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -408,63 +474,10 @@ def minhash_lsh_pairs(
     non-star pair inside an over-full bucket is reported only if it
     also collides in some bucket under the cap.
     """
-    rows = num_hashes // bands
-    # relational signature build: explode shingles, md5-hash each ONCE,
-    # then one map-side-combined aggregate with num_hashes min() columns.
-    # (The Column-form minhash_signature inlines the md5 subtree into
-    # every per-hash fold after Catalyst collapses projections — the
-    # same num_hashes-fold blowup simhash_signatures avoids.)
-    ex = spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(token_shingles(text_col, n)).alias("__g"),
-    )
-    # base hash masked to 31 bits — required by the affine family (see
-    # _MERSENNE_P: 31-bit x keeps a*x inside int64 while letting the
-    # modulus wrap, which is what makes the num_hashes orderings
-    # independent). xxhash64 is JVM-native and an order of magnitude
-    # cheaper than the md5+conv base hash; the md5 form is the
-    # engine-portable alternative an ANSI oracle can replicate.
-    if base_hash == "md5":
-        hc = _md5_hash(F.col("__g"), 0).bitwiseAND(F.lit(_MERSENNE_P))
-    elif base_hash == "xxhash64":
-        hc = F.xxhash64("__g").bitwiseAND(F.lit(_MERSENNE_P))
-    else:
-        raise ValueError(f"minhash_lsh_pairs: base_hash={base_hash!r}")
-    h = ex.select("__id", hc.alias("__h"))
-    params = _affine_params(num_hashes)
-    mins = h.groupBy("__id").agg(
-        *[
-            F.min((F.col("__h") * a + b) % _MERSENNE_P).alias(f"__m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    base = mins.select(
-        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig")
-    )
-    # the banded frame is tiny (id + band string per band); it is
-    # persisted below (as `stats`) so the band self-join does not
-    # rebuild the full signature aggregate once per join side
     from pyspark import StorageLevel
 
-    banded = (
-        base.select(
-            "__id",
-            F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            "_",
-                            F.lit(b),
-                            *[F.col("__sig")[b * rows + r] for r in range(rows)],
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("__band"),
-        )
-        # no distinct(): each doc's `bands` rows are distinct by
-        # construction (the band index prefixes the band string), so a
-        # distinct here would be a pure-waste full shuffle
+    banded = _banded_signatures(
+        df, id_col, text_col, n, num_hashes, bands, base_hash
     )
     # one window pass on the band key (same shuffle key the self-join
     # needs) annotates bucket size + minimum id; persisted so the join
@@ -518,6 +531,94 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_lsh_join(
+    incoming: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket: int = 256,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus near-dup join — the INCREMENTAL dedup primitive: a
+    new batch of documents is checked against an already-curated corpus
+    without ever re-pairing the existing corpus against itself.
+
+    Returns verified pairs ``(in_id, ex_id, jaccard)`` where an
+    incoming document's exact shingle-Jaccard against an existing
+    document clears ``threshold`` and the two collide in ≥1 MinHash
+    band. Ingestion then keeps incoming docs with no output row.
+
+    Scale design (the 100 TB path): both sides reduce to banded
+    signatures (one explode + one map-side-combined min-aggregate
+    each); the band equi-join shuffles only ``(id, band-string)`` rows
+    on the same key the existing-side bucket-cap window already
+    partitioned by; candidates — not corpora — feed the exact-Jaccard
+    verify, which tokenizes only candidate-surviving docs via
+    semi-joins. Nothing is quadratic: an existing-side band bucket
+    larger than ``max_bucket`` (boilerplate pages) pairs each colliding
+    incoming doc only with the bucket's minimum existing id — enough to
+    FLAG the incoming doc as a near-dup, which is the incremental-dedup
+    contract — so candidates stay linear in the incoming batch.
+    Precision is exact (post-verification); recall follows the LSH
+    S-curve exactly as in :func:`minhash_lsh_pairs`.
+
+    Unlike the self-join, the existing side never pairs with itself, so
+    a steady-state pipeline re-checks only the new batch each run —
+    cost proportional to the batch, not the corpus.
+    """
+    from pyspark import StorageLevel
+
+    bl = _banded_signatures(
+        incoming, id_col, text_col, n, num_hashes, bands, base_hash
+    )
+    br = _banded_signatures(
+        existing, id_col, text_col, n, num_hashes, bands, base_hash
+    )
+    # bucket-cap window on the EXISTING side: same shuffle key as the
+    # band join, so the Exchange is reused between window and join
+    wb = Window.partitionBy("__band")
+    stats = (
+        br.withColumn("__cnt", F.count(F.lit(1)).over(wb))
+        .withColumn("__mn", F.min("__id").over(wb))
+    )
+    keep = stats.filter(
+        (F.col("__cnt") <= max_bucket) | (F.col("__id") == F.col("__mn"))
+    ).select(F.col("__id").alias("ex_id"), "__band")
+    cand = (
+        bl.select(F.col("__id").alias("in_id"), "__band")
+        .join(keep, "__band")
+        .select("in_id", "ex_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # exact verification tokenizes ONLY candidate-surviving docs on
+    # each side; semi-join strategy left to AQE
+    in_ids = cand.select(F.col("in_id").alias("__cid")).distinct()
+    ex_ids = cand.select(F.col("ex_id").alias("__cid")).distinct()
+    shl = incoming.join(
+        in_ids, incoming[id_col] == in_ids["__cid"], "left_semi"
+    ).select(F.col(id_col).alias("in_id"), token_shingles(text_col, n).alias("__sha"))
+    shr = existing.join(
+        ex_ids, existing[id_col] == ex_ids["__cid"], "left_semi"
+    ).select(F.col(id_col).alias("ex_id"), token_shingles(text_col, n).alias("__shb"))
+    verified = (
+        cand.join(shl, "in_id")
+        .join(shr, "ex_id")
+        .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__sha") + F.size("__shb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("in_id", "ex_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 def simhash_text(

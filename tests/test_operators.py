@@ -222,6 +222,82 @@ def test_minhash_subset_of_exact(spark):
     assert (1, 2) in approx  # identical docs always collide
 
 
+def test_minhash_lsh_join_flags_cross_dups_only(spark):
+    from omop_etl_spark.operators.dedup import minhash_lsh_join
+
+    incoming = spark.createDataFrame(
+        [
+            (10, "w1 w2 w3 w4 w5 w6 w7 w8"),   # dup of existing 1
+            (11, "p q r s t u v w"),            # unique
+        ],
+        "doc_id int, text string",
+    )
+    existing = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),   # dup inside existing — must NOT pair
+            (3, "a b c d e f g h"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.in_id, r.ex_id)
+        for r in minhash_lsh_join(incoming, existing, threshold=0.8).collect()
+    }
+    assert got == {(10, 1), (10, 2)}  # only incoming→existing links
+
+
+def test_minhash_lsh_join_bucket_cap_links_bucket_min(spark):
+    from omop_etl_spark.operators.dedup import minhash_lsh_join
+
+    # 30 identical existing pages + one identical incoming page, cap=5:
+    # the over-full existing bucket star-links the incoming doc ONLY to
+    # the bucket-minimum existing id — candidates stay linear, and the
+    # incoming doc is still flagged (the incremental-dedup contract).
+    text = "dup dup2 dup3 dup4 dup5 dup6 dup7 dup8"
+    existing = spark.createDataFrame(
+        [(i, text) for i in range(1, 31)], "doc_id int, text string"
+    )
+    incoming = spark.createDataFrame([(100, text)], "doc_id int, text string")
+    got = {
+        (r.in_id, r.ex_id)
+        for r in minhash_lsh_join(
+            incoming, existing, threshold=0.8, max_bucket=5
+        ).collect()
+    }
+    assert got == {(100, 1)}
+
+
+def test_minhash_lsh_join_md5_matches_xxhash_verdicts(spark):
+    from omop_etl_spark.operators.dedup import minhash_lsh_join
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    existing = docs.filter(F.col("doc_id") % 7 != 0)
+    md5 = {
+        (r.in_id, r.ex_id): r.jaccard
+        for r in minhash_lsh_join(
+            incoming, existing, threshold=0.8, base_hash="md5"
+        ).collect()
+    }
+    xx = {
+        (r.in_id, r.ex_id): r.jaccard
+        for r in minhash_lsh_join(
+            incoming, existing, threshold=0.8, base_hash="xxhash64"
+        ).collect()
+    }
+    # identical docs (jaccard 1.0) collide in EVERY band under any base
+    # hash, so they must be reported by both; sub-1.0 pairs may differ
+    # (LSH recall jitter near the threshold), but where both report a
+    # pair the verified exact jaccard must agree bit-for-bit
+    exact_md5 = {p for p, j in md5.items() if j == 1.0}
+    exact_xx = {p for p, j in xx.items() if j == 1.0}
+    assert md5 and xx  # the sf0.001 corpus contains cross-split near-dups
+    assert exact_md5 == exact_xx
+    for p in md5.keys() & xx.keys():
+        assert md5[p] == xx[p]
+
+
 def test_simhash_relational_matches_column_form(spark):
     from omop_etl_spark.operators.dedup import simhash_signatures
 
