@@ -3379,6 +3379,137 @@ WHERE len(list_intersect(a.s, b.s)) /
 
 
 # ---------------------------------------------------------------------------
+# graph rank propagation (integer-scaled PageRank)
+
+
+def _q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the bidirectional user↔event-type
+    bipartite graph. Integer-scaled rank arithmetic (operators.graph)
+    makes a fixed-iteration PageRank exactly engine-portable — the
+    oracle unrolls the same three iterations as SQL CTEs. Each
+    iteration is one src-key join + one dst-key hash aggregate (the
+    Pregel pattern expressed relationally, AQE-skew-safe)."""
+    from omop_etl_spark.operators.graph import pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fwd = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=3).select("node", "rank_scaled")
+
+
+def _oracle_events_pagerank(iterations: int = 3) -> str:
+    """Unrolled-CTE replay of operators.graph.pagerank (scale=1e6,
+    damping 17/20, dangling mass dropped). All updates are
+    floor-of-double-division over integers — IEEE double division is
+    correctly rounded in both engines, so every intermediate bigint is
+    bit-identical."""
+    it = """
+c{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(floor((r.r * 17) / (20 * d.deg)) AS BIGINT)) AS cin
+  FROM r{p} r JOIN edges e ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nd.node,
+         CAST(CAST(floor(3000000 / (20 * nn.n)) AS BIGINT)
+              + COALESCE(c{i}.cin, 0) AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN c{i} ON nd.node = c{i}.node, n nn
+)"""
+    chain = ",".join(it.format(i=i + 1, p=i) for i in range(iterations))
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                  't' || event_type AS dst
+  FROM events
+),
+edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(floor(1000000 / n) AS BIGINT) AS r FROM nodes, n),
+{chain}
+SELECT node, r AS rank_scaled FROM r{iterations}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM quality scoring
+
+
+def _q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM — the cheap perplexity proxy for quality filtering. The
+    per-token-type logprob is floor-scaled to BIGINT once, so the
+    per-doc accumulation is an exact integer sum (row-order- and
+    partitioning-independent)."""
+    from omop_etl_spark.operators.chunking import unigram_logprob_scores
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return unigram_logprob_scores(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "mean_logprob",
+    )
+
+
+ORACLE_DOCS_UNIGRAM_LOGPROB = """
+WITH terms AS (
+  SELECT doc_id, lower(t) AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+cf AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+total AS (SELECT SUM(cnt) AS total FROM cf),
+logp AS (SELECT term, CAST(floor(ln(cnt / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+         FROM cf, total)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+       round(SUM(t.tf * l.lp) / (SUM(t.tf) * 1000000.0), 6) AS mean_logprob
+FROM tf t JOIN logp l ON t.term = l.term
+GROUP BY t.doc_id
+"""
+
+
+def _q_docs_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token fraction per document (corpus frequency ≤ 2) — a
+    float-free quality signal for OCR noise and mojibake. All-integer
+    except the final rounded ratio."""
+    from omop_etl_spark.operators.chunking import rare_token_stats
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return rare_token_stats(docs, rare_max_count=2).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_rare",
+        "rare_frac",
+    )
+
+
+ORACLE_DOCS_RARE_TOKENS = """
+WITH terms AS (
+  SELECT doc_id, lower(t) AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+cf AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c.cnt <= 2 THEN t.tf ELSE 0 END) AS BIGINT) AS n_rare,
+       round(SUM(CASE WHEN c.cnt <= 2 THEN t.tf ELSE 0 END)
+             / CAST(SUM(t.tf) AS DOUBLE), 6) AS rare_frac
+FROM tf t JOIN cf c ON t.term = c.term
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -3447,6 +3578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_zscore": _q_events_anomaly,
         "docs_source_stats": _q_docs_source_stats,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_user_pagerank": _q_events_pagerank,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_rare_tokens": _q_docs_rare_tokens,
         # r05-verified, non-ETL
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
@@ -3583,6 +3717,9 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_zscore": ORACLE_EVENTS_ANOMALY,
         "docs_source_stats": ORACLE_DOCS_SOURCE_STATS,
         "docs_incremental_dedup": _oracle_incremental_dedup(),
+        "events_user_pagerank": _oracle_events_pagerank(),
+        "docs_unigram_logprob": ORACLE_DOCS_UNIGRAM_LOGPROB,
+        "docs_rare_tokens": ORACLE_DOCS_RARE_TOKENS,
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

@@ -24,7 +24,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "tfidf_topk", "corpus_ngram_counts"]
+from .util import spread
+
+__all__ = [
+    "chunk_documents",
+    "tfidf_topk",
+    "corpus_ngram_counts",
+    "unigram_logprob_scores",
+    "rare_token_stats",
+]
 
 
 def chunk_documents(
@@ -185,3 +193,88 @@ def corpus_ngram_counts(
     if top_k is not None:
         out = out.orderBy(F.desc("count"), F.asc("ngram")).limit(top_k)
     return out
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity proxy for quality
+    filtering (low mean logprob = rare/garbled text).
+
+    Determinism contract: the per-token-type log-probability is scaled
+    to a BIGINT once (``floor(ln(count/total) * 1e6)``), so the per-doc
+    accumulation is an exact integer sum — independent of row order and
+    partitioning — and only the final per-doc mean is a rounded float.
+
+    Shuffle profile: one hash aggregate for doc-term counts, one
+    vocabulary-sized aggregate for corpus counts, one join back on the
+    term key (broadcast-able at typical vocab sizes), one final doc-key
+    aggregate. The corpus total enters as a lazy 1-row broadcast.
+    """
+    terms = spread(df).select(
+        F.col(id_col), F.explode(_term_tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = cf.agg(F.sum("cnt").alias("__total"))
+    logp = cf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.floor(F.log(F.col("cnt") / F.col("__total")) * 1_000_000)
+        .cast("bigint")
+        .alias("__logp"),
+    )
+    return (
+        tf.join(logp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("__logp")).cast("bigint").alias("__sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("__sum") / (F.col("n_tokens") * 1_000_000.0), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+def rare_token_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Per-document rare-token profile: token count, number of tokens
+    whose CORPUS frequency is ≤ ``rare_max_count``, and the rare
+    fraction — a float-free quality signal (high rare fraction flags
+    OCR noise, mojibake, and boilerplate hashes). All-integer except
+    the final rounded ratio, so fully engine-portable.
+
+    Same shuffle profile as :func:`unigram_logprob_scores` (shared
+    doc-term aggregate shape); the corpus-frequency frame is
+    vocabulary-sized and joins back on the term key.
+    """
+    terms = spread(df).select(
+        F.col(id_col), F.explode(_term_tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    return (
+        tf.join(cf, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") <= rare_max_count, F.col("tf")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_frac"),
+        )
+    )

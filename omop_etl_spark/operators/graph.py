@@ -1,0 +1,109 @@
+"""Graph operators over edge-list DataFrames.
+
+Connected components live in :mod:`.cluster`; this module adds rank
+propagation (PageRank). Everything is DataFrame-native — the iteration
+count is a plan-construction loop on the driver, never a per-row loop —
+and all rank arithmetic is INTEGER-scaled so results are independent of
+float summation order and replay bit-for-bit in any SQL engine.
+
+Scale design: each iteration is one equi-join (ranks ⋈ edges, shuffled
+on the src key) plus one hash aggregate (sum of contributions grouped by
+dst) — the same shuffle pattern GraphX/Pregel lowers to, expressed
+relationally so AQE handles skewed hub nodes. For deep iteration counts
+pass ``checkpoint_every`` to truncate the lineage chain (same
+localCheckpoint pattern as operators.cluster.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["out_degrees", "pagerank"]
+
+
+def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Out-degree per source node: one map-side-combined aggregate."""
+    return edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 1_000_000,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank with integer-scaled arithmetic.
+
+    Ranks are bigints in units of ``1/scale``; the damping factor is the
+    rational ``damping_num/damping_den`` (default 17/20 = 0.85). Every
+    update is integer floor division, so the result is EXACTLY
+    deterministic — independent of partitioning, aggregation order, and
+    engine — which is what makes a fixed-iteration PageRank
+    value-oracle-checkable in ANSI SQL (unrolled CTEs), unlike the usual
+    float formulation.
+
+    Update rule per iteration (uniform teleport, dangling mass dropped —
+    documented contract, matching the oracle):
+
+        contrib(e) = rank(src) * damping_num // (damping_den * deg(src))
+        rank'(v)   = scale * (damping_den - damping_num)
+                         // (damping_den * N)  +  sum contrib over in-edges
+
+    Returns ``(node, rank_scaled)`` for every node (isolated
+    destinations included). One shuffle per iteration plus the final
+    left join; degrees and the node set are computed once and reused.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # N enters every rank expression as a scalar: a 1-row frame
+    # cross-joined lazily (broadcast of one row — the same lazy-scalar
+    # pattern as embed_quantize's global range), never a driver collect.
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    base = F.floor(
+        F.lit(scale * (damping_den - damping_num)) / (F.lit(damping_den) * F.col("__n"))
+    ).cast("bigint")
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_frame))
+        .select("node", F.floor(F.lit(scale) / F.col("__n")).cast("bigint").alias("rank_scaled"))
+    )
+    edge_deg = e.join(deg, "__src")  # deg is edges-derived: inner join is total
+    for i in range(iterations):
+        contrib = (
+            ranks.join(edge_deg, ranks["node"] == edge_deg["__src"])
+            .select(
+                F.col("__dst").alias("node"),
+                F.floor(
+                    (F.col("rank_scaled") * damping_num)
+                    / (F.lit(damping_den) * F.col("__deg"))
+                ).cast("bigint").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_frame))
+            .select(
+                "node",
+                (base + F.coalesce(F.col("__in"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank_scaled"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

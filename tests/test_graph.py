@@ -1,0 +1,122 @@
+"""PageRank (operators/graph.py): exact integer semantics vs a pure-
+Python reference, plus structural properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.graph import out_degrees, pagerank
+
+SCALE = 1_000_000
+
+
+def _py_pagerank(edges, iterations=3, dn=17, dd=20, scale=SCALE):
+    """Row-order-independent reference: same integer floor arithmetic."""
+    import math
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: math.floor(scale / n) for v in nodes}
+    base = math.floor(scale * (dd - dn) / (dd * n))
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += math.floor((rank[s] * dn) / (dd * deg[s]))
+        rank = {v: base + inc[v] for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # directed triangle
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        # hub-and-spoke with a dangling node d
+        [("a", "h"), ("b", "h"), ("c", "h"), ("h", "a"), ("h", "d")],
+        # bipartite with multiplicity-free both directions
+        [("u1", "t1"), ("u2", "t1"), ("t1", "u1"), ("t1", "u2"), ("u1", "t2"), ("t2", "u1")],
+    ],
+)
+def test_pagerank_matches_python_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank_scaled for r in pagerank(df, iterations=3).collect()}
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # on a k-cycle every node keeps the uniform rank (fixpoint of the
+    # update): floor arithmetic preserves exact symmetry
+    k = 7
+    edges = [(str(i), str((i + 1) % k)) for i in range(k)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r.rank_scaled for r in pagerank(df, iterations=4).collect()}
+    assert len(ranks) == 1
+
+
+def test_pagerank_mass_bounded(spark):
+    # dangling mass is dropped, never created: total rank is bounded by
+    # the initial mass and stays positive
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = pagerank(df, iterations=5).collect()
+    total = sum(r.rank_scaled for r in out)
+    assert 0 < total <= SCALE
+    assert all(r.rank_scaled > 0 for r in out)
+
+
+def test_pagerank_checkpointing_same_result(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plain = {r.node: r.rank_scaled for r in pagerank(df, iterations=4).collect()}
+    ckpt = {
+        r.node: r.rank_scaled
+        for r in pagerank(df, iterations=4, checkpoint_every=2).collect()
+    }
+    assert plain == ckpt
+
+
+def test_out_degrees(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {r.node: r.out_degree for r in out_degrees(df).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_unigram_and_rare_tokens_match_python(spark):
+    from collections import Counter
+    import math
+
+    from omop_etl_spark.operators.chunking import (
+        rare_token_stats,
+        unigram_logprob_scores,
+    )
+
+    rows = [
+        (1, "The cat sat on the mat"),
+        (2, "the dog ate the cat"),
+        (3, "zyx qwv unique tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    import re
+
+    doc_toks = {i: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for i, s in rows}
+    cf = Counter(t for ts in doc_toks.values() for t in ts)
+    total = sum(cf.values())
+    lp = {t: math.floor(math.log(c / total) * 1_000_000) for t, c in cf.items()}
+
+    got = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    for i, ts in doc_toks.items():
+        want = round(sum(lp[t] for t in ts) / (len(ts) * 1_000_000.0), 6)
+        assert got[i].n_tokens == len(ts)
+        assert got[i].mean_logprob == pytest.approx(want, abs=1e-9)
+    # doc 3 is all rare tokens -> lowest mean logprob
+    assert got[3].mean_logprob == min(r.mean_logprob for r in got.values())
+
+    rare = {r.doc_id: r for r in rare_token_stats(df, rare_max_count=1).collect()}
+    for i, ts in doc_toks.items():
+        n_rare = sum(1 for t in ts if cf[t] == 1)
+        assert rare[i].n_rare == n_rare
+        assert rare[i].n_tokens == len(ts)
