@@ -3438,6 +3438,72 @@ SELECT node, r AS rank_scaled FROM r{iterations}
 
 
 # ---------------------------------------------------------------------------
+# cohort retention (product-analytics shape)
+
+
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-event ISO week,
+    retention counted per week offset, rate derived from integer
+    counts only. Three hash aggregates (first-event per user, distinct
+    user-week activity, cohort-offset rollup) + one broadcast-able
+    cohort-size join; the week offset is exact integer day arithmetic
+    (datediff/7 between Monday-truncated weeks), no float date math."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    offset = (
+        F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    ret = (
+        activity.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+),
+ret AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.activity_week) / 7 AS INT) AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN first f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size FROM first GROUP BY 1
+)
+SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week, r.week_offset,
+       r.n_active, s.cohort_size,
+       round(r.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus-LM quality scoring
 
 
@@ -3581,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_pagerank": _q_events_pagerank,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_rare_tokens": _q_docs_rare_tokens,
+        "events_retention": _q_events_retention,
         # r05-verified, non-ETL
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
@@ -3720,6 +3787,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_pagerank": _oracle_events_pagerank(),
         "docs_unigram_logprob": ORACLE_DOCS_UNIGRAM_LOGPROB,
         "docs_rare_tokens": ORACLE_DOCS_RARE_TOKENS,
+        "events_retention": ORACLE_EVENTS_RETENTION,
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,
