@@ -3318,15 +3318,23 @@ def _q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_incremental_dedup(
-    num_hashes: int = 16, bands: int = 8, threshold: float = 0.8,
+def _minhash_join_ctes(
+    in_source: str,
+    ex_source: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
     max_bucket: int = 256,
+    n: int = 3,
 ) -> str:
-    """DuckDB replay of operators.dedup.minhash_lsh_join(base_hash="md5"):
-    both sides share the md5-derived 31-bit shingle hash and seeded
-    affine rehash family; the existing-side bucket cap keeps only the
-    bucket-minimum id for over-full bands; verification is exact
-    shingle Jaccard."""
+    """CTE chain (``shI`` … ``mh_join_pairs``) replaying
+    operators.dedup.minhash_lsh_join(base_hash="md5") bit-for-bit in
+    DuckDB: both sides share the md5-derived 31-bit shingle hash and
+    the seeded affine rehash family; the existing-side bucket cap keeps
+    only the bucket-minimum id for over-full bands; verification is
+    exact shingle Jaccard. ``in_source`` / ``ex_source`` are FROM-able
+    relations with ``(doc_id, text)``. ``mh_join_pairs`` has columns
+    ``(in_id, ex_id, jaccard)``."""
     from omop_etl_spark.operators.dedup import _MERSENNE_P, _affine_params
 
     rows = num_hashes // bands
@@ -3345,9 +3353,8 @@ def _oracle_incremental_dedup(
         )
     xs = ", ".join(f"x{r}" for r in range(rows))
     xeq = " AND ".join(f"i.x{r} = k.x{r}" for r in range(rows))
-    return f"""
-WITH shI AS ({_duck_shingles("(SELECT * FROM documents WHERE doc_id % 7 = 0) dI")}),
-shE AS ({_duck_shingles("(SELECT * FROM documents WHERE doc_id % 7 <> 0) dE")}),
+    return f"""shI AS ({_duck_shingles(in_source, n)}),
+shE AS ({_duck_shingles(ex_source, n)}),
 hI AS (SELECT doc_id,
              list_transform(s, g -> CAST('0x' || substr(md5('0|' || g), 1, 8) AS BIGINT) & {_MERSENNE_P}) AS hs
       FROM shI),
@@ -3365,16 +3372,71 @@ statsE AS (
 ),
 keepE AS (SELECT doc_id, band, {xs} FROM statsE
           WHERE cnt <= {max_bucket} OR doc_id = mn),
-cand AS (
+candJ AS (
   SELECT DISTINCT i.doc_id AS in_id, k.doc_id AS ex_id
   FROM bandedI i JOIN keepE k ON i.band = k.band AND {xeq}
-)
-SELECT CAST(c.in_id AS BIGINT) AS in_id, CAST(c.ex_id AS BIGINT) AS ex_id,
-       round(len(list_intersect(a.s, b.s)) /
-             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
-FROM cand c JOIN shI a ON a.doc_id = c.in_id JOIN shE b ON b.doc_id = c.ex_id
-WHERE len(list_intersect(a.s, b.s)) /
-      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= {threshold}
+),
+mh_join_pairs AS (
+  SELECT CAST(c.in_id AS BIGINT) AS in_id, CAST(c.ex_id AS BIGINT) AS ex_id,
+         round(len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
+  FROM candJ c JOIN shI a ON a.doc_id = c.in_id JOIN shE b ON b.doc_id = c.ex_id
+  WHERE len(list_intersect(a.s, b.s)) /
+        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= {threshold}
+)"""
+
+
+def _oracle_incremental_dedup() -> str:
+    return f"""
+WITH {_minhash_join_ctes(
+        "(SELECT * FROM documents WHERE doc_id % 7 = 0) dI",
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 0) dE",
+    )}
+SELECT in_id, ex_id, jaccard FROM mh_join_pairs
+"""
+
+
+def _q_docs_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingestion: curate a NEW batch (doc_id % 7 == 0)
+    against the already-curated corpus (the rest) — token gate, exact
+    dedup within the batch, hash-keyed exact anti-join vs the corpus,
+    MinHash-LSH cross-join near-dup drop (md5 base hash). Cost scales
+    with the batch, not the corpus; the oracle replays every stage."""
+    from omop_etl_spark.pipelines import curate_batch_incremental
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return curate_batch_incremental(
+        batch,
+        corpus,
+        min_tokens=5,
+        near_dedup_threshold=0.8,
+        near_dedup_opts={"base_hash": "md5"},
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+def _oracle_docs_curate_incremental() -> str:
+    return f"""
+WITH batchg AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+    AND len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5
+),
+bsurv AS (SELECT MIN(doc_id) AS doc_id, text FROM batchg GROUP BY text),
+corpusx AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+xd AS (SELECT b.* FROM bsurv b
+       ANTI JOIN (SELECT DISTINCT text FROM corpusx) c USING (text)),
+{_minhash_join_ctes("xd", "corpusx")},
+flagged AS (SELECT DISTINCT in_id FROM mh_join_pairs)
+SELECT CAST(x.doc_id AS BIGINT) AS doc_id, x.text,
+       CAST(len(list_filter(string_split_regex(x.text, '\\s+'), x2 -> x2 <> ''))
+            AS INT) AS n_tokens
+FROM xd x ANTI JOIN flagged f ON x.doc_id = f.in_id
 """
 
 
@@ -3648,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_rare_tokens": _q_docs_rare_tokens,
         "events_retention": _q_events_retention,
+        "docs_curate_incremental": _q_docs_curate_incremental,
         # r05-verified, non-ETL
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
@@ -3788,6 +3851,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_logprob": ORACLE_DOCS_UNIGRAM_LOGPROB,
         "docs_rare_tokens": ORACLE_DOCS_RARE_TOKENS,
         "events_retention": ORACLE_EVENTS_RETENTION,
+        "docs_curate_incremental": _oracle_docs_curate_incremental(),
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

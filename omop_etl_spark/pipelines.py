@@ -24,7 +24,7 @@ from .operators.cluster import assign_clusters
 from .operators.contamination import decontaminate, strip_boilerplate
 from .operators.dedup import exact_dedup, minhash_lsh_pairs
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curate_batch_incremental"]
 
 
 def curate_corpus(
@@ -142,6 +142,87 @@ def curate_corpus(
             F.col(id_col), "chunk_id",
             F.col("chunk_text").alias(text_col), "n_tokens",
         )
+    return out.select(
+        F.col(id_col), F.col(text_col), token_count(text_col).alias("n_tokens")
+    )
+
+
+def curate_batch_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    langs: tuple[str, ...] | None = None,
+    min_quality: float | None = None,
+    min_tokens: int | None = None,
+    near_dedup_threshold: float | None = 0.8,
+    near_dedup_opts: dict | None = None,
+) -> DataFrame:
+    """Curate a NEW batch of documents against an already-curated
+    corpus — the steady-state ingestion path: cost is proportional to
+    the batch, never the corpus (the corpus is only aggregated to
+    hashes/signatures, never re-paired against itself).
+
+    1. **Row-level gates** on the batch (language / quality / token
+       floor) — pushed into the batch scan.
+    2. **Exact dedup WITHIN the batch** — smallest ``id_col`` survives
+       per distinct text.
+    3. **Exact cross-dedup vs the corpus** — anti-join keyed on
+       ``(xxhash64(text), text)``: the 8-byte hash is the shuffle/
+       compare key, the text residual makes it collision-exact. The
+       corpus side reduces to distinct texts.
+    4. **Near-dup cross-dedup vs the corpus** —
+       :func:`operators.dedup.minhash_lsh_join`: banded signatures on
+       both sides, existing-side bucket cap, exact-Jaccard verify; any
+       batch doc with a verified pair ≥ threshold is dropped.
+
+    Returns the curated batch as ``(id_col, text_col, n_tokens)``.
+    """
+    from .operators.dedup import minhash_lsh_join
+
+    out = batch.select(F.col(id_col), F.col(text_col))
+    gates = []
+    if langs is not None:
+        gates.append(lang_id(text_col).isin(*langs))
+    if min_quality is not None:
+        gates.append(quality_score(text_col) >= min_quality)
+    if min_tokens is not None:
+        gates.append(token_count(text_col) >= min_tokens)
+    for g in gates:
+        out = out.filter(g)
+
+    out = exact_dedup(out, keys=[text_col], tiebreak=[id_col])
+
+    corpus_texts = corpus.select(
+        F.xxhash64(text_col).alias("__th"), F.col(text_col).alias("__t")
+    ).distinct()
+    out = out.join(
+        corpus_texts,
+        (F.xxhash64(F.col(text_col)) == F.col("__th"))
+        & (F.col(text_col) == F.col("__t")),
+        "left_anti",
+    )
+
+    if near_dedup_threshold is not None:
+        from pyspark import StorageLevel
+
+        # consumed by the signature build AND the final anti-join
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        opts = dict(n=3, num_hashes=16, bands=8, base_hash="xxhash64")
+        opts.update(near_dedup_opts or {})
+        flagged = (
+            minhash_lsh_join(
+                out, corpus, id_col=id_col, text_col=text_col,
+                threshold=near_dedup_threshold, **opts,
+            )
+            .select(F.col("in_id").alias("__dup"))
+            .distinct()
+        )
+        out = out.join(
+            flagged, F.col(id_col) == F.col("__dup"), "left_anti"
+        )
+
     return out.select(
         F.col(id_col), F.col(text_col), token_count(text_col).alias("n_tokens")
     )

@@ -102,3 +102,31 @@ def test_curate_doc_mode_no_chunking(spark):
     # min doc_id survives per distinct text; no chunk_id column
     assert set(out) == {1, 3}
     assert "chunk_id" not in out[1].asDict()
+
+
+def test_curate_batch_incremental_stages(spark):
+    from omop_etl_spark.pipelines import curate_batch_incremental
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of corpus 1
+            (11, "short doc"),                                       # fails token gate
+            (12, "fresh unique content nine ten eleven twelve thirteen"),
+            (13, "fresh unique content nine ten eleven twelve thirteen"),  # batch-internal dup of 12
+            (14, "one two three four five six seven NINE"),          # near-dup of corpus 2
+        ],
+        "doc_id int, text string",
+    )
+    out = curate_batch_incremental(
+        batch, corpus, min_tokens=5, near_dedup_threshold=0.7
+    )
+    got = {r.doc_id: r.n_tokens for r in out.collect()}
+    # 10 dropped (exact vs corpus), 11 gated, 13 loses to 12, 14 near-dup
+    assert got == {12: 8}
