@@ -3440,6 +3440,67 @@ FROM xd x ANTI JOIN flagged f ON x.doc_id = f.in_id
 """
 
 
+def _q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span run-length diagnostics (Lee et al. 2022
+    exact-substring-dedup shape): per doc, corpus-duplicated 13-gram
+    count, number of consecutive spans, and the longest span — the
+    quantity a span-granular deduper would cut. Grams shuffle as 8-byte
+    md5-derived keys (engine-portable), spans via the islands trick
+    (one window on the doc key)."""
+    from omop_etl_spark.operators.contamination import dup_span_stats
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return dup_span_stats(docs, n=13).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_grams",
+        "n_dup_grams",
+        "n_spans",
+        "max_span_grams",
+    )
+
+
+ORACLE_DOCS_DUP_SPANS = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         CASE WHEN len(toks) >= 13
+              THEN array_to_string(toks[u.i:u.i+12], ' ')
+              ELSE array_to_string(toks, ' ') END AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, CASE WHEN len(toks) >= 13
+                                               THEN len(toks) - 13 + 2
+                                               ELSE 2 END)) AS i) u
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k
+  FROM grams
+),
+counts AS (SELECT k, COUNT(*) AS cnt FROM hashed GROUP BY k),
+dup AS (
+  SELECT h.doc_id, h.pos FROM hashed h JOIN counts c ON h.k = c.k
+  WHERE c.cnt > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+),
+runs AS (SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+per_runs AS (
+  SELECT doc_id, COUNT(*) AS n_spans, MAX(len) AS max_span_grams,
+         SUM(len) AS n_dup
+  FROM runs GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM hashed GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.max_span_grams, 0) AS BIGINT) AS max_span_grams
+FROM totals t LEFT JOIN per_runs p ON t.doc_id = p.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # graph rank propagation (integer-scaled PageRank)
 
@@ -3711,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rare_tokens": _q_docs_rare_tokens,
         "events_retention": _q_events_retention,
         "docs_curate_incremental": _q_docs_curate_incremental,
+        "docs_dup_spans": _q_docs_dup_spans,
         # r05-verified, non-ETL
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
@@ -3852,6 +3914,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_rare_tokens": ORACLE_DOCS_RARE_TOKENS,
         "events_retention": ORACLE_EVENTS_RETENTION,
         "docs_curate_incremental": _oracle_docs_curate_incremental(),
+        "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

@@ -20,13 +20,15 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import token_shingles
+from .util import spread
 
 __all__ = [
     "cross_doc_dup_stats",
+    "dup_span_stats",
     "decontaminate",
     "dedup_lines",
     "repetition_stats",
@@ -399,4 +401,73 @@ def repetition_stats(
         F.round(
             F.max("__cnt") / F.sum("__cnt").cast("double"), 6
         ).alias("top_gram_frac"),
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document duplicated-SPAN diagnostics — the run-length view of
+    exact-substring dedup (Lee et al. 2022, arXiv:2107.06499): a token
+    ``n``-gram is *duplicated* when it occurs more than once in the
+    corpus (any document, including its own); consecutive duplicated
+    grams form spans. Returns per doc::
+
+        (id_col, n_grams, n_dup_grams, n_spans, max_span_grams)
+
+    where ``max_span_grams`` is the longest consecutive run — the
+    quantity a span-granular deduper would actually cut.
+
+    Scale design: grams are reduced to engine-portable 64-bit md5 keys
+    BEFORE the corpus-wide count (the shuffle carries 8-byte keys, not
+    13-gram strings); the count frame aggregates to distinct-gram size;
+    the span detection is the islands trick (position minus per-doc
+    rank) — one window on the doc key, no self-join, nothing quadratic.
+    Collision risk of the 64-bit key at web scale (~1e-5 for 1e7
+    distinct grams) only perturbs *diagnostics counts*, never text.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    ex = spread(df).select(
+        F.col(id_col).alias("__id"), F.posexplode(grams).alias("__pos", "__g")
+    )
+    # 64-bit md5-derived key (first 16 hex chars): engine-portable, so
+    # the DuckDB oracle replays the exact same counts
+    key = F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast("bigint")
+    hashed = ex.select("__id", "__pos", key.alias("__k"))
+    counts = hashed.groupBy("__k").agg(F.count(F.lit(1)).alias("__cnt"))
+    dup = (
+        hashed.join(counts.filter(F.col("__cnt") > 1), "__k")
+        .select("__id", "__pos")
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    runs = (
+        dup.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+        .groupBy("__id", "__grp")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    per_doc_runs = runs.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("__len").alias("max_span_grams"),
+        F.sum("__len").alias("__ndup"),
+    )
+    totals = hashed.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(per_doc_runs, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("__ndup"), F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("max_span_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("max_span_grams"),
+        )
     )

@@ -267,3 +267,35 @@ def test_source_overlap_jaccard(spark):
     assert abs(r.jaccard - 1 / 3) < 1e-6
     # disjoint pair emits no row
     assert ("a", "c") not in rows and ("b", "c") not in rows
+
+
+def test_dup_span_stats_hand_case(spark):
+    from omop_etl_spark.operators.contamination import dup_span_stats
+
+    # n=3 grams; docs 1 and 2 share the run "a b c d" (grams "a b c",
+    # "b c d" -> one span of 2); doc 3 is all-unique
+    rows = [
+        (1, "a b c d x y z w"),
+        (2, "q a b c d r s t"),
+        (3, "k l m n o p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in dup_span_stats(df, n=3).collect()}
+    # doc 1: 6 grams, dup grams at pos 0,1 -> 1 span of 2
+    assert (got[1].n_grams, got[1].n_dup_grams, got[1].n_spans, got[1].max_span_grams) == (6, 2, 1, 2)
+    # doc 2: same shared run at pos 1,2
+    assert (got[2].n_dup_grams, got[2].n_spans, got[2].max_span_grams) == (2, 1, 2)
+    # doc 3: nothing duplicated
+    assert (got[3].n_dup_grams, got[3].n_spans, got[3].max_span_grams) == (0, 0, 0)
+
+
+def test_dup_span_stats_within_doc_repetition(spark):
+    from omop_etl_spark.operators.contamination import dup_span_stats
+
+    # a gram repeated INSIDE one document counts as duplicated too
+    df = spark.createDataFrame(
+        [(1, "a b c z z z a b c w w w")], "doc_id int, text string"
+    )
+    got = dup_span_stats(df, n=3).collect()[0]
+    assert got.n_dup_grams >= 2  # both "a b c" occurrences
+    assert got.n_spans >= 1
