@@ -1,3 +1,4 @@
+from .docs import flag_stream_neardups, read_docs_stream
 from .events import (
     EVENTS_SCHEMA,
     enrich_stream,
@@ -12,7 +13,9 @@ from .events import (
 __all__ = [
     "EVENTS_SCHEMA",
     "enrich_stream",
+    "flag_stream_neardups",
     "hourly_counts",
+    "read_docs_stream",
     "read_events_stream",
     "sessionize",
     "sessionize_batch",

@@ -234,3 +234,41 @@ def test_sample_frames_fanout(spark):
         assert [r.frame_idx for r in got] == list(range(0, len(frames), 4))
         assert all(r.n_frames == len(frames) for r in got)
         assert [r.frame_hash for r in got] == frames[::4]
+
+
+def test_stream_neardup_flags_match_batch_join(spark):
+    """The stream-static LSH flagger emits exactly the pairs the batch
+    minhash_lsh_join(base_hash='md5') produces on the same split —
+    bit-identical signatures, bands, bucket cap, and verification."""
+    from omop_etl_spark.operators.dedup import minhash_lsh_join
+    from omop_etl_spark.streaming.docs import (
+        flag_stream_neardups,
+        read_docs_stream,
+    )
+
+    DOCS = "/root/testdata/sf0.001/documents.parquet"
+    batch_docs = spark.read.parquet(DOCS)
+    corpus = batch_docs.filter(F.col("doc_id") % 7 != 0)
+
+    stream = read_docs_stream(spark, DOCS).filter(F.col("doc_id") % 7 == 0)
+    out = flag_stream_neardups(stream, corpus, threshold=0.8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.doc_id, r.ex_id): r.jaccard for r in spark.table("neardup_t").collect()
+    }
+
+    incoming = batch_docs.filter(F.col("doc_id") % 7 == 0)
+    want = {
+        (r.in_id, r.ex_id): r.jaccard
+        for r in minhash_lsh_join(
+            incoming, corpus, threshold=0.8, base_hash="md5"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
