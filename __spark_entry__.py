@@ -3501,6 +3501,81 @@ FROM totals t LEFT JOIN per_runs p ON t.doc_id = p.doc_id
 """
 
 
+def _q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 3-day event-value sum (time-RANGE window frame,
+    not rows) — the time-series feature-engineering shape. Values are
+    floored to integer cents BEFORE the frame sum, so the windowed
+    accumulation is exact integer math in any engine (RANGE-frame float
+    sums would otherwise differ by segment-tree association order).
+    One shuffle on the user key; the frame is bounded (3 days), so
+    state per partition is bounded regardless of history length."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3 * 86400, 0)
+    )
+    return (
+        ev.withColumn("__cents", cents)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.sum("__cents").over(w).cast("bigint").alias("rolling_3d_cents"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("rolling_3d_events"),
+        )
+    )
+
+
+ORACLE_EVENTS_ROLLING = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(cents) OVER w AS BIGINT) AS rolling_3d_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS rolling_3d_events
+FROM (SELECT event_id, user_id, epoch(ts) AS es,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events) t
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile stratification of documents by length — the binning step
+    of length-balanced sampling. Uses operators.sampling.ntile_by: a
+    DISTRIBUTED exact-NTILE decomposition (intra-value rank on the
+    value key + vocabulary-sized offset frame + broadcast join) that
+    reproduces `ntile(10) OVER (ORDER BY n_chars, doc_id)` bit-for-bit
+    without the single-reducer global window."""
+    from omop_etl_spark.operators.sampling import ntile_by
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        ntile_by(docs, "n_chars", "doc_id", tiles=10)
+        .groupBy(F.col("tile").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_DOCS_LENGTH_DECILES = """
+SELECT decile, COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents) t
+GROUP BY decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # graph rank propagation (integer-scaled PageRank)
 
@@ -3773,6 +3848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "docs_curate_incremental": _q_docs_curate_incremental,
         "docs_dup_spans": _q_docs_dup_spans,
+        "events_rolling_3d": _q_events_rolling,
+        "docs_length_deciles": _q_docs_length_deciles,
         # r05-verified, non-ETL
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
@@ -3915,6 +3992,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": ORACLE_EVENTS_RETENTION,
         "docs_curate_incremental": _oracle_docs_curate_incremental(),
         "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
+        "events_rolling_3d": ORACLE_EVENTS_ROLLING,
+        "docs_length_deciles": ORACLE_DOCS_LENGTH_DECILES,
         "docs_shuffle_order": ORACLE_DOCS_SHUFFLE_ORDER,
         "cust_no_orders": ORACLE_CUST_NO_ORDERS,
         "orders_above_avg": ORACLE_ORDERS_ABOVE_AVG,

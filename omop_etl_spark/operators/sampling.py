@@ -29,6 +29,7 @@ __all__ = [
     "rank_filter",
     "pack_sequences",
     "shuffle_shards",
+    "ntile_by",
 ]
 
 
@@ -307,4 +308,61 @@ def shuffle_shards(
             F.floor(u * F.lit(float(num_shards))).cast("bigint"),
         )
         .withColumn(pos_col, F.row_number().over(w).cast("bigint") - 1)
+    )
+
+
+def ntile_by(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    tiles: int = 10,
+) -> DataFrame:
+    """Exact NTILE(``tiles``) over ``(value_col, id_col)`` order —
+    WITHOUT a global single-reducer window.
+
+    The standard ``Window.orderBy(...)`` NTILE collapses the whole
+    dataset onto one task; this decomposition stays distributed when
+    ``value_col`` has bounded cardinality (lengths, scores, bucketed
+    floats — the usual stratification keys):
+
+    1. intra-value rank: ``row_number`` partitioned BY ``value_col``
+       (distributed on the value key);
+    2. value offsets: counts per value (vocabulary-sized frame) with a
+       running-sum window over that SMALL frame only;
+    3. global rank = offset + intra rank, via a broadcast join;
+    4. tile from rank by the ANSI NTILE rule (first ``N % tiles``
+       tiles get one extra row), with N entering as a lazy 1-row
+       broadcast scalar.
+
+    Output: input columns + ``rank`` (1-based) + ``tile`` (1-based) —
+    bit-identical to ``ntile(tiles) OVER (ORDER BY value, id)``.
+    """
+    v, d = F.col(value_col), F.col(id_col)
+    intra = F.row_number().over(Window.partitionBy(value_col).orderBy(id_col))
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        v.alias("__v"),
+        F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__off"),
+    )
+    n_frame = df.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (
+        df.withColumn("__intra", intra)
+        .join(F.broadcast(offsets), v == F.col("__v"))
+        .crossJoin(F.broadcast(n_frame))
+    )
+    rank = (F.col("__off") + F.col("__intra")).cast("bigint")
+    base = F.floor(F.col("__n") / tiles).cast("bigint")
+    rem = (F.col("__n") % tiles).cast("bigint")
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    tile = F.when(
+        rank <= big, F.ceil(rank / (base + 1))
+    ).otherwise(rem + F.ceil((rank - big) / base)).cast("int")
+    return ranked.select(
+        *[F.col(c) for c in df.columns],
+        rank.alias("rank"),
+        tile.alias("tile"),
     )

@@ -191,3 +191,43 @@ def test_rank_filter_distributed_path_matches_window_path(spark):
         for r in rank_filter(df, order, 0.3, num_partitions=7).collect()
     )
     assert small == dist and len(small) == 150
+
+
+def test_ntile_by_matches_global_ntile(spark):
+    from pyspark.sql import Window
+
+    from omop_etl_spark.operators.sampling import ntile_by
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: (r.rank, r.tile)
+        for r in ntile_by(docs, "n_chars", "doc_id", tiles=7).collect()
+    }
+    w = Window.orderBy("n_chars", "doc_id")
+    want = {
+        r.doc_id: (r.rank, r.tile)
+        for r in docs.select(
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+            F.ntile(7).over(w).alias("tile"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_by_plan_has_no_global_window(spark):
+    from omop_etl_spark.operators.sampling import ntile_by
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        ntile_by(docs, "n_chars", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only single-partition exchange allowed is the vocabulary-sized
+    # offsets frame; the full-data window partitions by n_chars
+    assert "Window [row_number()" in plan or "row_number" in plan
+    import re
+    # full-data window must be hash-partitioned by the value column
+    assert re.search(r"hashpartitioning\(n_chars", plan), plan
