@@ -3774,6 +3774,650 @@ GROUP BY t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# decision-support join shapes (r06): volume shipping, market share,
+# customer distribution, correlated-avg gate, disjunctive pushdown,
+# shipped-last suppliers
+
+
+def _q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume. Two
+    dimension joins resolve nation names for BOTH ends of each lineitem
+    (supplier side and customer side); the nation frame is broadcast
+    twice, the symmetric pair filter is a single OR predicate evaluated
+    post-join, and the fact table shuffles only on its join keys. At
+    scale the supplier/customer joins shuffle on the fact's natural
+    keys; nation never shuffles."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cents"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("bigint").alias("l_year"),
+            "revenue_cents",
+        )
+    )
+
+
+ORACLE_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+"""
+
+
+def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    import revenue per year. The share is computed all-integer
+    (``(nation_cents * 1e6) div total_cents`` → parts-per-million) so
+    it hashes identically across engines — no float division. Part is
+    filtered before the join (predicate reaches the scan) and the
+    dimension chain customer→nation→region collapses to a broadcast."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "PROMO"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev_cents"),
+            (F.col("supp_nation") == "NATION_2").cast("bigint").alias("is_target"),
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(F.col("rev_cents") * F.col("is_target")).alias("nation_cents"),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    return agg.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        F.col("nation_cents").cast("bigint").alias("nation_cents"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        F.expr("(nation_cents * 1000000) div total_cents").alias("share_ppm"),
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH j AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS rev_cents,
+         CASE WHEN sn.n_name = 'NATION_2' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND EXISTS (
+      SELECT 1 FROM customer c
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      WHERE c.c_custkey = o.o_custkey AND r.r_name = 'ASIA')
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(rev_cents * is_target) AS BIGINT) AS nation_cents,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       CAST(SUM(rev_cents * is_target) * 1000000 // SUM(rev_cents) AS BIGINT) AS share_ppm
+FROM j GROUP BY o_year
+"""
+
+
+def _q_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    INCLUDING zero-order customers (the left join is the point — an
+    inner join silently drops the empty bucket). Two aggregations, both
+    map-side combined; the second one's input is |customers| rows and
+    its output |distinct counts| rows."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+    )
+
+
+ORACLE_CUST_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average (decorrelated to an
+    aggregate + self-join) gating a revenue sum. The per-part avg frame
+    is |parts|-sized and broadcastable; quantities are integral doubles
+    so ``avg = sum/count`` is exactly rounded and the 0.5x threshold
+    compare is engine-stable."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    gated = branded.join(
+        F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey")
+    ).filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    price_cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    return gated.agg(
+        F.sum(price_cents).cast("bigint").alias("below_avg_cents"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+SELECT CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS below_avg_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < 0.5 * (
+    SELECT AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. Catalyst extracts the common ``l_partkey = p_partkey`` equi
+    condition, keeps the disjunction as a post-join filter, and pushes
+    the part-only / lineitem-only conjuncts implied by the OR down to
+    each scan (constraint propagation) — the classic test that a
+    planner doesn't fall back to a cross product on disjunctions."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    p1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 20)
+    )
+    p2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity") >= 15)
+        & (F.col("l_quantity") <= 35)
+    )
+    p3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(20, 50))
+        & (F.col("l_quantity") >= 25)
+        & (F.col("l_quantity") <= 50)
+    )
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return j.filter(p1 | p2 | p3).agg(
+        F.sum(rev).cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 15 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 25 AND 50)
+"""
+
+
+def _q_shipped_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the available columns): suppliers
+    that shipped strictly LAST on a multi-supplier finished order —
+    EXISTS (another supplier on the order) plus NOT EXISTS (anyone
+    shipping later), decorrelated into a LEFT SEMI and a LEFT ANTI join
+    against the same fact. Both joins share the l_orderkey shuffle key,
+    so AQE reuses one exchange of the fact; the date comparison rides
+    as a non-equi residual."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l1 = li.join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_suppkey").alias("s2"),
+        F.col("l_shipdate").alias("d2"),
+    )
+    multi = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    last = multi.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2"))
+        & (F.col("d2") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        last.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+        .select("s_name", "numwait")
+    )
+
+
+ORACLE_SHIPPED_LAST = """
+WITH cand AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  JOIN orders o ON l1.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > l1.l_shipdate)
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# profiling / sketching / sampling / sweep-line / second moments (r06)
+
+
+def _q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type — bounded-state
+    cardinality profiling whose estimate is exactly replayable in SQL
+    (public md5 hash, integral outputs). The k-smallest pass compiles
+    to WindowGroupLimit: each map task ships at most k hashes per
+    group, so exchange volume is O(groups*k) at any corpus size."""
+    from omop_etl_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64).select(
+        "event_type", "n_kept", "kth_hash_q", "est_distinct"
+    )
+
+
+ORACLE_SKETCH_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(concat('kmv|', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(floor(MAX(h) * 4294967296.0) AS BIGINT) AS kth_hash_q,
+       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE floor(63.0 / MAX(h)) END AS BIGINT) AS est_distinct
+FROM ranked WHERE rn <= 64 GROUP BY event_type
+"""
+
+
+def _q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality profile over the order pipeline — the
+    Spark-native form of the reference's post-ETL validation rules
+    (/root/reference/omop_etl/etl.py). Eight rules compile to three
+    single-pass conditional aggregates plus two anti-join counts; the
+    report is a rules-sized union frame."""
+    from omop_etl_spark.operators.quality import DQRule, dq_profile
+
+    tables = {
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "lineitem": spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    }
+    rules = [
+        DQRule("orders_custkey_not_null", "orders", "not_null", "o_custkey"),
+        DQRule(
+            "orders_status_domain",
+            "orders",
+            "in_set",
+            "o_orderstatus",
+            values=("O", "F", "P"),
+        ),
+        DQRule("orders_price_positive", "orders", "range", "o_totalprice", lo=0.0),
+        DQRule("orders_key_unique", "orders", "unique", "o_orderkey"),
+        DQRule(
+            "lineitem_discount_domain",
+            "lineitem",
+            "range",
+            "l_discount",
+            lo=0.0,
+            hi=0.1,
+        ),
+        DQRule("lineitem_shipdate_not_null", "lineitem", "not_null", "l_shipdate"),
+        DQRule(
+            "lineitem_order_fk",
+            "lineitem",
+            "fk",
+            "l_orderkey",
+            ref_table="orders",
+            ref_col="o_orderkey",
+        ),
+        DQRule(
+            "orders_customer_fk",
+            "orders",
+            "fk",
+            "o_custkey",
+            ref_table="customer",
+            ref_col="c_custkey",
+        ),
+    ]
+    return dq_profile(tables, rules)
+
+
+ORACLE_DQ_CHECKS = """
+WITH report AS (
+  SELECT 'orders_custkey_not_null' AS rule_name, 'orders' AS table_name,
+         (SELECT COUNT(*) FROM orders) AS n_rows,
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+  UNION ALL
+  SELECT 'orders_status_domain', 'orders',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P'))
+  UNION ALL
+  SELECT 'orders_price_positive', 'orders',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders
+          WHERE o_totalprice IS NULL OR o_totalprice < 0.0)
+  UNION ALL
+  SELECT 'orders_key_unique', 'orders',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COALESCE(SUM(cnt), 0) FROM
+            (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey) g
+          WHERE cnt > 1)
+  UNION ALL
+  SELECT 'lineitem_discount_domain', 'lineitem',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1)
+  UNION ALL
+  SELECT 'lineitem_shipdate_not_null', 'lineitem',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+  UNION ALL
+  SELECT 'lineitem_order_fk', 'lineitem',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'orders_customer_fk', 'orders',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+)
+SELECT rule_name, table_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM report
+"""
+
+
+def _q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample (Efraimidis–Spirakis priorities on
+    a deterministic md5 hash) — 'pick 200 docs, long docs
+    proportionally more often', reproducible across runs/engines. Plan
+    is one TakeOrderedAndProject: no shuffle, no RNG state."""
+    from omop_etl_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, 200, "n_chars", "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+ORACLE_DOCS_WEIGHTED_SAMPLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         pow(CAST(concat('0x', substr(md5(concat('wsample|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS pri
+  FROM documents WHERE n_chars > 0
+  ORDER BY pri DESC, doc_id ASC
+  LIMIT 200
+) t
+"""
+
+
+def _q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-minute activity windows per event type — the
+    sweep-line prefix sum distributed over (type, day) buckets with
+    per-bucket carry-in offsets, instead of one serial window per type
+    (operators/temporal.interval_concurrency). The oracle replays the
+    single-window form; both agree because the running MAX is
+    permutation-invariant within tie blocks."""
+    from omop_etl_spark.operators.temporal import interval_concurrency
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    return interval_concurrency(ev, "event_type", "ts", "30 MINUTES").select(
+        "event_type", "n_intervals", "max_concurrent"
+    )
+
+
+ORACLE_EVENTS_CONCURRENCY = """
+WITH b AS (
+  SELECT event_type AS k, ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+),
+r AS (
+  SELECT k, SUM(d) OVER (PARTITION BY k ORDER BY t, d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM b
+)
+SELECT k AS event_type,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(MAX(run) AS BIGINT) AS max_concurrent
+FROM r GROUP BY k
+"""
+
+
+def _q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-quantized covariance of the embedding matrix —
+    sufficient statistics for whitening/PCA before cosine dedup. Each
+    Arrow batch collapses to one d x d numpy partial inside
+    mapInPandas, so the shuffle is O(partitions * d^2) regardless of
+    corpus size; all sums are int64 and the floor-divided covariance
+    hashes identically in DuckDB's double-posexplode replay."""
+    from omop_etl_spark.operators.stats import quantized_covariance
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    return quantized_covariance(emb, "embedding", shift=14).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "n",
+        "s_i",
+        "s_j",
+        "s_ij",
+        F.col("cov_scaled").cast("bigint").alias("cov_scaled"),
+    )
+
+
+ORACLE_EMBED_COVARIANCE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384.0) AS BIGINT) AS qv
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.idx AS i, b.idx AS j, a.qv AS qa, b.qv AS qb
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+),
+m AS (
+  SELECT i, j, COUNT(*) AS n, SUM(qa) AS s_i, SUM(qb) AS s_j,
+         SUM(qa * qb) AS s_ij
+  FROM pairs GROUP BY i, j
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(n AS BIGINT) AS n, CAST(s_i AS BIGINT) AS s_i,
+       CAST(s_j AS BIGINT) AS s_j, CAST(s_ij AS BIGINT) AS s_ij,
+       CAST((n * s_ij - s_i * s_j
+             - ((((n * s_ij - s_i * s_j) % n) + n) % n)) // n AS BIGINT)
+         AS cov_scaled
+FROM m
+"""
+
+
+def _q_docs_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width length histogram with explicit empty-bucket densify
+    (a sequence cross to emit zero-count bins) — the profiling
+    primitive for chunk-size planning. One hash aggregate; the bin
+    spine is a range() literal, never the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    width = 500
+    n_bins = 20
+    binned = docs.select(
+        F.least(F.floor(F.col("n_chars") / width), F.lit(n_bins - 1))
+        .cast("bigint")
+        .alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_docs"))
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.col("bin") * width).cast("bigint").alias("lo_chars"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_DOCS_LENGTH_HIST = """
+WITH spine AS (SELECT unnest(generate_series(0, 19)) AS bin),
+counts AS (
+  SELECT LEAST(CAST(floor(n_chars / 500.0) AS BIGINT), 19) AS bin,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT CAST(s.bin AS BIGINT) AS bin,
+       CAST(s.bin * 500 AS BIGINT) AS lo_chars,
+       CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs
+FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -3823,6 +4467,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) value oracles new in r06 (previously rows-only)
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
+        # (b2) new operator families, r06 second half: sketching, DQ
+        # rules, weighted sampling, sweep-line concurrency, exact
+        # second moments, decision-support join shapes
+        "sketch_distinct_users": _q_sketch_distinct_users,
+        "dq_checks": _q_dq_checks,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "events_concurrency": _q_events_concurrency,
+        "embed_covariance": _q_embed_covariance,
+        "docs_length_hist": _q_docs_length_hist,
+        "agg_volume_shipping": _q_volume_shipping,
+        "agg_market_share": _q_market_share,
+        "agg_cust_distribution": _q_cust_distribution,
+        "agg_small_qty_revenue": _q_small_qty_revenue,
+        "agg_disjunctive_pred": _q_disjunctive_revenue,
+        "agg_shipped_last": _q_shipped_last,
         # (c) new in r06
         "docs_curate_full": _q_docs_curate_full,
         "docs_dedup_lines": _q_docs_dedup_lines,
@@ -3989,6 +4648,18 @@ def oracle_sql() -> dict[str, str]:
         "events_user_pagerank": _oracle_events_pagerank(),
         "docs_unigram_logprob": ORACLE_DOCS_UNIGRAM_LOGPROB,
         "docs_rare_tokens": ORACLE_DOCS_RARE_TOKENS,
+        "sketch_distinct_users": ORACLE_SKETCH_DISTINCT,
+        "dq_checks": ORACLE_DQ_CHECKS,
+        "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
+        "events_concurrency": ORACLE_EVENTS_CONCURRENCY,
+        "embed_covariance": ORACLE_EMBED_COVARIANCE,
+        "docs_length_hist": ORACLE_DOCS_LENGTH_HIST,
+        "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
+        "agg_market_share": ORACLE_MARKET_SHARE,
+        "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
+        "agg_small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+        "agg_disjunctive_pred": ORACLE_DISJUNCTIVE_REVENUE,
+        "agg_shipped_last": ORACLE_SHIPPED_LAST,
         "events_retention": ORACLE_EVENTS_RETENTION,
         "docs_curate_incremental": _oracle_docs_curate_incremental(),
         "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,

@@ -30,6 +30,7 @@ __all__ = [
     "pack_sequences",
     "shuffle_shards",
     "ntile_by",
+    "weighted_sample",
 ]
 
 
@@ -365,4 +366,44 @@ def ntile_by(
         *[F.col(c) for c in df.columns],
         rank.alias("rank"),
         tile.alias("tile"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res).
+
+    Each row gets priority ``u ** (1/w)`` with ``u = unit_hash(id)``
+    and ``w = weight_col``; the global top-``n`` priorities are the
+    sample.  P(row in sample) is (to first order) proportional to its
+    weight, membership is a pure function of ``(salt, id, w)`` — rerun-
+    and engine-stable — and the plan is a single
+    ``TakeOrderedAndProject``: every map task keeps its local top-n, the
+    driver merges ``tasks * n`` rows, no global sort, no full shuffle.
+
+    Rows with non-positive weight are excluded (their priority would be
+    ill-defined).  Tiebreak is (priority DESC, id ASC); ``u`` is never
+    exactly 0 for md5 outputs observed here, and priorities are distinct
+    with probability ~1, so the cut at rank ``n`` is stable.  The
+    priority itself is ``pow``-computed binary64 — it is excluded from
+    the output so a last-ulp libm difference cannot leak into a value
+    hash (it could, in principle, flip the boundary row; callers needing
+    hard cross-engine determinism at the boundary should use
+    :func:`rank_filter` on an integral key instead).
+    """
+    w = F.col(weight_col).cast("double")
+    u = unit_hash(id_col, salt)
+    pri = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__pri")
     )

@@ -1,0 +1,90 @@
+"""Distributed cardinality sketches with engine-replayable results.
+
+The reference pipeline profiles source tables before mapping them
+(row counts, distinct counts per key column — see
+/root/reference/omop_etl/etl.py validation queries); at 100 TB an
+exact ``COUNT(DISTINCT x)`` per group is a full shuffle of every
+distinct value.  The KMV (k-minimum-values) sketch bounds that state
+to ``k`` hashes per group while keeping a provable relative error of
+``~1/sqrt(k-2)``.
+
+Unlike HyperLogLog (``approx_count_distinct``), whose register layout
+is engine-private, KMV over a public hash (md5, via
+:func:`~omop_etl_spark.operators.sampling.unit_hash`) is *exactly
+replayable* in any SQL engine: the k smallest distinct hashes — and
+therefore the estimate — are a pure function of the data.  That makes
+the sketch value-oracle-checkable, not just rows-checkable.
+
+Scale notes
+-----------
+* The ``(group, hash)`` dedup is a shuffle with map-side partial
+  aggregation — heavy hitters collapse before the exchange.
+* The per-group k-smallest runs as ``row_number() <= k``, which Spark
+  compiles with a ``WindowGroupLimit`` partial pass: every map task
+  keeps only its local top-k *before* the shuffle, so exchange volume
+  is ``O(groups * k)`` regardless of distinct count.
+* The estimate ``(k-1)/h_k`` divides two binary64-exact values
+  (``h`` is a 32-bit integer over 2^32), and IEEE-754 division is
+  exactly rounded — so ``floor()`` of it matches bit-for-bit across
+  engines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import unit_hash
+
+__all__ = ["kmv_distinct"]
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Estimate ``COUNT(DISTINCT value_col)`` per group with a KMV sketch.
+
+    Returns one row per group with:
+
+    * ``n_kept``      — ``min(k, true distinct)`` hashes retained
+    * ``kth_hash_q``  — the k-th smallest hash scaled to a 2^32 integer
+      (exact; the sketch's entire state summary)
+    * ``est_distinct``— ``n_kept`` when the group has fewer than ``k``
+      distinct values (the sketch is then *exact*), else
+      ``floor((k-1) / h_k)`` — the classic KMV estimator.
+
+    Every output is integral, so a DuckDB oracle replaying the same md5
+    hash reproduces it bit-for-bit.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct requires k >= 2")
+    gcols = list(group_cols)
+    h = unit_hash(value_col, salt)
+    dedup = df.select(*gcols, h.alias("h")).distinct()
+    w = Window.partitionBy(*gcols).orderBy("h")
+    kept = (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    agg = kept.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("h_k"),
+    )
+    est: Column = (
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.floor(F.lit(float(k - 1)) / F.col("h_k")))
+        .cast("bigint")
+    )
+    return agg.select(
+        *gcols,
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.floor(F.col("h_k") * F.lit(float(1 << 32))).cast("bigint").alias("kth_hash_q"),
+        est.alias("est_distinct"),
+    )

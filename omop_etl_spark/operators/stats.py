@@ -1,0 +1,113 @@
+"""Exact distributed second-moment statistics over embedding columns.
+
+Covariance/Gram matrices are the workhorse of embedding hygiene at
+corpus scale — whitening before cosine dedup, PCA projections, drift
+monitoring between corpus snapshots.  The naive Spark spelling
+(``posexplode`` twice → ``groupBy(i, j)``) multiplies every row by
+``d**2`` before the shuffle; for d=64 that is a 4096x row blow-up of
+the fact table.  Here each Arrow batch is reduced to ONE ``d x d``
+partial by a numpy matmul inside ``mapInPandas``, so the shuffle
+carries ``partitions * d*(d+1)/2`` tiny rows — independent of corpus
+size — and the final combine is a hash aggregate over at most a few
+thousand keys.
+
+Float sums are partition-order dependent, which would break the
+cross-engine value oracle, so the operator works on *integer-quantized*
+components: ``q = floor(x * 2**shift)`` is exact per element, integer
+sums are associative/commutative, and a SQL engine replaying the same
+quantization reproduces every output bit.  With ``shift=14`` and unit-
+norm-ish components, pair products are < 2**30, leaving ~2**33 rows of
+headroom in int64 per (i, j) cell; raise ``shift`` only with a row
+budget in mind.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantized_comoments", "quantized_covariance"]
+
+_PARTIAL_SCHEMA = "i int, j int, n bigint, s_i bigint, s_j bigint, s_ij bigint"
+
+
+def quantized_comoments(
+    df: DataFrame, vec_col: str = "embedding", shift: int = 14
+) -> DataFrame:
+    """Exact co-moment sums of the integer-quantized vector components.
+
+    One output row per (i <= j) index pair: ``n`` (row count), ``s_i``
+    / ``s_j`` (component sums), ``s_ij`` (pair-product sum) — the
+    sufficient statistics for mean/covariance/Gram, all integers.
+    """
+    scale = float(1 << shift)
+
+    def reduce_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        acc_n = 0
+        acc_s = None
+        acc_ss = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            q = np.floor(x.astype(np.float64) * scale).astype(np.int64)
+            acc_n += q.shape[0]
+            s = q.sum(axis=0)
+            ss = q.T @ q
+            acc_s = s if acc_s is None else acc_s + s
+            acc_ss = ss if acc_ss is None else acc_ss + ss
+        if acc_n == 0:
+            return
+        d = acc_s.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype(np.int32),
+                "j": ju.astype(np.int32),
+                "n": np.full(iu.shape[0], acc_n, dtype=np.int64),
+                "s_i": acc_s[iu],
+                "s_j": acc_s[ju],
+                "s_ij": acc_ss[iu, ju],
+            }
+        )
+
+    partials = df.select(vec_col).mapInPandas(reduce_batches, _PARTIAL_SCHEMA)
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("s_i").alias("s_i"),
+        F.sum("s_j").alias("s_j"),
+        F.sum("s_ij").alias("s_ij"),
+    )
+
+
+def quantized_covariance(
+    df: DataFrame, vec_col: str = "embedding", shift: int = 14
+) -> DataFrame:
+    """Scaled sample covariance from :func:`quantized_comoments`.
+
+    ``cov_scaled = floor((n * s_ij - s_i * s_j) / n)`` — an all-integer
+    expression of ``n**2 * quantized-covariance`` up to the floor, so it
+    hashes identically in any engine.  Divide by ``n * 2**(2*shift)``
+    driver-side for the float covariance when needed.
+    """
+    m = quantized_comoments(df, vec_col, shift)
+    # Floor division in pure int64: float `/` would round above 2**53.
+    # `a - posmod(a, n)` is exactly divisible by n, so truncating `div`
+    # equals floor division — and the same spelling is exact in DuckDB.
+    cov = F.expr(
+        "(n * s_ij - s_i * s_j - ((((n * s_ij - s_i * s_j) % n) + n) % n)) div n"
+    )
+    return m.select(
+        "i",
+        "j",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s_i").cast("bigint").alias("s_i"),
+        F.col("s_j").cast("bigint").alias("s_j"),
+        F.col("s_ij").cast("bigint").alias("s_ij"),
+        cov.cast("bigint").alias("cov_scaled"),
+    )

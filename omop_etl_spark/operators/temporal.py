@@ -37,6 +37,7 @@ __all__ = [
     "resample_ffill",
     "scd2_from_changes",
     "funnel",
+    "interval_concurrency",
 ]
 
 
@@ -398,3 +399,78 @@ def funnel(
         F.lit(0),
     )
     return out.withColumn("depth", depth.cast("bigint"))
+
+
+def interval_concurrency(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    duration: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Max number of simultaneously-open intervals per key (peak
+    concurrency), where each row opens the half-open interval
+    ``[ts, ts + duration)``.
+
+    The classic sweep-line needs a GLOBAL ordered prefix sum over
+    boundary events — a single-partition window if written naively,
+    which serializes on one core and dies at scale when ``key_col`` has
+    low cardinality.  This implementation distributes the prefix sum in
+    two levels:
+
+    1. boundary events (+1 at ``ts``, -1 at ``ts + duration``) are
+       windowed *within* ``(key, time-bucket)`` — thousands of
+       independent sort partitions instead of one per key;
+    2. per-bucket delta totals (a tiny ``keys x buckets`` frame) get
+       their own cumulative window, giving each bucket its carry-in
+       offset, broadcast back onto the boundary frame.
+
+    Peak concurrency is ``max(offset + local running sum)``.  The result
+    is exactly the single-window answer: within a tie-block of equal
+    ``(ts, delta)`` the multiset of prefix sums is permutation-
+    invariant, so the MAX is deterministic even though ROWS-frame
+    attribution of individual ties is not.  End events sort before
+    starts at the same instant (delta ASC), making the interval
+    genuinely half-open.
+
+    Output: one row per key — ``n_intervals``, ``max_concurrent``.
+    """
+    end_ts = F.col(ts_col) + _interval(duration)
+    k = F.col(key_col)
+    starts = df.select(k.alias("__k"), F.col(ts_col).alias("__t"), F.lit(1).alias("__d"))
+    ends = df.select(k.alias("__k"), end_ts.alias("__t"), F.lit(-1).alias("__d"))
+    bounds = starts.unionByName(ends).withColumn(
+        "__b", F.date_trunc(bucket, F.col("__t"))
+    )
+
+    local_w = (
+        Window.partitionBy("__k", "__b")
+        .orderBy("__t", "__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bounds.withColumn("__run", F.sum("__d").over(local_w))
+
+    carry_w = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bounds.groupBy("__k", "__b")
+        .agg(F.sum("__d").alias("__tot"))
+        .select(
+            F.col("__k").alias("__ok"),
+            F.col("__b").alias("__ob"),
+            F.coalesce(F.sum("__tot").over(carry_w), F.lit(0)).alias("__off"),
+        )
+    )
+
+    conc = local.join(
+        F.broadcast(offsets),
+        (F.col("__k") == F.col("__ok")) & (F.col("__b") == F.col("__ob")),
+    ).select("__k", (F.col("__off") + F.col("__run")).alias("__conc"))
+
+    return conc.groupBy("__k").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+        F.max("__conc").cast("bigint").alias("max_concurrent"),
+    ).select(F.col("__k").alias(key_col), "n_intervals", "max_concurrent")

@@ -1,0 +1,205 @@
+"""Unit tests for the r06 operator families: KMV sketch, DQ rules,
+weighted sampling, sweep-line concurrency, quantized covariance."""
+
+import datetime as dt
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.quality import DQRule, dq_profile
+from omop_etl_spark.operators.sampling import weighted_sample
+from omop_etl_spark.operators.sketches import kmv_distinct
+from omop_etl_spark.operators.stats import quantized_covariance
+from omop_etl_spark.operators.temporal import interval_concurrency
+
+
+def _py_unit_hash(value, salt):
+    h = hashlib.md5(f"{salt}|{value}".encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 32)
+
+
+# ---------------------------------------------------------------------------
+# KMV
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=i % 10) for i in range(100)]
+        + [Row(g="b", v=i % 3) for i in range(30)]
+    )
+    out = {
+        r["g"]: r.asDict() for r in kmv_distinct(df, ["g"], "v", k=64).collect()
+    }
+    assert out["a"]["est_distinct"] == 10 and out["a"]["n_kept"] == 10
+    assert out["b"]["est_distinct"] == 3 and out["b"]["n_kept"] == 3
+
+
+def test_kmv_matches_python_reference_and_error_bound(spark):
+    n_true = 5000
+    k = 128
+    df = spark.createDataFrame([Row(g="g", v=i) for i in range(n_true)])
+    row = kmv_distinct(df, ["g"], "v", k=k).collect()[0]
+    # exact replay: k-th smallest md5 hash in pure Python
+    hashes = sorted(_py_unit_hash(i, "kmv") for i in range(n_true))
+    h_k = hashes[k - 1]
+    assert row["n_kept"] == k
+    assert row["kth_hash_q"] == math.floor(h_k * (1 << 32))
+    assert row["est_distinct"] == math.floor((k - 1) / h_k)
+    # KMV relative-error bound ~1/sqrt(k-2); allow 5 sigma
+    rel = abs(row["est_distinct"] - n_true) / n_true
+    assert rel < 5.0 / math.sqrt(k - 2)
+
+
+def test_kmv_rejects_bad_k(spark):
+    df = spark.createDataFrame([Row(g="g", v=1)])
+    with pytest.raises(ValueError):
+        kmv_distinct(df, ["g"], "v", k=1)
+
+
+# ---------------------------------------------------------------------------
+# DQ rules
+
+
+def test_dq_profile_counts(spark):
+    child = spark.createDataFrame(
+        [
+            Row(id=1, status="O", amount=10.0, ref=1),
+            Row(id=1, status="X", amount=-5.0, ref=2),
+            Row(id=2, status=None, amount=None, ref=99),
+            Row(id=3, status="F", amount=3.0, ref=None),
+        ]
+    )
+    parent = spark.createDataFrame([Row(pid=1), Row(pid=2)])
+    rules = [
+        DQRule("status_domain", "child", "in_set", "status", values=("O", "F")),
+        DQRule("amount_range", "child", "range", "amount", lo=0.0),
+        DQRule("status_not_null", "child", "not_null", "status"),
+        DQRule("id_unique", "child", "unique", "id"),
+        DQRule("ref_fk", "child", "fk", "ref", ref_table="parent", ref_col="pid"),
+    ]
+    out = {
+        r["rule_name"]: r.asDict()
+        for r in dq_profile({"child": child, "parent": parent}, rules).collect()
+    }
+    assert len(out) == 5
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["status_domain"]["n_violations"] == 2  # 'X' and NULL
+    assert out["amount_range"]["n_violations"] == 2  # -5.0 and NULL
+    assert out["status_not_null"]["n_violations"] == 1
+    assert out["id_unique"]["n_violations"] == 2  # both id=1 rows
+    assert out["ref_fk"]["n_violations"] == 1  # ref=99 (NULL exempt)
+    assert out["ref_fk"]["passed"] == 0
+    clean = [r for r in out.values() if r["n_violations"] == 0]
+    assert all(r["passed"] == 1 for r in clean)
+
+
+def test_dq_profile_validates_input(spark):
+    df = spark.createDataFrame([Row(a=1)])
+    with pytest.raises(ValueError):
+        dq_profile({"t": df}, [])
+    with pytest.raises(KeyError):
+        dq_profile({"t": df}, [DQRule("r", "missing", "not_null", "a")])
+    with pytest.raises(ValueError):
+        dq_profile({"t": df}, [DQRule("r", "t", "bogus", "a")]).collect()
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    rows = [Row(doc_id=i, w=(1000 if i < 50 else 1)) for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, 100, "w").collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, 100, "w").collect())
+    assert s1 == s2 and len(s1) == 100
+    # the 50 heavy rows carry ~96% of total weight; nearly all should be in
+    heavy = sum(1 for d in s1 if d < 50)
+    assert heavy >= 40
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=0), Row(doc_id=2, w=-3), Row(doc_id=3, w=5)]
+    )
+    out = [r["doc_id"] for r in weighted_sample(df, 10, "w").collect()]
+    assert out == [3]
+
+
+# ---------------------------------------------------------------------------
+# interval concurrency
+
+
+def _brute_concurrency(rows, minutes):
+    by_key = {}
+    for k, t in rows:
+        by_key.setdefault(k, []).append(t)
+    out = {}
+    for k, starts in by_key.items():
+        bounds = [(t, 1) for t in starts] + [
+            (t + dt.timedelta(minutes=minutes), -1) for t in starts
+        ]
+        bounds.sort()
+        run = best = 0
+        for _, d in bounds:
+            run += d
+            best = max(best, run)
+        out[k] = (len(starts), best)
+    return out
+
+
+def test_interval_concurrency_matches_bruteforce(spark):
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (rng.choice("abc"), base + dt.timedelta(minutes=rng.randrange(0, 60 * 72)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([Row(k=k, ts=t) for k, t in rows])
+    got = {
+        r["k"]: (r["n_intervals"], r["max_concurrent"])
+        for r in interval_concurrency(df, "k", "ts", "30 MINUTES").collect()
+    }
+    assert got == _brute_concurrency(rows, 30)
+
+
+def test_interval_concurrency_crosses_bucket_boundary(spark):
+    # two intervals overlapping only across midnight: carry-in offsets
+    # must propagate the open interval into the next day's bucket
+    base = dt.datetime(2024, 3, 1, 23, 50)
+    df = spark.createDataFrame(
+        [Row(k="x", ts=base), Row(k="x", ts=base + dt.timedelta(minutes=15))]
+    )
+    row = interval_concurrency(df, "k", "ts", "30 MINUTES").collect()[0]
+    assert row["max_concurrent"] == 2
+
+
+# ---------------------------------------------------------------------------
+# quantized covariance
+
+
+def test_quantized_covariance_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(40, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(embedding=[float(v) for v in row]) for row in x]
+    ).repartition(5)
+    out = quantized_covariance(df, "embedding", shift=14).collect()
+    assert len(out) == 6 * 7 // 2
+    q = np.floor(x.astype(np.float64) * (1 << 14)).astype(np.int64)
+    n = q.shape[0]
+    for r in out:
+        i, j = r["i"], r["j"]
+        assert i <= j
+        assert r["n"] == n
+        assert r["s_i"] == int(q[:, i].sum())
+        assert r["s_j"] == int(q[:, j].sum())
+        assert r["s_ij"] == int((q[:, i] * q[:, j]).sum())
+        num = n * r["s_ij"] - r["s_i"] * r["s_j"]
+        assert r["cov_scaled"] == num // n  # python // is floor division
