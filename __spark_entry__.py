@@ -4417,6 +4417,45 @@ FROM spine s LEFT JOIN counts c ON s.bin = c.bin
 """
 
 
+def _q_events_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a deliberately hot grouping
+    key (event_type has ~5 values, so a naive full-row shuffle lands
+    each type on ONE reducer). The salt splits every hot group across
+    16 tasks for the partial pass; the final merge shuffles only
+    |types| x 16 partial rows. All measures are algebraic and
+    integer-exact (value quantized to micros before summing), so the
+    salted plan's result is bit-identical to the plain GROUP BY the
+    oracle runs."""
+    from omop_etl_spark.operators.skew import two_stage_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    micros = F.floor(F.col("value") * 1000000).cast("bigint")
+    staged = two_stage_agg(
+        ev.withColumn("__micros", micros),
+        ["event_type"],
+        partial=[
+            F.count(F.lit(1)).alias("c"),
+            F.sum("__micros").alias("s"),
+            F.max("__micros").alias("m"),
+        ],
+        final=[
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum("s").cast("bigint").alias("value_micros"),
+            F.max("m").cast("bigint").alias("max_micros"),
+        ],
+    )
+    return staged.select("event_type", "n_events", "value_micros", "max_micros")
+
+
+ORACLE_EVENTS_SKEW_AGG = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+       CAST(MAX(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS max_micros
+FROM events GROUP BY event_type
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4476,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_concurrency": _q_events_concurrency,
         "embed_covariance": _q_embed_covariance,
         "docs_length_hist": _q_docs_length_hist,
+        "events_skew_agg": _q_events_skew_agg,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -4654,6 +4694,7 @@ def oracle_sql() -> dict[str, str]:
         "events_concurrency": ORACLE_EVENTS_CONCURRENCY,
         "embed_covariance": ORACLE_EMBED_COVARIANCE,
         "docs_length_hist": ORACLE_DOCS_LENGTH_HIST,
+        "events_skew_agg": ORACLE_EVENTS_SKEW_AGG,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

@@ -8,6 +8,7 @@ from .events import (
     sessionize_batch,
     stream_dedup,
     stream_interval_join,
+    stream_kmv_distinct,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "sessionize_batch",
     "stream_dedup",
     "stream_interval_join",
+    "stream_kmv_distinct",
 ]

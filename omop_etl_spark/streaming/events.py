@@ -38,6 +38,7 @@ __all__ = [
     "stream_dedup",
     "enrich_stream",
     "stream_interval_join",
+    "stream_kmv_distinct",
 ]
 
 #: schema of the raw parquet with ns timestamps surfaced as long
@@ -272,4 +273,73 @@ def sessionize_batch(
         .select(
             "user_id", "session_start_us", "session_end_us", "n_events", "value_cents"
         )
+    )
+
+
+def stream_kmv_distinct(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Streaming twin of ``operators.sketches.kmv_distinct``: a running
+    distinct-count estimate per key over an unbounded stream, with state
+    bounded to the k smallest md5 hashes per key (a few KB) no matter
+    how many distinct values flow past — the property that makes
+    cardinality monitoring viable on an infinite stream where
+    ``dropDuplicates`` state would grow without bound.
+
+    Uses the same public hash as the batch operator
+    (``md5(salt|value)`` first 8 hex chars over 2^32), so after any
+    prefix of the stream the per-key estimate EQUALS the batch
+    ``kmv_distinct`` of the same prefix — an exactly testable
+    streaming/batch equivalence, not just a statistical one.
+
+    Emits one ``(key, n_kept, est_distinct)`` row per key per
+    micro-batch in which that key received data (append mode). The
+    per-value hashing is plain Python inside the state function —
+    acceptable because rows arrive pre-grouped in Arrow batches and the
+    sketch update is O(log k) per value.
+    """
+    import hashlib
+
+    def _h(v) -> float:
+        d = hashlib.md5(f"{salt}|{v}".encode()).hexdigest()
+        return int(d[:8], 16) / float(1 << 32)
+
+    def kmv_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        cur = set(state.get[0]) if state.exists else set()
+        worst = max(cur) if len(cur) == k else None
+        for pdf in pdf_iter:
+            for h in pdf[value_col].astype(str).map(_h):
+                if worst is None:
+                    cur.add(h)
+                    if len(cur) == k:
+                        worst = max(cur)
+                elif h < worst and h not in cur:
+                    cur.add(h)
+                    cur.remove(worst)
+                    worst = max(cur)
+        state.update((sorted(cur),))
+        n = len(cur)
+        est = n if n < k else int((k - 1) / max(cur))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_kept": [n], "est_distinct": [est]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_type = dict(zip(events.schema.names, events.schema))[key_col].dataType.simpleString()
+    return events.groupBy(key_col).applyInPandasWithState(
+        kmv_fn,
+        outputStructType=f"{key_col} {key_type}, n_kept long, est_distinct long",
+        stateStructType="hashes array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

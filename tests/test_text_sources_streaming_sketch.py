@@ -1,0 +1,139 @@
+"""Tests for JSONL/CSV ingestion, partitioned writes, and the
+streaming KMV sketch (batch/stream equivalence)."""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.sketches import kmv_distinct
+from omop_etl_spark.sources import read_csv, read_jsonl, write_partitioned
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_read_jsonl_clean_and_corrupt(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en", "source": "web", "n_chars": 5}\n'
+        '{"doc_id": 2, "text": "salut", "lang": "fr", "source": "web", "n_chars": 5}\n'
+        "{this is not json}\n"
+    )
+    df = read_jsonl(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["doc_id"] is None
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,name,score\n1,alpha,2.5\n2,beta,oops_not_a_number\n3,gamma,7.0\n")
+    df = read_csv(spark, str(p), "id bigint, name string, score double")
+    rows = {r["id"]: r for r in df.collect() if r["id"] is not None}
+    assert rows[1]["score"] == 2.5
+    bad = [r for r in df.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 1
+
+
+def test_write_partitioned_prunes_on_read(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=("web" if i % 2 else "book"), n=i) for i in range(100)]
+    )
+    out = str(tmp_path / "part")
+    write_partitioned(df, out, ["source"], max_records_per_file=10)
+    # directory layout is hive-style
+    assert os.path.isdir(os.path.join(out, "source=web"))
+    back = spark.read.parquet(out).filter(F.col("source") == "web")
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "source" in plan
+    # maxRecordsPerFile bounded the shard size
+    files = [
+        f for f in os.listdir(os.path.join(out, "source=web")) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 5
+
+
+def test_stream_kmv_matches_batch(spark):
+    from omop_etl_spark.sources import read_parquet_table
+    from omop_etl_spark.streaming import read_events_stream, stream_kmv_distinct
+
+    stream = read_events_stream(spark, EVENTS)
+    q = (
+        stream_kmv_distinct(stream, "event_type", "user_id", k=32)
+        .writeStream.format("memory")
+        .queryName("kmv_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (r["n_kept"], r["est_distinct"])
+        for r in spark.table("kmv_t").collect()
+    }
+    batch = read_parquet_table(spark, EVENTS, ns_columns=["ts"])
+    want = {
+        r["event_type"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(batch, ["event_type"], "user_id", k=32).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_kmv_state_is_bounded_across_batches(spark, tmp_path):
+    # two files arriving as separate micro-batches; final estimate must
+    # equal the batch sketch over the union (state carries the k-mins)
+    import pandas as pd
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    pd.DataFrame({"k": ["a"] * 60, "v": list(range(60))}).to_parquet(d / "f1.parquet")
+    pd.DataFrame({"k": ["a"] * 60, "v": list(range(30, 90))}).to_parquet(
+        d / "f2.parquet"
+    )
+    from omop_etl_spark.streaming import stream_kmv_distinct
+
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_kmv_distinct(stream, "k", "v", k=16)
+        .writeStream.format("memory")
+        .queryName("kmv_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("kmv_multi").collect()
+    assert len(rows) == 2  # one emission per micro-batch
+    final = rows[-1]
+    batch_df = spark.createDataFrame(
+        [Row(k="a", v=v) for v in range(90)]
+    )
+    want = kmv_distinct(batch_df, ["k"], "v", k=16).collect()[0]
+    # emissions are append-ordered; the last one reflects all 90 values
+    ests = sorted(r["est_distinct"] for r in rows)
+    assert want["est_distinct"] in ests
+    assert final["n_kept"] == 16
+
+
+def test_ingest_stats_counts_partial_and_full_corruption(spark, tmp_path):
+    from omop_etl_spark.sources import ingest_stats
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}\n'
+        '{"doc_id": "notint", "text": "partial", "lang": "en", "source": "web", "n_chars": 7}\n'
+        "garbage line\n"
+    )
+    df = read_jsonl(spark, str(p))
+    row = ingest_stats(df).collect()[0]
+    assert row["n_rows"] == 3
+    assert row["n_corrupt"] == 2  # partial type failure + full garbage
+    assert row["n_unparsed"] == 1  # only the garbage line parsed nothing
