@@ -144,10 +144,21 @@ def main() -> None:
         json.dumps(detail, indent=1) + "\n"
     )
     line = json.dumps(out)
-    if len(line) > 1900:  # still too long for the tail buffer: drop per-query map
-        out["queries"] = {}
-        out["note"] = "per-query times in bench_detail.json"
+    if len(line) > 1900:  # too long for the driver's tail buffer: keep
+        # only the slowest queries inline (the ones any perf audit
+        # reads first); the full map is in bench_detail.json
+        slowest = dict(
+            sorted(out["queries"].items(), key=lambda kv: -kv[1])[:40]
+        )
+        out["queries"] = slowest
+        out["note"] = (
+            f"slowest 40 of {len(timings)} inline; full map in bench_detail.json"
+        )
         line = json.dumps(out)
+        if len(line) > 1900:  # pathological names: drop the map entirely
+            out["queries"] = {}
+            out["note"] = "per-query times in bench_detail.json"
+            line = json.dumps(out)
     sys.stderr.flush()
     print(line, flush=True)
     spark.stop()

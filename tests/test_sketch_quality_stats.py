@@ -203,3 +203,40 @@ def test_quantized_covariance_matches_numpy(spark):
         assert r["s_ij"] == int((q[:, i] * q[:, j]).sum())
         num = n * r["s_ij"] - r["s_i"] * r["s_j"]
         assert r["cov_scaled"] == num // n  # python // is floor division
+
+
+def test_kmv_skewed_heavy_hitter(spark):
+    # one value repeated 50k times must not distort the estimate: the
+    # (group, hash) pre-dedup collapses it map-side to a single hash
+    rows = [Row(g="g", v=0)] * 50_000 + [Row(g="g", v=i) for i in range(1, 1000)]
+    df = spark.createDataFrame(rows).repartition(8)
+    row = kmv_distinct(df, ["g"], "v", k=128).collect()[0]
+    rel = abs(row["est_distinct"] - 1000) / 1000.0
+    assert rel < 5.0 / math.sqrt(126)
+
+
+@pytest.mark.slow
+def test_kmv_accuracy_at_bench_scale(spark):
+    # sf0.1 events: per-type estimate within the theoretical error
+    # bound of the exact distinct count
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(
+        spark, "/root/testdata/sf0.1/events.parquet", ns_columns=["ts"]
+    )
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_distinct(ev, ["event_type"], "user_id", k=256).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        if n >= 256:
+            assert abs(est[t] - n) / n < 5.0 / math.sqrt(254)
+        else:
+            assert est[t] == n
