@@ -4456,6 +4456,46 @@ FROM events GROUP BY event_type
 
 
 
+def _q_events_hourly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch at fine group granularity: distinct-user estimates
+    per (event_type, hour) — thousands of sketch groups instead of 5.
+    The per-group state stays k hashes; the WindowGroupLimit partial
+    pass bounds exchange volume at groups*k rows, so group count — not
+    corpus size — is the only scaling axis. Hours with fewer than k
+    distinct users report exact counts (the sketch's small-group
+    degeneracy is exactness, not error)."""
+    from omop_etl_spark.operators.sketches import kmv_distinct
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    ev = ev.withColumn("hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"))
+    return kmv_distinct(ev, ["event_type", "hour"], "user_id", k=16).select(
+        "event_type", "hour", "n_kept", "est_distinct"
+    )
+
+
+ORACLE_EVENTS_HOURLY_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         CAST(concat('0x', substr(md5(concat('kmv|', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hour, h,
+         row_number() OVER (PARTITION BY event_type, hour ORDER BY h) AS rn
+  FROM h
+)
+SELECT event_type, hour,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN COUNT(*) < 16 THEN COUNT(*)
+                 ELSE floor(15.0 / MAX(h)) END AS BIGINT) AS est_distinct
+FROM ranked WHERE rn <= 16 GROUP BY event_type, hour
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4516,6 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_covariance": _q_embed_covariance,
         "docs_length_hist": _q_docs_length_hist,
         "events_skew_agg": _q_events_skew_agg,
+        "events_hourly_distinct": _q_events_hourly_distinct,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -4695,6 +4736,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_covariance": ORACLE_EMBED_COVARIANCE,
         "docs_length_hist": ORACLE_DOCS_LENGTH_HIST,
         "events_skew_agg": ORACLE_EVENTS_SKEW_AGG,
+        "events_hourly_distinct": ORACLE_EVENTS_HOURLY_DISTINCT,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

@@ -105,3 +105,49 @@ def test_topk_avoids_global_sort(spark, entry):
     # range-exchange sort of the aggregate output
     plan = _plan(entry.queries()["agg_top_customers"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_plan_has_window_group_limit(spark, entry):
+    # the k-smallest-per-group pass must compile to WindowGroupLimit
+    # (map tasks keep local top-k BEFORE the shuffle) — without it the
+    # sketch would shuffle every distinct hash and lose its point
+    plan = _plan(entry.queries()["sketch_distinct_users"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, entry):
+    # global weighted top-n must be TakeOrderedAndProject (per-task
+    # top-n + driver merge), never a full Sort of the corpus
+    plan = _plan(entry.queries()["docs_weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_concurrency_windows_are_bucketed(spark, entry):
+    # the sweep-line windows must partition by (key, bucket) — a
+    # key-only window spec would serialize each key on one task
+    plan = _plan(entry.queries()["events_concurrency"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    running = [s for s in specs if "__t" in s]
+    assert running and all("__b" in s for s in running), specs
+
+
+def test_covariance_shuffle_is_partial_sized(spark, entry):
+    # mapInPandas must reduce each partition to d*(d+1)/2 partial rows
+    # before any exchange: the plan is Scan -> MapInPandas -> hash agg,
+    # with no exchange between the scan and the python stage
+    plan = _plan(entry.queries()["embed_covariance"](spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
+    scan_to_py = plan[plan.index("MapInPandas"):]
+    assert "FileScan" in scan_to_py, plan
+    between = scan_to_py[: scan_to_py.index("FileScan")]
+    assert "Exchange hashpartitioning" not in between, plan
+
+
+def test_dq_fk_joins_pick_sane_strategy(spark, entry):
+    # FK anti-joins must be real joins (broadcast or sort-merge), and
+    # the scalar stitch must stay a 1-row nested-loop, not a cartesian
+    plan = _plan(entry.queries()["dq_checks"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") == 2, plan.count("LeftAnti")
