@@ -4496,6 +4496,119 @@ FROM ranked WHERE rn <= 16 GROUP BY event_type, hour
 
 
 
+def _q_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum — the O(1)-output integrity
+    primitive for 100 TB rerun validation: sum of per-row md5
+    signatures is commutative, so the result is independent of
+    partitioning and task order and comparable across engines. One
+    map-side aggregate, a 1-row exchange, no sort, no row transfer.
+    Money is pre-quantized to cents so the string encoding under md5
+    is integer-stable across engines."""
+    from omop_etl_spark.operators.reconcile import table_checksum
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_date_str"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_date_str",
+        "price_cents",
+    ]
+    return table_checksum(o, cols).select("n_rows", "checksum")
+
+
+ORACLE_ORDERS_CHECKSUM = """
+WITH sig AS (
+  SELECT CAST(concat('0x', substr(md5(concat_ws('|', 'rowsig',
+           coalesce(CAST(o_orderkey AS VARCHAR), ' null'),
+           coalesce(CAST(o_custkey AS VARCHAR), ' null'),
+           coalesce(o_orderstatus, ' null'),
+           coalesce(o_orderpriority, ' null'),
+           coalesce(CAST(o_orderdate AS VARCHAR), ' null'),
+           coalesce(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), ' null')
+         )), 1, 15)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS checksum
+FROM sig
+"""
+
+
+def _q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions (here: orders vs a
+    deterministically perturbed rerun — rows dropped, repriced, and
+    appended by key arithmetic, so both engines derive the identical
+    'new' snapshot). Both sides reduce to (key, row-hash) before the
+    single full-outer equi-join, so a wide table shuffles ~16 bytes
+    per row; classification is a null-pattern CASE on the hashes."""
+    from omop_etl_spark.operators.reconcile import snapshot_diff
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    changed = base.withColumn(
+        "price_cents",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("price_cents") + 100).otherwise(
+            F.col("price_cents")
+        ),
+    )
+    new = changed.filter(F.col("o_orderkey") % 97 != 0).unionByName(
+        base.filter(F.col("o_orderkey") % 193 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "price_cents",
+        )
+    )
+    d = snapshot_diff(base, new, ["o_orderkey"])
+    return d.filter(F.col("change_type") != "unchanged").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"), "change_type"
+    )
+
+
+ORACLE_ORDERS_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN price_cents + 100
+              ELSE price_cents END AS price_cents
+  FROM base WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, price_cents
+  FROM base WHERE o_orderkey % 193 = 0
+),
+j AS (
+  SELECT COALESCE(n.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN b.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN b.o_custkey <> n.o_custkey
+                OR b.o_orderstatus <> n.o_orderstatus
+                OR b.price_cents <> n.price_cents THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM base b FULL OUTER JOIN new n ON b.o_orderkey = n.o_orderkey
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, change_type
+FROM j WHERE change_type <> 'unchanged'
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4557,6 +4670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_hist": _q_docs_length_hist,
         "events_skew_agg": _q_events_skew_agg,
         "events_hourly_distinct": _q_events_hourly_distinct,
+        "orders_checksum": _q_orders_checksum,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -4737,6 +4852,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_hist": ORACLE_DOCS_LENGTH_HIST,
         "events_skew_agg": ORACLE_EVENTS_SKEW_AGG,
         "events_hourly_distinct": ORACLE_EVENTS_HOURLY_DISTINCT,
+        "orders_checksum": ORACLE_ORDERS_CHECKSUM,
+        "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

@@ -1,0 +1,119 @@
+"""Table reconciliation: snapshot diffs and order-insensitive checksums.
+
+The reference validates ETL output with per-table SQL checks run inside
+Postgres (/root/reference/omop_etl/etl.py); at 100 TB the analogous
+questions are "did this rerun produce the same table?" and "what
+exactly changed between snapshot N and N+1?" — answered without ever
+sorting or collecting a table:
+
+* :func:`table_checksum` folds every row into one commutative integer
+  signature (sum of per-row md5 hashes).  Addition is order- and
+  partition-independent, so two engines/snapshots agree iff their
+  multisets of rows agree (up to md5 collisions) — one map-side
+  aggregate, a 1-row exchange, no sort.
+* :func:`snapshot_diff` classifies rows across two snapshots as
+  added / removed / changed / unchanged with ONE full-outer equi-join
+  on the key.  Comparison uses the same row hash, so wide rows shuffle
+  a key + 1 bigint, not every column.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["row_signature", "table_checksum", "snapshot_diff"]
+
+
+def row_signature(cols: Sequence[str], salt: str = "rowsig") -> Column:
+    """Deterministic 60-bit integer signature of the named columns.
+
+    ``md5(salt|c1|c2|...)`` first 15 hex chars as a BIGINT — exact in
+    int64, replayable in any engine with ``md5``.  NULLs are encoded as
+    a sentinel distinct from the empty string so ``(NULL)`` and
+    ``('')`` rows differ.  Column order is the caller's contract: pass
+    a sorted list when comparing across engines.
+    """
+    parts = [F.lit(salt)]
+    for c in cols:
+        parts.append(
+            F.coalesce(F.col(c).cast("string"), F.lit(" null"))
+        )
+    joined = F.concat_ws("|", *parts)
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+
+
+def table_checksum(
+    df: DataFrame, cols: Sequence[str] | None = None, salt: str = "rowsig"
+) -> DataFrame:
+    """One-row frame ``(n_rows, checksum)`` identifying the table's row
+    multiset.
+
+    The checksum is ``sum(row_signature) mod 2^60`` — commutative, so
+    identical regardless of partitioning, task order, or engine.
+    Signatures are < 2^60, so int64 would overflow after ~8 rows; the
+    sum runs in decimal(38,0) (exact up to ~10^19 rows of worst-case
+    magnitude) and is reduced mod 2^60 once at the end.
+    """
+    cols = list(cols) if cols is not None else sorted(df.columns)
+    sig = row_signature(cols, salt)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(sig.cast("decimal(38,0)")) % F.lit(int(2**60)))
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots sharing a key.
+
+    Returns one row per key present in either snapshot:
+    ``*keys, change_type`` where ``change_type`` is ``added`` (key only
+    in ``new``), ``removed`` (only in ``old``), ``changed`` (both, any
+    compare column differs), or ``unchanged``.
+
+    Both sides are first projected to ``(keys, row hash)`` — the
+    full-outer join therefore shuffles ~16 bytes per row however wide
+    the table is, and the classification is a null-pattern CASE.
+    Duplicate keys within a snapshot are not supported (enforce with
+    :func:`~omop_etl_spark.operators.quality.dq_profile`'s ``unique``
+    rule first); they would make 'changed' ill-defined.
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(c for c in shared if c not in keys)
+    else:
+        compare_cols = list(compare_cols)
+
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        row_signature(compare_cols).alias("__oh"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        row_signature(compare_cols).alias("__nh"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k) for k in keys
+    ]
+    return j.select(*out_keys, change.alias("change_type"))

@@ -1,0 +1,58 @@
+"""Tests for table checksums and snapshot diffs."""
+
+from pyspark.sql import Row
+
+from omop_etl_spark.operators.reconcile import snapshot_diff, table_checksum
+
+
+def test_checksum_partition_and_order_invariant(spark):
+    rows = [Row(k=i, v=f"val{i}") for i in range(500)]
+    a = spark.createDataFrame(rows).repartition(1)
+    b = spark.createDataFrame(list(reversed(rows))).repartition(13)
+    ca = table_checksum(a).collect()[0]
+    cb = table_checksum(b).collect()[0]
+    assert ca["n_rows"] == cb["n_rows"] == 500
+    assert ca["checksum"] == cb["checksum"]
+
+
+def test_checksum_detects_single_row_change(spark):
+    a = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(100)])
+    b = spark.createDataFrame(
+        [Row(k=i, v=(i * 2 if i != 50 else 999)) for i in range(100)]
+    )
+    assert (
+        table_checksum(a).collect()[0]["checksum"]
+        != table_checksum(b).collect()[0]["checksum"]
+    )
+
+
+def test_checksum_null_vs_empty_string(spark):
+    a = spark.createDataFrame([Row(k=1, v=None)], "k int, v string")
+    b = spark.createDataFrame([Row(k=1, v="")], "k int, v string")
+    assert (
+        table_checksum(a).collect()[0]["checksum"]
+        != table_checksum(b).collect()[0]["checksum"]
+    )
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    old = spark.createDataFrame(
+        [Row(k=1, a="x", b=10), Row(k=2, a="y", b=20), Row(k=3, a="z", b=30)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, a="x", b=10), Row(k=2, a="y", b=99), Row(k=4, a="w", b=40)]
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_explicit_compare_cols(spark):
+    old = spark.createDataFrame([Row(k=1, a="x", noise="p")])
+    new = spark.createDataFrame([Row(k=1, a="x", noise="q")])
+    got = snapshot_diff(old, new, ["k"], compare_cols=["a"]).collect()
+    assert got[0]["change_type"] == "unchanged"
+    got_all = snapshot_diff(old, new, ["k"]).collect()
+    assert got_all[0]["change_type"] == "changed"
