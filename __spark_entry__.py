@@ -4609,6 +4609,61 @@ FROM j WHERE change_type <> 'unchanged'
 
 
 
+def _q_events_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join: per user, purchase activity
+    windows vs error activity windows ([ts, ts+30m) each). The binned
+    equi-join emits each overlapping pair exactly once (anchored at
+    the overlap-start bin — a filter, not a dedup shuffle); the oracle
+    replays the plain inequality join. Every pair is id+id rows, so
+    the shuffle never carries payloads."""
+    from omop_etl_spark.operators.temporal import overlap_join
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    mk = lambda t, pfx: (
+        ev.filter(F.col("event_type") == t).select(
+            F.col("user_id").alias(f"{pfx}_user"),
+            F.col("event_id").alias(f"{pfx}_event"),
+            F.col("ts").alias(f"{pfx}_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{pfx}_end"),
+        )
+    )
+    pairs = overlap_join(
+        mk("purchase", "p"),
+        mk("error", "e"),
+        left_start="p_start",
+        left_end="p_end",
+        right_start="e_start",
+        right_end="e_end",
+        bin_width_seconds=3600,
+        extra_on=[("p_user", "e_user")],
+        payload_cols=["e_event"],
+    )
+    return pairs.select(
+        F.col("p_user").cast("bigint").alias("user_id"),
+        F.col("p_event").cast("bigint").alias("purchase_event"),
+        F.col("e_event").cast("bigint").alias("error_event"),
+    )
+
+
+ORACLE_EVENTS_OVERLAP_JOIN = """
+WITH p AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'purchase'
+),
+er AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(p.event_id AS BIGINT) AS purchase_event,
+       CAST(er.event_id AS BIGINT) AS error_event
+FROM p JOIN er ON p.user_id = er.user_id
+WHERE p.s < er.e AND er.s < p.e
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4672,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_distinct": _q_events_hourly_distinct,
         "orders_checksum": _q_orders_checksum,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
+        "events_overlap_join": _q_events_overlap_join,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -4854,6 +4910,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_distinct": ORACLE_EVENTS_HOURLY_DISTINCT,
         "orders_checksum": ORACLE_ORDERS_CHECKSUM,
         "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
+        "events_overlap_join": ORACLE_EVENTS_OVERLAP_JOIN,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

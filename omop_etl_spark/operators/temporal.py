@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "asof_join",
     "range_join",
+    "overlap_join",
     "resample_ffill",
     "scd2_from_changes",
     "funnel",
@@ -242,6 +243,88 @@ def range_join(
     return joined.select(
         *[p[c] for c in points.columns],
         *[i[c] for c in payload],
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width_seconds: int = 86_400,
+    extra_on: Sequence[tuple[str, str]] = (),
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Inner join of interval rows to interval rows that OVERLAP them
+    (half-open semantics: ``l_start < r_end and r_start < l_end``),
+    optionally matching ``extra_on`` equi-keys — the interval-interval
+    sibling of :func:`range_join`'s point-in-interval.
+
+    Both sides explode to coarse time bins, turning the inequality pair
+    into a hash equi-join on ``(__bin, *extra keys)``.  A pair that
+    shares several bins would match once per shared bin; instead of a
+    dedup shuffle, each pair is emitted ONLY at the bin containing the
+    overlap's start (``greatest(l_start, r_start)``) — a pure filter,
+    so the join output is exactly-once by construction.
+
+    Output = all left columns + the right side's ``payload_cols``
+    (default: all right columns not used as equi-keys).  NULL-bounded
+    or inverted intervals are dropped on both sides.
+    """
+    l_extra = [a for a, _ in extra_on]
+    r_extra = [b for _, b in extra_on]
+    payload = list(
+        payload_cols
+        if payload_cols is not None
+        else [c for c in right.columns if c not in r_extra]
+    )
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"overlap_join: right payload columns {sorted(clash)} collide "
+            f"with left columns; pass payload_cols or rename."
+        )
+    w = F.lit(int(bin_width_seconds))
+
+    def _valid(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) >= F.col(s))
+        )
+
+    def _bins(s: str, e: str):
+        return F.sequence(
+            F.floor(F.unix_timestamp(F.col(s)) / w),
+            F.floor(F.unix_timestamp(F.col(e)) / w),
+        )
+
+    l = _valid(left, left_start, left_end).withColumn(
+        "__bin", F.explode(_bins(left_start, left_end))
+    )
+    r = _valid(right, right_start, right_end).select(
+        *[
+            F.col(c)
+            for c in dict.fromkeys([*r_extra, right_start, right_end, *payload])
+        ],
+        F.explode(_bins(right_start, right_end)).alias("__bin"),
+    )
+    cond = (
+        (l["__bin"] == r["__bin"])
+        & (l[left_start] < r[right_end])
+        & (r[right_start] < l[left_end])
+    )
+    for lc, rc in extra_on:
+        cond &= l[lc] == r[rc]
+    # exactly-once: keep the match only in the overlap-start bin
+    anchor = F.floor(
+        F.unix_timestamp(F.greatest(l[left_start], r[right_start])) / w
+    )
+    joined = l.join(r, cond & (l["__bin"] == anchor), "inner")
+    return joined.select(
+        *[l[c] for c in left.columns],
+        *[r[c] for c in payload],
     )
 
 

@@ -356,3 +356,81 @@ def test_funnel_uses_first_qualifying_not_first_overall(spark):
     assert (row["t0"], row["t1"], row["t2"], row["depth"]) == (
         ts(2), ts(4), ts(6), 3,
     )
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    import datetime as dt
+    import random
+
+    from omop_etl_spark.operators.temporal import overlap_join
+    from pyspark.sql import Row
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 5, 1)
+
+    def mk_intervals(n, pfx):
+        rows = []
+        for i in range(n):
+            s = base + dt.timedelta(minutes=rng.randrange(0, 60 * 100))
+            e = s + dt.timedelta(minutes=rng.randrange(1, 600))
+            rows.append((rng.randrange(3), i, s, e))
+        return rows
+
+    lrows = mk_intervals(120, "l")
+    rrows = mk_intervals(150, "r")
+    left = spark.createDataFrame(
+        [Row(lk=k, lid=i, ls=s, le=e) for k, i, s, e in lrows]
+    )
+    right = spark.createDataFrame(
+        [Row(rk=k, rid=i, rs=s, re_=e) for k, i, s, e in rrows]
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            left,
+            right,
+            left_start="ls",
+            left_end="le",
+            right_start="rs",
+            right_end="re_",
+            bin_width_seconds=3600,  # smaller than many intervals: multi-bin pairs
+            extra_on=[("lk", "rk")],
+            payload_cols=["rid"],
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for lk, li, ls, le in lrows
+        for rk, ri, rs, re in rrows
+        if lk == rk and ls < re and rs < le
+    )
+    assert got == want  # exactly-once: no bin-induced duplicates
+
+
+def test_overlap_join_drops_invalid_intervals(spark):
+    import datetime as dt
+
+    from omop_etl_spark.operators.temporal import overlap_join
+    from pyspark.sql import Row
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, ls=t, le=t + dt.timedelta(hours=1)),
+            Row(lid=2, ls=t, le=None),
+            Row(lid=3, ls=t + dt.timedelta(hours=2), le=t),  # inverted
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=1, rs=t + dt.timedelta(minutes=30), re_=t + dt.timedelta(hours=3))]
+    )
+    got = overlap_join(
+        left,
+        right,
+        left_start="ls",
+        left_end="le",
+        right_start="rs",
+        right_end="re_",
+        payload_cols=["rid"],
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in got] == [(1, 1)]
