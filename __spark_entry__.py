@@ -4664,6 +4664,60 @@ WHERE p.s < er.e AND er.s < p.e
 
 
 
+def _q_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join of the event stream (hot user keys) against
+    a too-big-to-broadcast per-user dimension: the big side takes a
+    deterministic salt, the dimension explodes num_salts times, and
+    hot keys spread across 16 tasks instead of one. Result is
+    bit-identical to the plain equi-join the oracle runs; the gate
+    proves the rewrite preserves semantics, the operator docstring
+    carries the when-to-use contract (middle regime between broadcast
+    and AQE skew split)."""
+    from omop_etl_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.col("user_id").alias("d_user"))
+        .agg(
+            F.count(F.lit(1)).alias("user_events"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+    joined = salted_join(
+        ev,
+        dim.withColumnRenamed("d_user", "user_id"),
+        ["user_id"],
+        num_salts=16,
+    )
+    return (
+        joined.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("user_events").cast("bigint").alias("user_events"),
+            F.col("first_event").cast("bigint").alias("first_event"),
+        )
+    )
+
+
+ORACLE_EVENTS_SALTED_ENRICH = """
+WITH dim AS (
+  SELECT user_id, COUNT(*) AS user_events, MIN(event_id) AS first_event
+  FROM events GROUP BY user_id
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(d.user_events AS BIGINT) AS user_events,
+       CAST(d.first_event AS BIGINT) AS first_event
+FROM events e JOIN dim d ON e.user_id = d.user_id
+WHERE e.event_type = 'purchase'
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4728,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_checksum": _q_orders_checksum,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "events_overlap_join": _q_events_overlap_join,
+        "events_salted_enrich": _q_events_salted_enrich,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -4911,6 +4966,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_checksum": ORACLE_ORDERS_CHECKSUM,
         "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
         "events_overlap_join": ORACLE_EVENTS_OVERLAP_JOIN,
+        "events_salted_enrich": ORACLE_EVENTS_SALTED_ENRICH,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
