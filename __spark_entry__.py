@@ -4718,6 +4718,45 @@ WHERE e.event_type = 'purchase'
 
 
 
+def _q_events_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) partition checksums of the event log — the
+    incremental-validation primitive: two snapshots compare these tiny
+    frames first and run the row-level diff only on partitions whose
+    checksum moved. Commutative md5-sum per partition, so the value is
+    independent of file layout and engine."""
+    from omop_etl_spark.operators.reconcile import partition_checksums
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"]).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("value_micros"),
+    )
+    return partition_checksums(
+        ev, ["event_type", "day"], ["event_id", "user_id", "value_micros"]
+    ).select("event_type", "day", "n_rows", "checksum")
+
+
+ORACLE_EVENTS_PARTITION_CHECKSUMS = """
+WITH rows_ AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(concat('0x', substr(md5(concat_ws('|', 'rowsig',
+           coalesce(CAST(event_id AS VARCHAR), ' null'),
+           coalesce(CAST(user_id AS VARCHAR), ' null'),
+           coalesce(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR), ' null')
+         )), 1, 15)) AS BIGINT) AS h
+  FROM events
+)
+SELECT event_type, day, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS checksum
+FROM rows_ GROUP BY event_type, day
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4783,6 +4822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "events_overlap_join": _q_events_overlap_join,
         "events_salted_enrich": _q_events_salted_enrich,
+        "events_partition_checksums": _q_events_partition_checksums,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -4967,6 +5007,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
         "events_overlap_join": ORACLE_EVENTS_OVERLAP_JOIN,
         "events_salted_enrich": ORACLE_EVENTS_SALTED_ENRICH,
+        "events_partition_checksums": ORACLE_EVENTS_PARTITION_CHECKSUMS,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

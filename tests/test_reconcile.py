@@ -56,3 +56,18 @@ def test_snapshot_diff_explicit_compare_cols(spark):
     assert got[0]["change_type"] == "unchanged"
     got_all = snapshot_diff(old, new, ["k"]).collect()
     assert got_all[0]["change_type"] == "changed"
+
+
+def test_partition_checksums_localize_changes(spark):
+    from omop_etl_spark.operators.reconcile import partition_checksums
+
+    old = spark.createDataFrame(
+        [Row(p=i % 4, k=i, v=i * 3) for i in range(200)]
+    )
+    new = spark.createDataFrame(
+        [Row(p=i % 4, k=i, v=(i * 3 if i != 42 else -1)) for i in range(200)]
+    )  # i=42 -> partition 2
+    co = {r["p"]: r["checksum"] for r in partition_checksums(old, ["p"]).collect()}
+    cn = {r["p"]: r["checksum"] for r in partition_checksums(new, ["p"]).collect()}
+    changed = [p for p in co if co[p] != cn[p]]
+    assert changed == [2]
