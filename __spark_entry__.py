@@ -4757,6 +4757,67 @@ FROM rows_ GROUP BY event_type, day
 
 
 
+def _q_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: membership is decided by the
+    near-dup CLUSTER id, not the document id, so near-duplicate
+    documents can never straddle the train/test boundary — the
+    composition (jaccard pairs → connected components → hash_split on
+    cluster root) that a per-doc split gets silently wrong. The whole
+    chain is deterministic and the oracle replays it: recursive-CTE
+    components + the same md5 unit-hash thresholds."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.dedup import jaccard_pairs
+    from omop_etl_spark.operators.sampling import hash_split
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.8)
+    clustered = assign_clusters(docs, pairs, id_col="doc_id")
+    split = hash_split(
+        clustered, id_col="cluster_id", salt="leakage", out_col="split"
+    )
+    return split.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "split",
+    )
+
+
+def _oracle_leakage_safe_split() -> str:
+    return f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) /
+        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+clustered AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+hashed AS (
+  SELECT doc_id, cluster_id,
+         CAST(concat('0x', substr(md5(concat('leakage|', CAST(cluster_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM clustered
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN u < {0.9!r} THEN 'train'
+            WHEN u < {0.9 + 0.05!r} THEN 'val'
+            ELSE 'test' END AS split
+FROM hashed
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4823,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_overlap_join": _q_events_overlap_join,
         "events_salted_enrich": _q_events_salted_enrich,
         "events_partition_checksums": _q_events_partition_checksums,
+        "docs_leakage_safe_split": _q_docs_leakage_safe_split,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5008,6 +5070,7 @@ def oracle_sql() -> dict[str, str]:
         "events_overlap_join": ORACLE_EVENTS_OVERLAP_JOIN,
         "events_salted_enrich": ORACLE_EVENTS_SALTED_ENRICH,
         "events_partition_checksums": ORACLE_EVENTS_PARTITION_CHECKSUMS,
+        "docs_leakage_safe_split": _oracle_leakage_safe_split(),
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

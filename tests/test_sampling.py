@@ -231,3 +231,23 @@ def test_ntile_by_plan_has_no_global_window(spark):
     import re
     # full-data window must be hash-partitioned by the value column
     assert re.search(r"hashpartitioning\(n_chars", plan), plan
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    # near-duplicate docs (same cluster) must land in the same split
+    from omop_etl_spark.operators.sampling import hash_split
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    clustered = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=i % 311) for i in range(2000)]
+    )
+    out = hash_split(clustered, id_col="cluster_id", salt="leakage")
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    # and all three splits are populated across clusters
+    assert out.select("split").distinct().count() == 3
