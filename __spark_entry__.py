@@ -4818,6 +4818,52 @@ FROM hashed
 
 
 
+def _q_docs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent token co-occurrence with the A-priori support bound:
+    only terms whose doc-frequency clears min_support enter the per-doc
+    self-join, so the pair space is frequent-terms^2 per doc, never
+    vocabulary^2. Lift is integer-ppm (hash-stable); top-100 by pair
+    count compiles to TakeOrderedAndProject."""
+    from omop_etl_spark.operators.chunking import token_cooccurrence
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return token_cooccurrence(docs, min_support=10, top_k=100).select(
+        "term_a", "term_b", "pair_count", "df_a", "df_b", "lift_ppm"
+    )
+
+
+ORACLE_DOCS_COOCCURRENCE = """
+WITH terms AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM terms GROUP BY term
+),
+ft AS (
+  SELECT t.doc_id, t.term, d.df
+  FROM terms t JOIN dfreq d ON t.term = d.term
+  WHERE d.df >= 10
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS pair_count
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term, a.df, b.df
+  HAVING COUNT(*) >= 10
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term_a, term_b, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       CAST(n.n_docs * pair_count * 1000000 // (df_a * df_b) AS BIGINT) AS lift_ppm
+FROM pairs, n
+ORDER BY pair_count DESC, term_a ASC, term_b ASC
+LIMIT 100
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4885,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_enrich": _q_events_salted_enrich,
         "events_partition_checksums": _q_events_partition_checksums,
         "docs_leakage_safe_split": _q_docs_leakage_safe_split,
+        "docs_cooccurrence": _q_docs_cooccurrence,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5071,6 +5118,7 @@ def oracle_sql() -> dict[str, str]:
         "events_salted_enrich": ORACLE_EVENTS_SALTED_ENRICH,
         "events_partition_checksums": ORACLE_EVENTS_PARTITION_CHECKSUMS,
         "docs_leakage_safe_split": _oracle_leakage_safe_split(),
+        "docs_cooccurrence": ORACLE_DOCS_COOCCURRENCE,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

@@ -32,6 +32,7 @@ __all__ = [
     "corpus_ngram_counts",
     "unigram_logprob_scores",
     "rare_token_stats",
+    "token_cooccurrence",
 ]
 
 
@@ -278,3 +279,76 @@ def rare_token_stats(
             F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_frac"),
         )
     )
+
+
+def token_cooccurrence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_support: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Frequent token co-occurrence (market-basket over documents):
+    pairs of distinct terms appearing together in at least
+    ``min_support`` documents, with an integer-ppm lift score.
+
+    The A-priori bound does the scaling work: a PAIR can reach
+    ``min_support`` only if BOTH terms individually do, so the per-doc
+    self-join runs over support-filtered terms only — the pair space is
+    |frequent terms per doc|^2, not |vocabulary|^2, and the long tail
+    (which is most of a corpus's vocabulary) never enters the join.
+    Plan: one distinct (doc, term) aggregate, one |vocab|-sized
+    doc-frequency aggregate (broadcast back as the filter + df lookup),
+    the doc-keyed self-join, and one pair-count aggregate.
+
+    ``lift_ppm = floor(n_docs_total * pair_count * 1e6 / (df_a *
+    df_b))`` — all-integer, so the score hashes identically across
+    engines.  Output: ``term_a < term_b, pair_count, df_a, df_b,
+    lift_ppm`` (optionally top-``top_k`` pairs by count, tie-broken on
+    the terms — TakeOrderedAndProject, no global sort).
+    """
+    from .util import spread
+
+    terms = (
+        spread(df)
+        .select(F.col(id_col).alias("__doc"), F.explode(_term_tokens(text_col)).alias("term"))
+        .distinct()
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    frequent = dfreq.filter(F.col("df") >= min_support)
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+
+    ft = terms.join(F.broadcast(frequent), "term").select(
+        "__doc", "term", "df"
+    )
+    a = ft.select(
+        F.col("__doc"), F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = ft.select(
+        F.col("__doc").alias("__doc_b"),
+        F.col("term").alias("term_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("__doc") == F.col("__doc_b"))
+            & (F.col("term_a") < F.col("term_b")),
+        )
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_support)
+    )
+    out = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+        F.col("df_a").cast("bigint").alias("df_a"),
+        F.col("df_b").cast("bigint").alias("df_b"),
+        F.expr("(__n * pair_count * 1000000) div (df_a * df_b)").alias("lift_ppm"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("pair_count"), F.asc("term_a"), F.asc("term_b")
+        ).limit(top_k)
+    return out

@@ -115,3 +115,49 @@ def test_corpus_ngram_counts_distinct_docs(spark):
     # short/empty docs contribute no n-grams; ordering+limit determinism
     top = corpus_ngram_counts(docs, n=2, top_k=2).collect()
     assert [r.ngram for r in top] == ["the cat", "and the"]
+
+
+def test_token_cooccurrence_matches_bruteforce(spark):
+    import itertools
+    import re
+    from collections import Counter
+
+    from omop_etl_spark.operators.chunking import token_cooccurrence
+    from pyspark.sql import Row
+
+    corp = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "the cat and the dog"),
+        (4, "a cat a dog a mat"),
+        (5, "dog cat"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in corp])
+    got = {
+        (r["term_a"], r["term_b"]): (
+            r["pair_count"],
+            r["df_a"],
+            r["df_b"],
+            r["lift_ppm"],
+        )
+        for r in token_cooccurrence(df, min_support=2).collect()
+    }
+    # brute force
+    docsets = {i: set(re.split(r"[^a-z0-9]+", t.lower())) - {""} for i, t in corp}
+    dfreq = Counter(t for s in docsets.values() for t in s)
+    freq = {t for t, c in dfreq.items() if c >= 2}
+    pc = Counter()
+    for s in docsets.values():
+        for a, b in itertools.combinations(sorted(s & freq), 2):
+            pc[(a, b)] += 1
+    want = {
+        (a, b): (
+            c,
+            dfreq[a],
+            dfreq[b],
+            len(corp) * c * 1_000_000 // (dfreq[a] * dfreq[b]),
+        )
+        for (a, b), c in pc.items()
+        if c >= 2
+    }
+    assert got == want and len(got) > 0
