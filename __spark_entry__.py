@@ -4864,6 +4864,71 @@ LIMIT 100
 
 
 
+def _q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over time via closed-form
+    simple regression on integer-quantized coordinates (x = days since
+    1995-01-01, y = value micros): every sufficient statistic is an
+    exact int64 sum (map-side combined, one shuffle of 5 numbers per
+    group), and the slope is emitted as integer ppm-per-day with the
+    wide intermediate products computed in decimal(38) — so the result
+    hashes identically in any engine. The streaming-friendly shape:
+    the same 5 sums are mergeable monoid state."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    x = F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).cast(
+        "bigint"
+    )
+    y = F.floor(F.col("value") * 1000000).cast("bigint")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    # `div` truncates toward zero on decimals, matching DuckDB's
+    # HUGEINT `/` — plain decimal `/` would round HALF_UP at its
+    # result scale and disagree by 1 ulp on exact-half quotients
+    slope = F.expr(
+        "CAST(((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+        " * 1000000) div (CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        slope.alias("slope_ppm_per_day"),
+    )
+
+
+ORACLE_EVENTS_TREND = """
+WITH q AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(floor(value * 1000000) AS BIGINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM q GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+       CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+       CAST(sxx AS BIGINT) AS sxx,
+       CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            AS BIGINT) AS slope_ppm_per_day
+FROM agg
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4932,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partition_checksums": _q_events_partition_checksums,
         "docs_leakage_safe_split": _q_docs_leakage_safe_split,
         "docs_cooccurrence": _q_docs_cooccurrence,
+        "events_trend": _q_events_trend,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5119,6 +5185,7 @@ def oracle_sql() -> dict[str, str]:
         "events_partition_checksums": ORACLE_EVENTS_PARTITION_CHECKSUMS,
         "docs_leakage_safe_split": _oracle_leakage_safe_split(),
         "docs_cooccurrence": ORACLE_DOCS_COOCCURRENCE,
+        "events_trend": ORACLE_EVENTS_TREND,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
