@@ -4929,6 +4929,53 @@ FROM agg
 
 
 
+def _q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-token-budget mix assembly: per source, keep hash-ordered
+    documents while the running n_chars total stays within that
+    source's budget. The cumulative sum runs two-level (local cumsum
+    per (source, hash-bucket) + tiny carry-in offsets) so few-strata
+    corpora do not serialize one sort per stratum; the oracle replays
+    the equivalent single window."""
+    from omop_etl_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = {"src0": 4000, "src1": 2500}
+    out = token_budget_sample(
+        docs, "source", "n_chars", budgets, default_budget=1500, buckets=16
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
+
+
+ORACLE_DOCS_TOKEN_BUDGET = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST(concat('0x', substr(md5(concat('budget|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY u, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum_tokens <= CASE source WHEN 'src0' THEN 4000
+                                WHEN 'src1' THEN 2500
+                                ELSE 1500 END
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -4998,6 +5045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_safe_split": _q_docs_leakage_safe_split,
         "docs_cooccurrence": _q_docs_cooccurrence,
         "events_trend": _q_events_trend,
+        "docs_token_budget": _q_docs_token_budget,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5186,6 +5234,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_leakage_safe_split": _oracle_leakage_safe_split(),
         "docs_cooccurrence": ORACLE_DOCS_COOCCURRENCE,
         "events_trend": ORACLE_EVENTS_TREND,
+        "docs_token_budget": ORACLE_DOCS_TOKEN_BUDGET,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

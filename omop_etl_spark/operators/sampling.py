@@ -31,6 +31,7 @@ __all__ = [
     "shuffle_shards",
     "ntile_by",
     "weighted_sample",
+    "token_budget_sample",
 ]
 
 
@@ -406,4 +407,80 @@ def weighted_sample(
         .orderBy(F.col("__pri").desc(), F.col(id_col).asc())
         .limit(n)
         .drop("__pri")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "budget",
+    buckets: int = 256,
+) -> DataFrame:
+    """Select documents until each stratum's TOKEN budget is met — the
+    'assemble exactly this training mix' primitive ('50 M tokens of
+    web, 30 M of books, ...'), where :func:`mixture_sample` targets
+    row fractions, not token counts.
+
+    Within each stratum, documents are ordered by their deterministic
+    unit hash (ties broken by id — a total order) and kept while the
+    running token sum stays ≤ the stratum's budget.  Membership is a
+    pure function of ``(salt, ids, token counts, budgets)``: rerun- and
+    engine-stable, and stable under appends for already-kept documents
+    whose hash precedes the cut.
+
+    Scale: the per-stratum cumulative sum is the low-cardinality window
+    trap (few strata → one serial sort per stratum), so it runs
+    two-level, like ``temporal.interval_concurrency``: local cumsum
+    within ``(stratum, hash-bucket)`` — ``buckets`` independent sort
+    partitions per stratum — plus carry-in offsets from a tiny
+    per-bucket totals frame (broadcast).  Bucket order is hash-prefix
+    order, so offsets + local = the exact single-window cumsum.
+
+    Output: the kept rows plus ``cum_tokens`` (running total including
+    the row itself).
+    """
+    u = unit_hash(id_col, salt)
+    bkt = F.floor(u * buckets).cast("int")
+    t = F.col(token_col).cast("bigint")
+
+    budget: Column = F.lit(int(default_budget))
+    for s_, b_ in budgets.items():
+        budget = F.when(F.col(strata_col) == F.lit(s_), F.lit(int(b_))).otherwise(
+            budget
+        )
+
+    base = df.withColumn("__u", u).withColumn("__bkt", bkt)
+    w_local = (
+        Window.partitionBy(strata_col, "__bkt")
+        .orderBy("__u", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__cum_local", F.sum(t).over(w_local))
+
+    w_carry = (
+        Window.partitionBy(strata_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(strata_col, "__bkt")
+        .agg(F.sum(t).alias("__tot"))
+        .select(
+            F.col(strata_col).alias("__os"),
+            F.col("__bkt").alias("__ob"),
+            F.coalesce(F.sum("__tot").over(w_carry), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        local.join(
+            F.broadcast(offsets),
+            (F.col(strata_col) == F.col("__os")) & (F.col("__bkt") == F.col("__ob")),
+        )
+        .withColumn("cum_tokens", F.col("__off") + F.col("__cum_local"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__u", "__bkt", "__cum_local", "__os", "__ob", "__off")
     )

@@ -251,3 +251,66 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     assert all(r["n_splits"] == 1 for r in per_cluster)
     # and all three splits are populated across clusters
     assert out.select("split").distinct().count() == 3
+
+
+def test_token_budget_sample_matches_single_window(spark):
+    import hashlib
+
+    from omop_etl_spark.operators.sampling import token_budget_sample
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 3}", n_chars=50 + (i * 37) % 400)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows).repartition(7)
+    budgets = {"s0": 5000, "s1": 3000}
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_sample(
+            df, "source", "n_chars", budgets, default_budget=2000, buckets=8
+        ).collect()
+    }
+
+    def u(i):
+        return int(hashlib.md5(f"budget|{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    want = {}
+    for s in ("s0", "s1", "s2"):
+        b = budgets.get(s, 2000)
+        cum = 0
+        for r in sorted(
+            (r for r in rows if r.source == s), key=lambda r: (u(r.doc_id), r.doc_id)
+        ):
+            cum += r.n_chars
+            if cum <= b:
+                want[r.doc_id] = cum
+    assert got == want and len(got) > 0
+
+
+def test_token_budget_sample_append_stable_prefix(spark):
+    # adding new docs must never evict an already-kept doc whose hash
+    # precedes the old cut... (new docs can only push the cut EARLIER,
+    # never reorder kept prefixes)
+    from omop_etl_spark.operators.sampling import token_budget_sample
+    from pyspark.sql import Row
+
+    base_rows = [Row(doc_id=i, source="s", n_chars=100) for i in range(100)]
+    more_rows = base_rows + [Row(doc_id=1000 + i, source="s", n_chars=100) for i in range(50)]
+    kept1 = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            spark.createDataFrame(base_rows), "source", "n_chars", {"s": 3000}
+        ).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            spark.createDataFrame(more_rows), "source", "n_chars", {"s": 3000}
+        ).collect()
+    }
+    # both fill the budget exactly (uniform doc size)
+    assert len(kept1) == 30 and len(kept2) == 30
+    # the kept set is the 30 smallest hashes each time; any doc kept in
+    # the larger corpus that also existed in the smaller one was kept there too
+    assert all((d in kept1) for d in kept2 if d < 1000)
