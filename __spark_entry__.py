@@ -4976,6 +4976,74 @@ WHERE cum_tokens <= CASE source WHEN 'src0' THEN 4000
 
 
 
+def _q_docs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-to-ids training export: rank-4096 vocabulary (count DESC,
+    term ASC — total order, so ids are engine-stable), OOV to 0,
+    order preserved via posexplode + sort_array reassembly, all JVM.
+    The gate reduces the id sequence to order-sensitive integers
+    (sum of (pos+1)*id) so the driver hash verifies ORDER, not just
+    membership, without comparing array formats across engines."""
+    from omop_etl_spark.operators.chunking import build_vocab, encode_tokens
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs, vocab_size=512)
+    enc = encode_tokens(docs, vocab)
+    pos_weighted = F.aggregate(
+        F.zip_with(
+            F.col("ids"),
+            F.sequence(F.lit(1), F.size("ids")),
+            lambda i, p: i.cast("bigint") * p.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return enc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("id_sum"),
+        pos_weighted.alias("id_order_sum"),
+        F.aggregate(
+            "ids",
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.when(x == 0, 1).otherwise(0).cast("bigint"),
+        ).alias("n_oov"),
+    )
+
+
+ORACLE_DOCS_ENCODE = """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(l, 1) AS pos, unnest(l) AS term
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS l
+    FROM documents
+  )
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS token_id
+  FROM (
+    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ORDER BY cnt DESC, term ASC LIMIT 512
+  )
+),
+enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(tid) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(pos AS BIGINT) * tid) AS BIGINT) AS id_order_sum,
+       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM enc GROUP BY doc_id
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5046,6 +5114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cooccurrence": _q_docs_cooccurrence,
         "events_trend": _q_events_trend,
         "docs_token_budget": _q_docs_token_budget,
+        "docs_encode": _q_docs_encode,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5235,6 +5304,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cooccurrence": ORACLE_DOCS_COOCCURRENCE,
         "events_trend": ORACLE_EVENTS_TREND,
         "docs_token_budget": ORACLE_DOCS_TOKEN_BUDGET,
+        "docs_encode": ORACLE_DOCS_ENCODE,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

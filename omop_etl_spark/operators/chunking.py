@@ -33,6 +33,8 @@ __all__ = [
     "unigram_logprob_scores",
     "rare_token_stats",
     "token_cooccurrence",
+    "build_vocab",
+    "encode_tokens",
 ]
 
 
@@ -352,3 +354,68 @@ def token_cooccurrence(
             F.desc("pair_count"), F.asc("term_a"), F.asc("term_b")
         ).limit(top_k)
     return out
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """Corpus vocabulary: the ``vocab_size`` most frequent terms with
+    dense ids 1..vocab_size (0 is reserved for OOV).
+
+    Ranking is (count DESC, term ASC) — a total order, so ids are
+    deterministic across engines and reruns.  The top-k cut is
+    ``TakeOrderedAndProject``; the rank window then runs on a frame of
+    at most ``vocab_size`` rows (a constant, driver-bounded — the
+    single sort partition is by design, not a scale bug).
+    """
+    counts = (
+        spread(df)
+        .select(F.explode(_term_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return counts.withColumn("token_id", F.row_number().over(w)).select(
+        "term", "token_id", "cnt"
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map each document's token sequence to vocabulary ids (OOV → 0),
+    preserving order — the tokens-to-ids stage of training export.
+
+    Plan: posexplode the filtered token list (positions are over the
+    filtered sequence), LEFT-join the broadcast vocabulary, and
+    reassemble with ``sort_array`` of (pos, id) structs — all JVM
+    expressions, no Python.  The vocabulary is ``vocab_size`` rows, a
+    broadcast by construction; the corpus never shuffles (the
+    reassembly groups by the document key, one hash aggregate).
+
+    Output: ``id_col, n_tokens, ids (array<int>, in token order)``.
+    """
+    toks = spread(df).select(
+        F.col(id_col),
+        F.posexplode(_term_tokens(text_col)).alias("pos", "term"),
+    )
+    joined = toks.join(F.broadcast(vocab.select("term", "token_id")), "term", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(0)).cast("int")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("pos"), tid.alias("tid")))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+        )
+        .select(F.col(id_col), F.col("n_tokens").cast("bigint"), "ids")
+    )

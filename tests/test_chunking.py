@@ -161,3 +161,27 @@ def test_token_cooccurrence_matches_bruteforce(spark):
         if c >= 2
     }
     assert got == want and len(got) > 0
+
+
+def test_encode_tokens_preserves_order_and_oov(spark):
+    import re
+    from collections import Counter
+
+    from omop_etl_spark.operators.chunking import build_vocab, encode_tokens
+    from pyspark.sql import Row
+
+    corp = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "apple elderberry"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in corp])
+    vocab = build_vocab(df, vocab_size=3)
+    vmap = {r["term"]: r["token_id"] for r in vocab.collect()}
+    # frequency: banana=3, apple=3, cherry/durian/elderberry=1
+    # order: count desc, term asc -> apple=1, banana=2, then one of the 1-count terms
+    assert vmap["apple"] == 1 and vmap["banana"] == 2 and len(vmap) == 3
+    got = {r["doc_id"]: list(r["ids"]) for r in encode_tokens(df, vocab).collect()}
+    for i, t in corp:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        assert got[i] == [vmap.get(w, 0) for w in toks], (i, got[i])
