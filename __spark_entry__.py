@@ -5044,6 +5044,104 @@ FROM enc GROUP BY doc_id
 
 
 
+def _q_docs_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, assign each
+    document weight 1/cluster_size (ppm-scaled integer) so a training
+    loader can downweight repeated content without losing coverage —
+    the reweighting alternative to survivor election. Cluster sizes
+    come from the same connected components; the weight join is
+    against a clusters-sized aggregate."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.8)
+    clustered = assign_clusters(docs, pairs, id_col="doc_id")
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        clustered.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.expr("1000000 div cluster_size").cast("bigint").alias("weight_ppm"),
+        )
+    )
+
+
+def _oracle_soft_dedup_weights() -> str:
+    return f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) /
+        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+clustered AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clustered GROUP BY cluster_id
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+FROM clustered c JOIN sizes s ON c.cluster_id = s.cluster_id
+"""
+
+
+def _q_docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-group sampling: exactly min(k, group size) docs per
+    source, chosen by deterministic hash order — WindowGroupLimit
+    keeps each map task's state at k rows per group before the
+    shuffle, the same bounded-exchange shape as the KMV sketch."""
+    from omop_etl_spark.operators.sampling import unit_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = unit_hash("doc_id", "persrc")
+    w = Window.partitionBy("source").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+ORACLE_DOCS_PER_SOURCE_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('persrc|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 10
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5115,6 +5213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": _q_events_trend,
         "docs_token_budget": _q_docs_token_budget,
         "docs_encode": _q_docs_encode,
+        "docs_soft_dedup_weights": _q_docs_soft_dedup_weights,
+        "docs_per_source_sample": _q_docs_per_source_sample,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5305,6 +5405,8 @@ def oracle_sql() -> dict[str, str]:
         "events_trend": ORACLE_EVENTS_TREND,
         "docs_token_budget": ORACLE_DOCS_TOKEN_BUDGET,
         "docs_encode": ORACLE_DOCS_ENCODE,
+        "docs_soft_dedup_weights": _oracle_soft_dedup_weights(),
+        "docs_per_source_sample": ORACLE_DOCS_PER_SOURCE_SAMPLE,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
