@@ -9,6 +9,7 @@ from .events import (
     stream_dedup,
     stream_interval_join,
     stream_kmv_distinct,
+    dq_monitor_stream,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "stream_kmv_distinct",
+    "dq_monitor_stream",
 ]

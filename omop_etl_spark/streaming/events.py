@@ -39,6 +39,7 @@ __all__ = [
     "enrich_stream",
     "stream_interval_join",
     "stream_kmv_distinct",
+    "dq_monitor_stream",
 ]
 
 #: schema of the raw parquet with ns timestamps surfaced as long
@@ -343,3 +344,36 @@ def stream_kmv_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dq_monitor_stream(
+    stream: DataFrame,
+    rules,
+    table_name: str,
+    sink,
+):
+    """Per-micro-batch data-quality monitoring: each batch runs the
+    same declarative rule set as the batch engine
+    (``operators.quality.dq_profile``) and hands the rules-sized report
+    (plus ``batch_id``) to ``sink(report_df, batch_id)`` — alerting,
+    metrics export, or a quarantine decision.
+
+    ``foreachBatch`` is the right integration point: the report frame
+    is O(rules) rows per batch regardless of batch size, all row-local
+    rules fold into one conditional-aggregate pass over the batch, and
+    the sink callable runs on the driver where it can act (abort the
+    query, page someone) — exactly what a declarative streaming
+    aggregation could not do.
+
+    Returns the ``DataStreamWriter`` (caller adds trigger/start), so
+    checkpointing and restart semantics stay in the caller's hands.
+    """
+    from ..operators.quality import dq_profile
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        report = dq_profile({table_name: batch_df}, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        sink(report, batch_id)
+
+    return stream.writeStream.foreachBatch(process)

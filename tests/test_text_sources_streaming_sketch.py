@@ -137,3 +137,43 @@ def test_ingest_stats_counts_partial_and_full_corruption(spark, tmp_path):
     assert row["n_rows"] == 3
     assert row["n_corrupt"] == 2  # partial type failure + full garbage
     assert row["n_unparsed"] == 1  # only the garbage line parsed nothing
+
+
+def test_dq_monitor_stream_reports_per_batch(spark, tmp_path):
+    import pandas as pd
+
+    from omop_etl_spark.operators.quality import DQRule
+    from omop_etl_spark.streaming import dq_monitor_stream
+
+    d = tmp_path / "dq_in"
+    d.mkdir()
+    pd.DataFrame({"k": [1, 2, 3], "v": [1.0, -5.0, 2.0]}).to_parquet(d / "f1.parquet")
+    pd.DataFrame({"k": [4, 4, 5], "v": [None, 3.0, 9.0]}).to_parquet(d / "f2.parquet")
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    rules = [
+        DQRule("v_nonneg", "batch", "range", "v", lo=0.0),
+        DQRule("k_unique", "batch", "unique", "k"),
+    ]
+    reports = []
+
+    def sink(report, batch_id):
+        reports.append({(r["rule_name"]): r.asDict() for r in report.collect()})
+
+    q = dq_monitor_stream(stream, rules, "batch", sink).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    assert len(reports) == 2
+    merged_viol = sorted(
+        (b["v_nonneg"]["n_violations"], b["k_unique"]["n_violations"])
+        for b in reports
+    )
+    # one batch has the -5.0 (range violation), the other has null v +
+    # duplicate k=4 (range counts NULL as violation; unique counts both rows)
+    assert merged_viol == [(1, 0), (1, 2)]
+    assert all(b["v_nonneg"]["n_rows"] == 3 for b in reports)
