@@ -5142,6 +5142,118 @@ FROM r WHERE rn <= 10
 
 
 
+def _q_docs_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the full training-export chain a corpus
+    team ships: quality gate (ws-token floor) -> exact dedup (min-id
+    survivor) -> per-source token-budget selection -> sequence packing
+    into ~2000-char bins -> vocabulary encoding with order-sensitive
+    id checksums. Five operator families composed end-to-end, every
+    stage deterministic, the whole chain replayed in one DuckDB query.
+    Scale: the chain adds nothing beyond each stage's documented
+    budget; the packing prefix-sum and budget cumsum are the only
+    ordered stages, both running the stats-gated distributed path on
+    large frames."""
+    from omop_etl_spark.functions.text import token_count
+    from omop_etl_spark.operators.chunking import build_vocab, encode_tokens
+    from omop_etl_spark.operators.dedup import exact_dedup
+    from omop_etl_spark.operators.sampling import pack_sequences, token_budget_sample
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    gated = docs.filter(token_count("text") >= 10)
+    deduped = exact_dedup(gated, keys=["text"], tiebreak=["doc_id"])
+    picked = token_budget_sample(
+        deduped, "source", "n_chars", {"src0": 5000, "src1": 4000},
+        default_budget=3000, salt="mix", buckets=16,
+    )
+    packed = pack_sequences(picked, "n_chars", order_col="doc_id", budget=2000)
+    vocab = build_vocab(packed, vocab_size=256)
+    enc = encode_tokens(packed, vocab)
+    ord_sum = F.aggregate(
+        F.zip_with(
+            F.col("ids"),
+            F.sequence(F.lit(1), F.size("ids")),
+            lambda i, pp: i.cast("bigint") * pp.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        packed.select("doc_id", "source", "n_chars", "bin_id")
+        .join(enc, "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("bin_id").cast("bigint").alias("bin_id"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            ord_sum.alias("id_order_sum"),
+        )
+    )
+
+
+ORACLE_DOCS_TRAINING_EXPORT = r"""
+WITH gated AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+),
+dedup AS (
+  SELECT g.* FROM gated g
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text) m
+    ON g.doc_id = m.doc_id
+),
+hashed AS (
+  SELECT *, CAST(concat('0x', substr(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+              / 4294967296.0 AS u
+  FROM dedup
+),
+cum AS (
+  SELECT doc_id, text, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY u, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+  FROM hashed
+),
+sel AS (
+  SELECT doc_id, text, source, n_chars FROM cum
+  WHERE ct <= CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 4000 ELSE 3000 END
+),
+packed AS (
+  SELECT *, CAST(floor(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT)
+            AS bin_id
+  FROM sel
+),
+toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS term
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS l
+    FROM packed
+  )
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS token_id
+  FROM (
+    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ORDER BY cnt DESC, term ASC LIMIT 256
+  )
+),
+enc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(CAST(t.pos AS BIGINT) * COALESCE(v.token_id, 0)) AS id_order_sum
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY t.doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.source,
+       CAST(p.n_chars AS BIGINT) AS n_chars,
+       CAST(p.bin_id AS BIGINT) AS bin_id,
+       CAST(e.n_tokens AS BIGINT) AS n_tokens,
+       CAST(e.id_order_sum AS BIGINT) AS id_order_sum
+FROM packed p JOIN enc e ON p.doc_id = e.doc_id
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5215,6 +5327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_encode": _q_docs_encode,
         "docs_soft_dedup_weights": _q_docs_soft_dedup_weights,
         "docs_per_source_sample": _q_docs_per_source_sample,
+        "docs_training_export": _q_docs_training_export,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5407,6 +5520,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_encode": ORACLE_DOCS_ENCODE,
         "docs_soft_dedup_weights": _oracle_soft_dedup_weights(),
         "docs_per_source_sample": ORACLE_DOCS_PER_SOURCE_SAMPLE,
+        "docs_training_export": ORACLE_DOCS_TRAINING_EXPORT,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
