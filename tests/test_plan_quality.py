@@ -151,3 +151,24 @@ def test_dq_fk_joins_pick_sane_strategy(spark, entry):
     plan = _plan(entry.queries()["dq_checks"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("LeftAnti") == 2, plan.count("LeftAnti")
+
+
+def test_per_source_sample_uses_window_group_limit(spark, entry):
+    plan = _plan(entry.queries()["docs_per_source_sample"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_token_budget_windows_are_bucketed(spark, entry):
+    # the budget cumsum must partition by (stratum, hash-bucket), never
+    # by stratum alone (few strata -> serial sort per stratum)
+    plan = _plan(entry.queries()["docs_token_budget"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    running = [s for s in specs if "__u" in s or "__cum" in s.lower()]
+    assert running and all("__bkt" in s for s in running), specs
+
+
+def test_encode_stays_jvm_side(spark, entry):
+    # vocab join + posexplode + sort_array reassembly: no Python stage
+    plan = _plan(entry.queries()["docs_encode"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
