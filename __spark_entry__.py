@@ -5254,6 +5254,120 @@ FROM packed p JOIN enc e ON p.doc_id = e.doc_id
 
 
 
+def _q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time lookup: purchases joined to the user-state
+    version (built from the user's NON-purchase activity) valid at the
+    purchase instant. Contiguous SCD2 intervals make the interval join
+    equivalent to a backward as-of on valid_from, so the plan is the
+    union-window shape: one shuffle, no join node, no interval
+    explode. The oracle replays the literal interval predicate — the
+    equivalence is the thing being verified."""
+    from omop_etl_spark.operators.temporal import scd2_from_changes, scd2_lookup
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    dim = scd2_from_changes(
+        ev.filter(F.col("event_type") != "purchase"),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        tiebreak=["event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "version",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = scd2_lookup(purchases, dim, ["user_id"], "ts")
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("dim_state").alias("state"),
+        F.col("dim_version").cast("bigint").alias("version"),
+    )
+
+
+ORACLE_EVENTS_SCD2_LOOKUP = """
+WITH np AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type <> 'purchase'
+),
+ch AS (
+  SELECT user_id, ts AS valid_from, event_type AS state,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM np WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+),
+dim AS (
+  SELECT user_id, state, valid_from, version,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+  FROM ch
+)
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       d.state, CAST(d.version AS BIGINT) AS version
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN dim d
+  ON p.user_id = d.user_id
+ AND d.valid_from <= p.ts
+ AND (p.ts < d.valid_to OR d.valid_to IS NULL)
+"""
+
+
+
+def _q_events_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap detection: hours in the corpus's [min, max] span
+    with NO events for a type — the freshness/completeness check every
+    ingestion pipeline needs. The hour spine is a sequence() over the
+    1-row min/max aggregate (never the fact table), exploded to
+    |types| x |hours| rows and anti-joined against observed hours;
+    hour ids are integer epoch-hours so the frame is engine-exact."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    hour_idx = F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("bigint")
+    observed = ev.select("event_type", hour_idx.alias("hour_idx")).distinct()
+    bounds = ev.agg(
+        F.min(hour_idx).alias("lo"), F.max(hour_idx).alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_idx")
+    )
+    return (
+        spine.join(observed, ["event_type", "hour_idx"], "left_anti")
+        .select("event_type", F.col("hour_idx").cast("bigint").alias("hour_idx"))
+    )
+
+
+ORACLE_EVENTS_MISSING_HOURS = """
+WITH obs AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx
+  FROM events
+),
+bounds AS (
+  SELECT MIN(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS lo,
+         MAX(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, u.h AS hour_idx
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds b, unnest(generate_series(b.lo, b.hi)) AS u(h)
+)
+SELECT s.event_type, CAST(s.hour_idx AS BIGINT) AS hour_idx
+FROM spine s
+WHERE NOT EXISTS (SELECT 1 FROM obs o
+                  WHERE o.event_type = s.event_type
+                    AND o.hour_idx = s.hour_idx)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5328,6 +5442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_soft_dedup_weights": _q_docs_soft_dedup_weights,
         "docs_per_source_sample": _q_docs_per_source_sample,
         "docs_training_export": _q_docs_training_export,
+        "events_scd2_lookup": _q_events_scd2_lookup,
+        "events_missing_hours": _q_events_missing_hours,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5521,6 +5637,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_soft_dedup_weights": _oracle_soft_dedup_weights(),
         "docs_per_source_sample": ORACLE_DOCS_PER_SOURCE_SAMPLE,
         "docs_training_export": ORACLE_DOCS_TRAINING_EXPORT,
+        "events_scd2_lookup": ORACLE_EVENTS_SCD2_LOOKUP,
+        "events_missing_hours": ORACLE_EVENTS_MISSING_HOURS,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

@@ -39,6 +39,7 @@ __all__ = [
     "scd2_from_changes",
     "funnel",
     "interval_concurrency",
+    "scd2_lookup",
 ]
 
 
@@ -557,3 +558,43 @@ def interval_concurrency(
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
         F.max("__conc").cast("bigint").alias("max_concurrent"),
     ).select(F.col("__k").alias(key_col), "n_intervals", "max_concurrent")
+
+
+def scd2_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    value_cols: Sequence[str] | None = None,
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time lookup against a type-2 dimension: attach to each
+    fact row the dimension version valid at ``fact_ts`` — the
+    warehouse join ``ON key AND valid_from <= ts AND (ts < valid_to OR
+    valid_to IS NULL)``.
+
+    Because SCD2 intervals are CONTIGUOUS and non-overlapping per key
+    (what :func:`scd2_from_changes` guarantees, and any sane SCD2 build
+    does), the interval predicate is equivalent to "latest
+    ``valid_from`` ≤ ts" — so this delegates to :func:`asof_join` and
+    inherits its union-window plan: ONE shuffle of |facts| + |versions|
+    rows, no join node, no interval explode.  Facts before a key's
+    first version get NULL dimension columns (left-join shape).
+    """
+    payload = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in dim.columns if c not in (*keys, valid_from)]
+    )
+    return asof_join(
+        fact,
+        dim,
+        left_on=list(keys),
+        right_on=list(keys),
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        value_cols=payload,
+        direction="backward",
+        prefix=prefix,
+    )

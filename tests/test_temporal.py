@@ -434,3 +434,37 @@ def test_overlap_join_drops_invalid_intervals(spark):
         payload_cols=["rid"],
     ).collect()
     assert [(r["lid"], r["rid"]) for r in got] == [(1, 1)]
+
+
+def test_scd2_lookup_matches_interval_join(spark):
+    import datetime as dt
+
+    from omop_etl_spark.operators.temporal import scd2_lookup
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, state="a", valid_from=t0, version=1),
+            Row(k=1, state="b", valid_from=t0 + dt.timedelta(days=10), version=2),
+            Row(k=2, state="x", valid_from=t0 + dt.timedelta(days=5), version=1),
+        ]
+    )
+    fact = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, ts=t0 + dt.timedelta(days=3)),   # -> a/v1
+            Row(fid=2, k=1, ts=t0 + dt.timedelta(days=10)),  # boundary -> b/v2
+            Row(fid=3, k=1, ts=t0 + dt.timedelta(days=30)),  # open interval -> b/v2
+            Row(fid=4, k=2, ts=t0),                          # before first -> NULL
+        ]
+    )
+    got = {
+        r["fid"]: (r["dim_state"], r["dim_version"])
+        for r in scd2_lookup(fact, dim, ["k"], "ts").collect()
+    }
+    assert got == {
+        1: ("a", 1),
+        2: ("b", 2),
+        3: ("b", 2),
+        4: (None, None),
+    }
