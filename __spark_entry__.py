@@ -5368,6 +5368,76 @@ WHERE NOT EXISTS (SELECT 1 FROM obs o
 
 
 
+def _q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p01/p99 winsorization cutoffs per event type, computed on
+    the distinct-value spine with the two-level bucketed cumsum
+    (operators/stats.exact_quantile_cuts) — exact quantiles with no
+    per-group sort of the rows. Output carries the cutoffs plus the
+    clamped aggregate so the oracle verifies both the cut selection
+    and its application."""
+    from omop_etl_spark.operators.stats import exact_quantile_cuts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("bigint").alias("vm")
+    )
+    cuts = exact_quantile_cuts(
+        ev, ["event_type"], "vm", [0.01, 0.99], bucket_width=1_000_000
+    )
+    clamped = (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "q_p01",
+            "q_p99",
+            F.greatest(F.col("q_p01"), F.least(F.col("q_p99"), F.col("vm"))).alias(
+                "cv"
+            ),
+        )
+        .groupBy("event_type", "n", "q_p01", "q_p99")
+        .agg(F.sum("cv").cast("bigint").alias("clamped_sum_micros"))
+    )
+    return clamped.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("q_p01").cast("bigint").alias("q_p01"),
+        F.col("q_p99").cast("bigint").alias("q_p99"),
+        "clamped_sum_micros",
+    )
+
+
+ORACLE_EVENTS_WINSORIZE = """
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events
+),
+counts AS (
+  SELECT event_type, vm, COUNT(*) AS c FROM q GROUP BY event_type, vm
+),
+cum AS (
+  SELECT event_type, vm, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY vm
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM counts
+),
+tot AS (SELECT event_type, SUM(c) AS n FROM counts GROUP BY event_type),
+cuts AS (
+  SELECT c.event_type, MAX(t.n) AS n,
+         MIN(CASE WHEN c.cm >= floor((t.n - 1) * 0.01) + 1 THEN c.vm END) AS q_p01,
+         MIN(CASE WHEN c.cm >= floor((t.n - 1) * 0.99) + 1 THEN c.vm END) AS q_p99
+  FROM cum c JOIN tot t ON c.event_type = t.event_type
+  GROUP BY c.event_type
+)
+SELECT q.event_type, CAST(cuts.n AS BIGINT) AS n,
+       CAST(cuts.q_p01 AS BIGINT) AS q_p01,
+       CAST(cuts.q_p99 AS BIGINT) AS q_p99,
+       CAST(SUM(GREATEST(cuts.q_p01, LEAST(cuts.q_p99, q.vm))) AS BIGINT)
+         AS clamped_sum_micros
+FROM q JOIN cuts ON q.event_type = cuts.event_type
+GROUP BY q.event_type, cuts.n, cuts.q_p01, cuts.q_p99
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5444,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_training_export": _q_docs_training_export,
         "events_scd2_lookup": _q_events_scd2_lookup,
         "events_missing_hours": _q_events_missing_hours,
+        "events_winsorize": _q_events_winsorize,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5639,6 +5710,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_training_export": ORACLE_DOCS_TRAINING_EXPORT,
         "events_scd2_lookup": ORACLE_EVENTS_SCD2_LOOKUP,
         "events_missing_hours": ORACLE_EVENTS_MISSING_HOURS,
+        "events_winsorize": ORACLE_EVENTS_WINSORIZE,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

@@ -28,7 +28,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantized_comoments", "quantized_covariance"]
+__all__ = ["quantized_comoments", "quantized_covariance", "exact_quantile_cuts"]
 
 _PARTIAL_SCHEMA = "i int, j int, n bigint, s_i bigint, s_j bigint, s_ij bigint"
 
@@ -111,3 +111,90 @@ def quantized_covariance(
         F.col("s_ij").cast("bigint").alias("s_ij"),
         cov.cast("bigint").alias("cov_scaled"),
     )
+
+
+def exact_quantile_cuts(
+    df,
+    group_cols,
+    value_col,
+    quantiles,
+    bucket_width: int | None = None,
+):
+    """Exact per-group quantile cut values, computed WITHOUT sorting
+    the group's rows.
+
+    ``percentile_approx`` is irreproducible across engines; the naive
+    exact route (``row_number`` per group over all rows) serializes
+    each group on one task.  This runs the rank arithmetic over the
+    group's DISTINCT values instead: count per (group, value) — the
+    map-side combine collapses repeated values — then a cumulative
+    window over the distinct-value spine, and the q-th cut is the
+    smallest value whose running count reaches ``floor((n-1) * q) + 1``
+    (the lower-value definition: exact, interpolation-free,
+    integer-stable).
+
+    For near-continuous values the distinct spine approaches the row
+    count, so pass ``bucket_width`` to two-level the cumulative sum
+    (the :func:`~...sampling.token_budget_sample` pattern): local
+    cumsum within ``(group, value div bucket_width)`` plus carry-in
+    offsets from the tiny per-bucket totals frame — same exact result,
+    no group-wide sort.
+
+    ``value_col`` should be integral (quantize floats first) so the
+    cuts hash identically across engines.  Output: one row per group —
+    ``n`` plus one ``q_<label>`` column per requested quantile.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    counts = df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    if bucket_width is None:
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = counts.withColumn("__cum", F.sum("__c").over(w))
+    else:
+        bkt = F.floor(F.col(value_col) / F.lit(int(bucket_width))).cast("bigint")
+        base = counts.withColumn("__bkt", bkt)
+        w_local = (
+            Window.partitionBy(*gcols, "__bkt")
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = base.withColumn("__cl", F.sum("__c").over(w_local))
+        w_carry = (
+            Window.partitionBy(*gcols)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            base.groupBy(*gcols, "__bkt")
+            .agg(F.sum("__c").alias("__bt"))
+            .select(
+                *[F.col(c).alias(f"__o_{c}") for c in gcols],
+                F.col("__bkt").alias("__ob"),
+                F.coalesce(F.sum("__bt").over(w_carry), F.lit(0)).alias("__off"),
+            )
+        )
+        cond = F.col("__bkt") == F.col("__ob")
+        for c in gcols:
+            cond = cond & (F.col(c) == F.col(f"__o_{c}"))
+        cum = (
+            local.join(F.broadcast(offsets), cond)
+            .withColumn("__cum", F.col("__off") + F.col("__cl"))
+            .drop("__bkt", "__cl", "__ob", "__off", *[f"__o_{c}" for c in gcols])
+        )
+    totals = counts.groupBy(*gcols).agg(F.sum("__c").alias("n"))
+    j = cum.join(F.broadcast(totals), gcols)
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        label = str(q).replace("0.", "p").replace(".", "_")
+        rank = F.floor((F.col("n") - 1) * F.lit(float(q))) + 1
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= rank, F.col(value_col))
+            ).alias(f"q_{label}")
+        )
+    return j.groupBy(*gcols).agg(*aggs)

@@ -240,3 +240,37 @@ def test_kmv_accuracy_at_bench_scale(spark):
             assert abs(est[t] - n) / n < 5.0 / math.sqrt(254)
         else:
             assert est[t] == n
+
+
+# ---------------------------------------------------------------------------
+# exact quantile cuts
+
+
+def test_exact_quantile_cuts_bucketed_equals_plain_and_reference(spark):
+    import random
+
+    from omop_etl_spark.operators.stats import exact_quantile_cuts
+
+    rng = random.Random(5)
+    rows = [
+        Row(g=g, v=rng.randrange(0, 10_000))
+        for g in ("a", "b")
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows).repartition(9)
+    qs = [0.01, 0.5, 0.99]
+    plain = {
+        r["g"]: (r["n"], r["q_p01"], r["q_p5"], r["q_p99"])
+        for r in exact_quantile_cuts(df, ["g"], "v", qs).collect()
+    }
+    bucketed = {
+        r["g"]: (r["n"], r["q_p01"], r["q_p5"], r["q_p99"])
+        for r in exact_quantile_cuts(df, ["g"], "v", qs, bucket_width=500).collect()
+    }
+    assert plain == bucketed
+    # reference: lower-value quantile definition on sorted values
+    for g in ("a", "b"):
+        vals = sorted(r.v for r in rows if r.g == g)
+        n = len(vals)
+        want = tuple(vals[int((n - 1) * q)] for q in qs)
+        assert plain[g] == (n, *want)
