@@ -5438,6 +5438,85 @@ GROUP BY q.event_type, cuts.n, cuts.q_p01, cuts.q_p99
 
 
 
+def _q_part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data golden records: fuzzy duplicate pairs (blocked
+    Levenshtein) fold into connected components, and each entity
+    cluster elects canonical attributes — min id as the record key,
+    lexicographically-first name (a deterministic canonicalization
+    rule), min retail price in cents, and the member count. The MDM
+    composition: match -> cluster -> merge, each stage the documented
+    scale shape (blocked distance work, O(log n) CC rounds,
+    one hash aggregate for the merge)."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.fuzzy import fuzzy_self_match
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("bigint").alias("pid"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.split(F.col("p_name"), " ")[0].alias("block"),
+    )
+    pairs = fuzzy_self_match(
+        part, id_col="pid", text_col="name",
+        block_on=["brand", "block"], max_distance=2,
+    )
+    clustered = assign_clusters(
+        part.select("pid"), pairs.select("id_a", "id_b"), id_col="pid"
+    ).join(part.select("pid", "name", "price_cents"), "pid")
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("name").alias("canonical_name"),
+            F.min("price_cents").alias("min_price_cents"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("entity_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "canonical_name",
+            F.col("min_price_cents").cast("bigint").alias("min_price_cents"),
+        )
+    )
+
+
+ORACLE_PART_GOLDEN_RECORDS = """
+WITH RECURSIVE p AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pid, p_name AS name,
+         p_brand AS brand,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+         string_split(p_name, ' ')[1] AS block
+  FROM part
+),
+pairs AS (
+  SELECT a.pid AS id_a, b.pid AS id_b
+  FROM p a JOIN p b
+    ON a.pid < b.pid AND a.brand = b.brand AND a.block = b.block
+   AND abs(length(a.name) - length(b.name)) <= 2
+   AND levenshtein(a.name, b.name) <= 2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT pid, pid FROM p
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+clustered AS (
+  SELECT id AS pid, MIN(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT CAST(c.cluster_id AS BIGINT) AS entity_id,
+       COUNT(*) AS n_members,
+       MIN(p.name) AS canonical_name,
+       CAST(MIN(p.price_cents) AS BIGINT) AS min_price_cents
+FROM clustered c JOIN p ON c.pid = p.pid
+GROUP BY c.cluster_id
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5515,6 +5594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_lookup": _q_events_scd2_lookup,
         "events_missing_hours": _q_events_missing_hours,
         "events_winsorize": _q_events_winsorize,
+        "part_golden_records": _q_part_golden_records,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5711,6 +5791,7 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2_lookup": ORACLE_EVENTS_SCD2_LOOKUP,
         "events_missing_hours": ORACLE_EVENTS_MISSING_HOURS,
         "events_winsorize": ORACLE_EVENTS_WINSORIZE,
+        "part_golden_records": ORACLE_PART_GOLDEN_RECORDS,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
