@@ -5517,6 +5517,147 @@ GROUP BY c.cluster_id
 
 
 
+def _q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairs over the order fact: brands co-purchased in
+    at least min_support orders, with integer-ppm lift. Same A-priori
+    shape as docs_cooccurrence but on the engine's largest fact table:
+    the brand dimension joins in broadcast, the (order, brand) distinct
+    collapses line items map-side, and only support-filtered brands
+    enter the per-order self-join."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    dfreq = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
+    frequent = dfreq.filter(F.col("df") >= 50)
+    fb = baskets.join(F.broadcast(frequent), "item")
+    a = fb.select("okey", F.col("item").alias("item_a"), F.col("df").alias("df_a"))
+    b = fb.select(
+        F.col("okey").alias("okey_b"),
+        F.col("item").alias("item_b"),
+        F.col("df").alias("df_b"),
+    )
+    n_orders = baskets.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pairs = (
+        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 50)
+    )
+    return pairs.crossJoin(F.broadcast(n_orders)).select(
+        "item_a",
+        "item_b",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+        F.col("df_a").cast("bigint").alias("df_a"),
+        F.col("df_b").cast("bigint").alias("df_b"),
+        F.expr("(__n * pair_count * 1000000) div (df_a * df_b)").alias("lift_ppm"),
+    )
+
+
+ORACLE_ORDERS_MARKET_BASKET = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+dfreq AS (SELECT item, COUNT(*) AS df FROM baskets GROUP BY item),
+fb AS (
+  SELECT b.okey, b.item, d.df FROM baskets b
+  JOIN dfreq d ON b.item = d.item WHERE d.df >= 50
+),
+n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS pair_count
+  FROM fb a JOIN fb b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item, a.df, b.df
+  HAVING COUNT(*) >= 50
+)
+SELECT item_a, item_b, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       CAST(n.n_orders * pair_count * 1000000 // (df_a * df_b) AS BIGINT) AS lift_ppm
+FROM pairs, n
+"""
+
+
+
+def _q_corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based vocabulary resemblance between every source pair:
+    KMV k-minimum-values Jaccard estimation (operators/sketches.
+    kmv_set_similarity) over per-source term sets. After the per-source
+    sketch, every frame is sketch-sized (groups x k rows) — the pair
+    count never touches the corpus — and the md5 hash makes the ppm
+    estimates replay bit-for-bit in SQL. The exact-overlap sibling is
+    corpus_source_overlap; this is the one that still runs when the
+    vocabularies are billions of terms."""
+    from omop_etl_spark.operators.sketches import kmv_set_similarity
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+    return kmv_set_similarity(terms, "source", "term", k=128, salt="srcsim").select(
+        "source_a", "source_b", "n_common", "jaccard_ppm"
+    )
+
+
+ORACLE_CORPUS_SOURCE_SIMILARITY = """
+WITH terms AS (
+  SELECT DISTINCT source, t AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+h AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(concat('srcsim|', term)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS h
+  FROM terms
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= 128
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+tagged AS (
+  SELECT p.sa, p.sb, s.h,
+         MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+  GROUP BY p.sa, p.sb, s.h
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM tagged
+  ) WHERE rn <= 128
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+       CAST(SUM(in_a * in_b) * 1000000 // COUNT(*) AS BIGINT) AS jaccard_ppm
+FROM merged GROUP BY sa, sb
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5595,6 +5736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_missing_hours": _q_events_missing_hours,
         "events_winsorize": _q_events_winsorize,
         "part_golden_records": _q_part_golden_records,
+        "orders_market_basket": _q_orders_market_basket,
+        "corpus_source_similarity": _q_corpus_source_similarity,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5792,6 +5935,8 @@ def oracle_sql() -> dict[str, str]:
         "events_missing_hours": ORACLE_EVENTS_MISSING_HOURS,
         "events_winsorize": ORACLE_EVENTS_WINSORIZE,
         "part_golden_records": ORACLE_PART_GOLDEN_RECORDS,
+        "orders_market_basket": ORACLE_ORDERS_MARKET_BASKET,
+        "corpus_source_similarity": ORACLE_CORPUS_SOURCE_SIMILARITY,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from .sampling import unit_hash
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "kmv_set_similarity"]
 
 
 def kmv_distinct(
@@ -87,4 +87,76 @@ def kmv_distinct(
         F.col("n_kept").cast("bigint").alias("n_kept"),
         F.floor(F.col("h_k") * F.lit(float(1 << 32))).cast("bigint").alias("kth_hash_q"),
         est.alias("est_distinct"),
+    )
+
+
+def kmv_set_similarity(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise set resemblance (Jaccard) between groups from their KMV
+    sketches — corpus-overlap / drift estimation that never compares
+    the raw sets.
+
+    Theory: for the union's k smallest hashes, the fraction present in
+    BOTH groups' sketches is an unbiased estimate of the Jaccard
+    similarity (the classic k-minimum-values resemblance estimator).
+    Everything after the per-group sketch (O(groups * k) rows) is
+    sketch-sized: the pair enumeration, union-merge window, and
+    membership counts all run on frames independent of the input
+    row count — which is the entire point at 100 TB.
+
+    Estimates are emitted as integer ppm (``matches * 1e6 div k``), so
+    a SQL engine replaying the same md5 sketch reproduces them
+    bit-for-bit.  Output: one row per unordered group pair —
+    ``<group>_a, <group>_b, n_common, jaccard_ppm``.
+    """
+    if k < 1:
+        raise ValueError("kmv_set_similarity requires k >= 1")
+    h = unit_hash(value_col, salt)
+    dedup = df.select(F.col(group_col).alias("__g"), h.alias("h")).distinct()
+    w = Window.partitionBy("__g").orderBy("h")
+    sk = (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    ga = sk.select(F.col("__g").alias("ga"), F.col("h").alias("ha"))
+    gb = sk.select(F.col("__g").alias("gb"), F.col("h").alias("hb"))
+    groups = sk.select("__g").distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("ga"))
+        .join(F.broadcast(groups.select(F.col("__g").alias("gb"))), F.col("ga") < F.col("gb"))
+    )
+    tagged = (
+        pairs.join(ga, "ga")
+        .select("ga", "gb", F.col("ha").alias("h"), F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(gb, "gb").select(
+                "ga", "gb", F.col("hb").alias("h"),
+                F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("ga", "gb").orderBy("h")
+    merged = tagged.withColumn("rn", F.row_number().over(wm)).filter(
+        F.col("rn") <= k
+    )
+    return (
+        merged.groupBy("ga", "gb")
+        .agg(
+            F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).alias("n_common"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .select(
+            F.col("ga").alias(f"{group_col}_a"),
+            F.col("gb").alias(f"{group_col}_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr("(n_common * 1000000) div __m").alias("jaccard_ppm"),
+        )
     )

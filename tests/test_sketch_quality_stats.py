@@ -274,3 +274,27 @@ def test_exact_quantile_cuts_bucketed_equals_plain_and_reference(spark):
         n = len(vals)
         want = tuple(vals[int((n - 1) * q)] for q in qs)
         assert plain[g] == (n, *want)
+
+
+def test_kmv_set_similarity_tracks_true_jaccard(spark):
+    from omop_etl_spark.operators.sketches import kmv_set_similarity
+
+    # two groups with known 50% overlap, one disjoint group
+    rows = (
+        [Row(g="a", v=i) for i in range(0, 2000)]
+        + [Row(g="b", v=i) for i in range(1000, 3000)]  # J(a,b) = 1/3
+        + [Row(g="c", v=i) for i in range(10_000, 11_000)]  # disjoint
+    )
+    df = spark.createDataFrame(rows).repartition(6)
+    out = {
+        (r["g_a"], r["g_b"]): r["jaccard_ppm"] / 1e6
+        for r in kmv_set_similarity(df, "g", "v", k=256).collect()
+    }
+    assert abs(out[("a", "b")] - 1 / 3) < 0.12  # ~5/sqrt(k) tolerance
+    assert out[("a", "c")] == 0.0 and out[("b", "c")] == 0.0
+    # estimator is a pure function of the data: rerun identical
+    again = {
+        (r["g_a"], r["g_b"]): r["jaccard_ppm"] / 1e6
+        for r in kmv_set_similarity(df, "g", "v", k=256).collect()
+    }
+    assert out == again
