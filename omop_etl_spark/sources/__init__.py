@@ -4,6 +4,7 @@ from .text import (
     ingest_stats,
     read_csv,
     read_jsonl,
+    read_fixed_width,
     write_partitioned,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "ingest_stats",
     "read_csv",
     "read_jsonl",
+    "read_fixed_width",
     "write_partitioned",
 ]

@@ -28,6 +28,7 @@ __all__ = [
     "read_jsonl",
     "read_csv",
     "ingest_stats",
+    "read_fixed_width",
     "write_partitioned",
 ]
 
@@ -148,3 +149,33 @@ def write_partitioned(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: "list[tuple[str, int, int, str]]",
+) -> DataFrame:
+    """Read fixed-width records (mainframe/legacy extracts — a format
+    clinical source systems still emit).
+
+    ``colspecs`` is ``[(name, start, end, type), ...]`` with 1-based,
+    end-inclusive character positions (the layout-sheet convention).
+    Implemented as a line read + ``substring``/``trim``/``cast``
+    projection — row-local, whole-stage-codegen, splittable by line
+    like any text source.  Cast failures become NULLs (ANSI off for
+    this projection) rather than killed tasks; gate with
+    ``operators.quality.dq_profile`` downstream.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    cols = []
+    for name, start, end, typ in colspecs:
+        width = end - start + 1
+        c = F.trim(F.substring(F.col("value"), start, width))
+        c = F.when(c == "", None).otherwise(c)
+        if typ != "string":
+            c = c.try_cast(typ) if hasattr(c, "try_cast") else c.cast(typ)
+        cols.append(c.alias(name))
+    return raw.select(*cols)

@@ -10,6 +10,7 @@ from .events import (
     stream_interval_join,
     stream_kmv_distinct,
     dq_monitor_stream,
+    stream_latest_state,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "stream_interval_join",
     "stream_kmv_distinct",
     "dq_monitor_stream",
+    "stream_latest_state",
 ]

@@ -40,6 +40,7 @@ __all__ = [
     "stream_interval_join",
     "stream_kmv_distinct",
     "dq_monitor_stream",
+    "stream_latest_state",
 ]
 
 #: schema of the raw parquet with ns timestamps surfaced as long
@@ -377,3 +378,53 @@ def dq_monitor_stream(
         sink(report, batch_id)
 
     return stream.writeStream.foreachBatch(process)
+
+
+def stream_latest_state(
+    stream: DataFrame,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming last-writer-wins state (the CDC/SCD1 'current value'
+    table as a stream): per key, keep the value with the highest
+    ``ord_col`` seen so far and emit one row per key per micro-batch in
+    which that key received data.
+
+    Arrival order is NOT trusted — late or out-of-order rows never
+    regress the state (the batch engine's LWW column-rule semantics,
+    SURVEY §2.1 #8, continuously maintained).  State per key is one
+    (ord, value) pair, so memory is bounded by the live-key set;
+    ``applyInPandasWithState`` because built-in streaming aggregates
+    cannot express argmax-by-ordering with bounded custom state.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_type = dict(zip(stream.schema.names, stream.schema))[key_col].dataType.simpleString()
+
+    def latest_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        best_ord, best_val = state.get if state.exists else (None, None)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            idx = pdf[ord_col].idxmax()
+            o, v = int(pdf[ord_col][idx]), pdf[value_col][idx]
+            if best_ord is None or o > best_ord:
+                best_ord, best_val = o, (None if v is None else str(v))
+        state.update((best_ord, best_val))
+        yield pd.DataFrame(
+            {key_col: [key[0]], ord_col: [best_ord], value_col: [best_val]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        latest_fn,
+        outputStructType=f"{key_col} {key_type}, {ord_col} long, {value_col} string",
+        stateStructType="best_ord long, best_val string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -177,3 +177,82 @@ def test_dq_monitor_stream_reports_per_batch(spark, tmp_path):
     # duplicate k=4 (range counts NULL as violation; unique counts both rows)
     assert merged_viol == [(1, 0), (1, 2)]
     assert all(b["v_nonneg"]["n_rows"] == 3 for b in reports)
+
+
+def test_stream_latest_state_survives_out_of_order_batches(spark, tmp_path):
+    import pandas as pd
+
+    from omop_etl_spark.streaming import stream_latest_state
+
+    d = tmp_path / "lww_in"
+    d.mkdir()
+    # batch 1 carries the NEWEST ord for key "a"; batch 2 arrives later
+    # with older data — state must not regress
+    pd.DataFrame({"k": ["a", "b"], "o": [100, 5], "v": ["new_a", "old_b"]}).to_parquet(
+        d / "f1.parquet"
+    )
+    pd.DataFrame({"k": ["a", "b"], "o": [50, 10], "v": ["stale_a", "new_b"]}).to_parquet(
+        d / "f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("k string, o long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_latest_state(stream, "k", "o", "v")
+        .writeStream.format("memory")
+        .queryName("lww_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("lww_s").collect()
+    # last emission per key wins (append mode emits per batch)
+    final = {}
+    for r in rows:
+        final[r["k"]] = (r["o"], r["v"])
+    assert final == {"a": (100, "new_a"), "b": (10, "new_b")}
+
+
+def test_read_fixed_width(spark, tmp_path):
+    from omop_etl_spark.sources import read_fixed_width
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "00123Alice     019.5\n"
+        "00456Bob       BADNUM\n"
+        "00789          003.25\n"
+    )
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [("id", 1, 5, "bigint"), ("name", 6, 15, "string"), ("score", 16, 21, "double")],
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[123]["name"] == "Alice" and rows[123]["score"] == 19.5
+    assert rows[456]["score"] is None  # bad numeric -> NULL, not a killed task
+    assert rows[789]["name"] is None  # all-blank field -> NULL
+
+
+def test_load_dq_rules_yaml(spark):
+    from omop_etl_spark.operators.quality import dq_profile, load_dq_rules
+    from pyspark.sql import Row
+
+    yaml_text = """
+rules:
+  - {name: s_domain, table: t, kind: in_set, column: s, values: [x, y]}
+  - {name: n_range, table: t, kind: range, column: n, lo: 0}
+"""
+    rules = load_dq_rules(yaml_text)
+    df = spark.createDataFrame([Row(s="x", n=1), Row(s="z", n=-2)])
+    out = {r["rule_name"]: r["n_violations"] for r in dq_profile({"t": df}, rules).collect()}
+    assert out == {"s_domain": 1, "n_range": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown keys"):
+        load_dq_rules("rules:\n  - {name: a, table: t, kind: not_null, column: c, typo: 1}")
+    with _pytest.raises(ValueError, match="missing required"):
+        load_dq_rules("rules:\n  - {name: a, table: t, kind: not_null}")
