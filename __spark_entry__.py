@@ -5658,6 +5658,93 @@ FROM merged GROUP BY sa, sb
 
 
 
+def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type: median absolute deviation
+    (exact, integer micros) instead of the z-score's mean/stddev, which
+    outliers themselves corrupt. Composes exact_quantile_cuts twice —
+    median of values, then median of absolute deviations — with each
+    median computed on the distinct-value spine (no per-group row
+    sort), and counts events beyond 5 MADs. All-integer, fully
+    replayed by the oracle's window cumsums."""
+    from omop_etl_spark.operators.stats import exact_quantile_cuts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("bigint").alias("vm")
+    )
+    med = exact_quantile_cuts(ev, ["event_type"], "vm", [0.5]).select(
+        "event_type", F.col("q_p5").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("vm") - F.col("med")).alias("ad"), "vm"
+    )
+    mad = exact_quantile_cuts(
+        dev.select("event_type", "ad"), ["event_type"], "ad", [0.5]
+    ).select("event_type", F.col("q_p5").alias("mad"), "n")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad", "n")
+        .agg(
+            F.sum(
+                (F.abs(F.col("vm") - F.col("med")) > 5 * F.col("mad")).cast("bigint")
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("med").cast("bigint").alias("med_micros"),
+            F.col("mad").cast("bigint").alias("mad_micros"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+ORACLE_EVENTS_ANOMALY_MAD = """
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events
+),
+c1 AS (
+  SELECT event_type, vm, COUNT(*) AS c FROM q GROUP BY event_type, vm
+),
+cum1 AS (
+  SELECT event_type, vm, SUM(c) OVER (PARTITION BY event_type ORDER BY vm
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM c1
+),
+t1 AS (SELECT event_type, SUM(c) AS n FROM c1 GROUP BY event_type),
+med AS (
+  SELECT c.event_type, MAX(t.n) AS n,
+         MIN(CASE WHEN c.cm >= floor((t.n - 1) * 0.5) + 1 THEN c.vm END) AS med
+  FROM cum1 c JOIN t1 t ON c.event_type = t.event_type GROUP BY c.event_type
+),
+dev AS (
+  SELECT q.event_type, m.n, m.med, abs(q.vm - m.med) AS ad, q.vm
+  FROM q JOIN med m ON q.event_type = m.event_type
+),
+c2 AS (
+  SELECT event_type, ad, COUNT(*) AS c FROM dev GROUP BY event_type, ad
+),
+cum2 AS (
+  SELECT event_type, ad, SUM(c) OVER (PARTITION BY event_type ORDER BY ad
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM c2
+),
+t2 AS (SELECT event_type, SUM(c) AS n FROM c2 GROUP BY event_type),
+mad AS (
+  SELECT c.event_type,
+         MIN(CASE WHEN c.cm >= floor((t.n - 1) * 0.5) + 1 THEN c.ad END) AS mad
+  FROM cum2 c JOIN t2 t ON c.event_type = t.event_type GROUP BY c.event_type
+)
+SELECT d.event_type, CAST(d.n AS BIGINT) AS n,
+       CAST(d.med AS BIGINT) AS med_micros,
+       CAST(m.mad AS BIGINT) AS mad_micros,
+       CAST(SUM(CASE WHEN abs(d.vm - d.med) > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type, d.n, d.med, m.mad
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5738,6 +5825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_golden_records": _q_part_golden_records,
         "orders_market_basket": _q_orders_market_basket,
         "corpus_source_similarity": _q_corpus_source_similarity,
+        "events_anomaly_mad": _q_events_anomaly_mad,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -5937,6 +6025,7 @@ def oracle_sql() -> dict[str, str]:
         "part_golden_records": ORACLE_PART_GOLDEN_RECORDS,
         "orders_market_basket": ORACLE_ORDERS_MARKET_BASKET,
         "corpus_source_similarity": ORACLE_CORPUS_SOURCE_SIMILARITY,
+        "events_anomaly_mad": ORACLE_EVENTS_ANOMALY_MAD,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
