@@ -5745,6 +5745,159 @@ GROUP BY d.event_type, d.n, d.med, m.mad
 
 
 
+def _q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts of consecutive
+    (event_type -> next event_type) steps per user session stream, with
+    integer-ppm transition probabilities. One lead() window per user
+    (user partitions scale out), one hash aggregate; probabilities are
+    div-truncated integers so the matrix hashes across engines."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_steps"))
+    totals = counts.groupBy("src").agg(F.sum("n_steps").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n_steps").cast("bigint").alias("n_steps"),
+            F.col("n_from").cast("bigint").alias("n_from"),
+            F.expr("(n_steps * 1000000) div n_from").alias("prob_ppm"),
+        )
+    )
+
+
+ORACLE_EVENTS_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n_steps FROM steps
+  WHERE dst IS NOT NULL GROUP BY src, dst
+),
+totals AS (SELECT src, SUM(n_steps) AS n_from FROM counts GROUP BY src)
+SELECT c.src, c.dst, CAST(c.n_steps AS BIGINT) AS n_steps,
+       CAST(t.n_from AS BIGINT) AS n_from,
+       CAST(c.n_steps * 1000000 // t.n_from AS BIGINT) AS prob_ppm
+FROM counts c JOIN totals t ON c.src = t.src
+"""
+
+
+def _q_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingestion order),
+    the fraction of its distinct terms never seen in any earlier
+    document — the diminishing-returns signal dataset curators watch
+    when deciding whether more of a source is worth ingesting.
+    First-occurrence attribution is a min(doc_id)-per-term aggregate
+    joined back (never a window over the corpus); the fraction is
+    integer ppm."""
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+                )
+            )
+        ).alias("term"),
+    )
+    first = terms.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        terms.join(first, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.expr("(n_novel * 1000000) div n_terms").alias("novelty_ppm"),
+        )
+    )
+
+
+ORACLE_DOCS_NOVELTY = """
+WITH terms AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+first AS (SELECT term, MIN(doc_id) AS first_doc FROM terms GROUP BY term)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       COUNT(*) AS n_terms,
+       CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM terms t JOIN first f ON t.term = f.term
+GROUP BY t.doc_id
+"""
+
+
+def _q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of supplier revenue: rank suppliers by
+    revenue and report each one's cumulative share (ppm) — the 80/20
+    check behind procurement risk. The heavy work is one fact
+    aggregate; the ranking window then runs over |suppliers| rows
+    (dimension-sized — windows over aggregates, never over facts)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_cents"))
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(F.desc("rev_cents"), F.asc("l_suppkey"))
+    total = per_supp.agg(F.sum("rev_cents").alias("__t"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("suppkey"),
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            F.row_number().over(wr).cast("bigint").alias("rev_rank"),
+            F.expr(
+                "(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey ASC"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)"
+                " div __t"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_PARETO = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem GROUP BY l_suppkey
+),
+t AS (SELECT SUM(rev_cents) AS total FROM per_supp)
+SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(row_number() OVER (ORDER BY rev_cents DESC, l_suppkey ASC) AS BIGINT) AS rev_rank,
+       CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+            // t.total AS BIGINT) AS cum_share_ppm
+FROM per_supp, t
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5826,6 +5979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_market_basket": _q_orders_market_basket,
         "corpus_source_similarity": _q_corpus_source_similarity,
         "events_anomaly_mad": _q_events_anomaly_mad,
+        "events_transitions": _q_events_transitions,
+        "docs_novelty": _q_docs_novelty,
+        "supplier_pareto": _q_supplier_pareto,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -6026,6 +6182,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_market_basket": ORACLE_ORDERS_MARKET_BASKET,
         "corpus_source_similarity": ORACLE_CORPUS_SOURCE_SIMILARITY,
         "events_anomaly_mad": ORACLE_EVENTS_ANOMALY_MAD,
+        "events_transitions": ORACLE_EVENTS_TRANSITIONS,
+        "docs_novelty": ORACLE_DOCS_NOVELTY,
+        "supplier_pareto": ORACLE_SUPPLIER_PARETO,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
