@@ -5898,6 +5898,104 @@ FROM per_supp, t
 
 
 
+def _q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup: each nation's ppm share of its region's
+    revenue. The fact aggregates once to nation grain; the
+    share window then partitions over the 25-row dimension aggregate —
+    the windows-over-aggregates discipline that keeps hierarchy
+    reports cheap at any fact size."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_nation = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_name", "r_name", "rev_cents")
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.expr(
+            "(rev_cents * 1000000) div sum(rev_cents) OVER (PARTITION BY r_name)"
+        ).alias("region_share_ppm"),
+    )
+
+
+ORACLE_NATION_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT nation, region, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(rev_cents * 1000000 // SUM(rev_cents) OVER (PARTITION BY region)
+            AS BIGINT) AS region_share_ppm
+FROM per_nation
+"""
+
+
+def _q_docs_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source (alpha / digit /
+    whitespace / other, integer ppm) — the cheapest corpus-health
+    profile there is: four regexp_replace length subtractions, pure
+    JVM, one dimension-sized aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.length("text").cast("bigint")
+    alpha = (n - F.length(F.regexp_replace(F.col("text"), "[A-Za-z]", ""))).cast(
+        "bigint"
+    )
+    digit = (n - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))).cast(
+        "bigint"
+    )
+    space = (n - F.length(F.regexp_replace(F.col("text"), r"\s", ""))).cast("bigint")
+    agg = docs.groupBy("source").agg(
+        F.sum(n).alias("n_chars"),
+        F.sum(alpha).alias("n_alpha"),
+        F.sum(digit).alias("n_digit"),
+        F.sum(space).alias("n_space"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr("(n_alpha * 1000000) div n_chars").alias("alpha_ppm"),
+        F.expr("(n_digit * 1000000) div n_chars").alias("digit_ppm"),
+        F.expr("(n_space * 1000000) div n_chars").alias("space_ppm"),
+    )
+
+
+ORACLE_DOCS_CHAR_CLASSES = r"""
+WITH agg AS (
+  SELECT source, SUM(length(text)) AS n_chars,
+         SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS n_alpha,
+         SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digit,
+         SUM(length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS n_space
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_alpha * 1000000 // n_chars AS BIGINT) AS alpha_ppm,
+       CAST(n_digit * 1000000 // n_chars AS BIGINT) AS digit_ppm,
+       CAST(n_space * 1000000 // n_chars AS BIGINT) AS space_ppm
+FROM agg
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -5982,6 +6080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": _q_events_transitions,
         "docs_novelty": _q_docs_novelty,
         "supplier_pareto": _q_supplier_pareto,
+        "nation_revenue_share": _q_nation_revenue_share,
+        "docs_char_classes": _q_docs_char_classes,
         "agg_volume_shipping": _q_volume_shipping,
         "agg_market_share": _q_market_share,
         "agg_cust_distribution": _q_cust_distribution,
@@ -6185,6 +6285,8 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": ORACLE_EVENTS_TRANSITIONS,
         "docs_novelty": ORACLE_DOCS_NOVELTY,
         "supplier_pareto": ORACLE_SUPPLIER_PARETO,
+        "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
+        "docs_char_classes": ORACLE_DOCS_CHAR_CLASSES,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
         "agg_market_share": ORACLE_MARKET_SHARE,
         "agg_cust_distribution": ORACLE_CUST_DISTRIBUTION,
