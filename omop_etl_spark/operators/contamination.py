@@ -297,7 +297,7 @@ def decontaminate(
     text_col: str = "text",
     bench_text_col: str | None = None,
     n: int = 13,
-    broadcast_benchmark: bool = True,
+    broadcast_benchmark: bool = False,
 ) -> DataFrame:
     """Tag every training document with its n-gram overlap against a
     benchmark corpus.
@@ -311,13 +311,15 @@ def decontaminate(
 
     Plan shape: the benchmark's distinct shingles are reduced to 8-byte
     ``xxhash64`` keys (map-side-combined aggregate over the benchmark
-    only). With ``broadcast_benchmark`` (default — eval sets are tiny
-    next to a training corpus) the join against the exploded document
-    shingles is a broadcast hash join: the 100 TB side is never
-    shuffled, one pass, map-only until the final per-document count.
-    With it off the same plan runs as a shuffle join on the hash key,
-    which is the correct shape when the "benchmark" is itself large
-    (e.g. cross-corpus contamination). Hashing shingles to 64 bits
+    only). By default AQE picks the join strategy — it broadcasts the
+    gram set whenever it actually fits, and falls back to a shuffle
+    join on the hash key when the "benchmark" is itself large (e.g.
+    cross-corpus contamination), so no plan can OOM at scale. Set
+    ``broadcast_benchmark=True`` only for a contract-bounded benchmark
+    (a fixed eval suite, KBs–MBs of grams) to pin the broadcast hash
+    join: the 100 TB side is then guaranteed never to shuffle, one
+    pass, map-only until the final per-document count.
+    Hashing shingles to 64 bits
     trades a ~2^-64-per-pair false-collision rate for never moving raw
     n-gram strings through the shuffle.
     """

@@ -39,6 +39,7 @@ def curate_corpus(
     boilerplate_min_docs: int | None = 2,
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 13,
+    decontaminate_broadcast: bool = False,
     dedup_exact: bool = True,
     near_dedup_threshold: float | None = None,
     near_dedup_opts: dict | None = None,
@@ -57,8 +58,12 @@ def curate_corpus(
        Documents left empty are dropped.
     3. **Decontamination** (``benchmark``) — drop documents sharing
        any ``decontaminate_n``-gram with the benchmark/eval corpus
-       (``operators.contamination.decontaminate``); the benchmark's
-       hashed gram set broadcasts, so the corpus side never shuffles.
+       (``operators.contamination.decontaminate``). By default AQE
+       picks the join strategy (it broadcasts the hashed gram set
+       whenever it fits); set ``decontaminate_broadcast=True`` only
+       when the benchmark is contract-bounded (a fixed eval suite) to
+       force the broadcast and guarantee the corpus side never
+       shuffles.
     4. **Exact dedup** (``dedup_exact``) — one survivor per distinct
        cleaned text, smallest ``id_col`` wins (deterministic).
     5. **Near-dup dedup** (``near_dedup_threshold``) — MinHash-LSH
@@ -101,7 +106,7 @@ def curate_corpus(
     if benchmark is not None:
         flags = decontaminate(
             out, benchmark, id_col=id_col, text_col=text_col,
-            n=decontaminate_n,
+            n=decontaminate_n, broadcast_benchmark=decontaminate_broadcast,
         )
         out = (
             out.join(flags, id_col)

@@ -172,3 +172,100 @@ def test_encode_stays_jvm_side(spark, entry):
     plan = _plan(entry.queries()["docs_encode"](spark, SF_DIR))
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- broadcast-hint scale guard -------------------------------------------
+#
+# A forced broadcast hint overrides AQE's size check and hard-fails (or
+# OOMs) once the hinted side outgrows the 8 GB broadcast ceiling. The
+# rule enforced here: a hint may only target a frame that is bounded at
+# ANY scale factor — a bounded dimension (nation/region), a LocalRelation
+# / range, a LIMIT, or an aggregate that collapses cardinality before the
+# hint. Anything hinted that scans an SF-linear table without such a
+# bounding node in between is a 100x-scale hazard and fails this test.
+
+# SF-linear leaves, identified by a column unique to each table (the
+# analyzed plan prints column lists, not file paths).
+_SCALING_TABLE_COLS = (
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey",
+    "doc_id", "vec_id", "event_id",
+)
+
+# Hinted frames that ARE bounded at scale but whose bounding shape the
+# line-scanner can't prove. Each entry must say why it is safe; adding a
+# query here is a reviewed decision, not a default.
+_HINT_EXEMPT = {
+    # cosine_topk broadcasts the query batch: bounded by construction in
+    # the gate (vec_id < 16, constant at every SF) and by contract in the
+    # library (a top-k request batch is caller-bounded, never the corpus).
+    "sim_topk": "query batch bounded by construction (vec_id < 16)",
+    "sim_topk_lsh": "query batch bounded by construction (vec_id < 16)",
+    "sim_topk_ivf": "query batch bounded by construction (vec_id < 16)",
+    # KMV sketches are O(groups * k): the per-source k-minimum-values cut
+    # runs as row_number() <= k (WindowGroupLimit), which the scanner
+    # doesn't recognize as a bounding node (it's Window + Filter in the
+    # analyzed plan, row reduction only provable from the rank predicate).
+    "corpus_source_similarity": "KMV sketch frames are O(sources*k) via rank<=k",
+}
+
+
+def _tree_depth(line):
+    m = re.match(r"^[\s:+\-]*", line)
+    return len(m.group(0))
+
+
+def _unbounded_hinted_scans(plan):
+    """Return scaling-table Relation lines that sit under a ResolvedHint
+    with no bounding node (Aggregate / Limit) between hint and scan."""
+    lines = plan.splitlines()
+    bad = []
+    for i, l in enumerate(lines):
+        if "ResolvedHint" not in l:
+            continue
+        d = _tree_depth(l)
+        sub = []
+        for j in range(i + 1, len(lines)):
+            if _tree_depth(lines[j]) <= d:
+                break
+            sub.append(lines[j])
+        bounding = []  # depths of row-collapsing nodes seen in subtree
+        for line in sub:
+            ld = _tree_depth(line)
+            body = line.strip(" :+-")
+            if body.startswith(("Aggregate", "GlobalLimit", "LocalLimit")):
+                bounding.append(ld)
+            elif body.startswith("Relation"):
+                cols = re.sub(r"#\d+L?", "", body)
+                if any(c in cols for c in _SCALING_TABLE_COLS):
+                    if not any(bd < ld for bd in bounding):
+                        bad.append(body[:100])
+    return bad
+
+
+def test_no_hint_on_unbounded_frame_anywhere(spark, entry):
+    """VERDICT r6 #1: walk every registry query and assert no broadcast
+    hint targets a frame derived from an SF-linear table without a
+    row-collapsing node in between. The 8 r6 offenders (customer /
+    supplier / part / cluster-size broadcasts) fail this test if
+    reintroduced."""
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, fn in _queries(e):
+        if name in _HINT_EXEMPT:
+            continue
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        bad = _unbounded_hinted_scans(plan)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_hint_exemptions_do_not_grow_silently(spark, entry):
+    # every exemption must still exist in the registry (no stale rows)
+    import __spark_entry__ as e
+
+    names = set(e.queries())
+    assert set(_HINT_EXEMPT) <= names
+    assert len(_HINT_EXEMPT) == 4
