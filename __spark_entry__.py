@@ -4172,7 +4172,7 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_kept,
        CAST(floor(MAX(h) * 4294967296.0) AS BIGINT) AS kth_hash_q,
        CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
-                 ELSE floor(63.0 / MAX(h)) END AS BIGINT) AS est_distinct
+                 ELSE floor(63.0 / greatest(MAX(h), 1.0 / 4294967296.0)) END AS BIGINT) AS est_distinct
 FROM ranked WHERE rn <= 64 GROUP BY event_type
 """
 
@@ -4180,7 +4180,8 @@ FROM ranked WHERE rn <= 64 GROUP BY event_type
 def _q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality profile over the order pipeline — the
     Spark-native form of the reference's post-ETL validation rules
-    (/root/reference/omop_etl/etl.py). Eight rules compile to three
+    (validation/*.yaml compiled by /root/reference/omop_etl/__main__.py:34-92).
+    Eight rules compile to three
     single-pass conditional aggregates plus two anti-join counts; the
     report is a rules-sized union frame."""
     from omop_etl_spark.operators.quality import DQRule, dq_profile
@@ -4283,10 +4284,13 @@ FROM report
 
 
 def _q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-weighted corpus sample (Efraimidis–Spirakis priorities on
-    a deterministic md5 hash) — 'pick 200 docs, long docs
-    proportionally more often', reproducible across runs/engines. Plan
-    is one TakeOrderedAndProject: no shuffle, no RNG state."""
+    """Length-weighted corpus sample (Duffield–Lund–Thorup priority
+    sampling: priority = w/u on a deterministic md5 hash) — 'pick 200
+    docs, long docs proportionally more often', reproducible across
+    runs AND engines: the priority is one exactly-rounded IEEE
+    division, no libm pow, so the rank-200 boundary row is
+    bit-identical in Spark and DuckDB (ADVICE r6). Plan is one
+    TakeOrderedAndProject: no shuffle, no RNG state."""
     from omop_etl_spark.operators.sampling import weighted_sample
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -4302,9 +4306,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM (
   SELECT doc_id, source, n_chars,
-         pow(CAST(concat('0x', substr(md5(concat('wsample|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
-               / 4294967296.0,
-             1.0 / CAST(n_chars AS DOUBLE)) AS pri
+         CAST(n_chars AS DOUBLE)
+           / (CAST(concat('0x', substr(md5(concat('wsample|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0) AS pri
   FROM documents WHERE n_chars > 0
   ORDER BY pri DESC, doc_id ASC
   LIMIT 200
@@ -4504,7 +4508,7 @@ ranked AS (
 SELECT event_type, hour,
        CAST(COUNT(*) AS BIGINT) AS n_kept,
        CAST(CASE WHEN COUNT(*) < 16 THEN COUNT(*)
-                 ELSE floor(15.0 / MAX(h)) END AS BIGINT) AS est_distinct
+                 ELSE floor(15.0 / greatest(MAX(h), 1.0 / 4294967296.0)) END AS BIGINT) AS est_distinct
 FROM ranked WHERE rn <= 16 GROUP BY event_type, hour
 """
 
@@ -4542,12 +4546,12 @@ def _q_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ORDERS_CHECKSUM = """
 WITH sig AS (
   SELECT CAST(concat('0x', substr(md5(concat_ws('|', 'rowsig',
-           coalesce(CAST(o_orderkey AS VARCHAR), ' null'),
-           coalesce(CAST(o_custkey AS VARCHAR), ' null'),
-           coalesce(o_orderstatus, ' null'),
-           coalesce(o_orderpriority, ' null'),
-           coalesce(CAST(o_orderdate AS VARCHAR), ' null'),
-           coalesce(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), ' null')
+           coalesce(md5(CAST(o_orderkey AS VARCHAR)), repeat('n', 32)),
+           coalesce(md5(CAST(o_custkey AS VARCHAR)), repeat('n', 32)),
+           coalesce(md5(o_orderstatus), repeat('n', 32)),
+           coalesce(md5(o_orderpriority), repeat('n', 32)),
+           coalesce(md5(CAST(o_orderdate AS VARCHAR)), repeat('n', 32)),
+           coalesce(md5(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)), repeat('n', 32))
          )), 1, 15)) AS BIGINT) AS h
   FROM orders
 )
@@ -4758,9 +4762,9 @@ WITH rows_ AS (
   SELECT event_type,
          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          CAST(concat('0x', substr(md5(concat_ws('|', 'rowsig',
-           coalesce(CAST(event_id AS VARCHAR), ' null'),
-           coalesce(CAST(user_id AS VARCHAR), ' null'),
-           coalesce(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR), ' null')
+           coalesce(md5(CAST(event_id AS VARCHAR)), repeat('n', 32)),
+           coalesce(md5(CAST(user_id AS VARCHAR)), repeat('n', 32)),
+           coalesce(md5(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR)), repeat('n', 32))
          )), 1, 15)) AS BIGINT) AS h
   FROM events
 )
@@ -6040,7 +6044,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 18 longest-green queries (driver-verified every round since
     # r01) — those fall back to the committed LOCALCHECK artifact.
     return {
-        # (a) driver-uncovered in r05
+        # Ordered by driver-verification need (VERDICT r6 #2): the
+        # driver's CORRECTNESS gate reads the FIRST 50 entries, so the
+        # 33 queries with no driver-green row in any round come first,
+        # then 17 rotating re-verifications — the r5-last-green set plus
+        # the three ANN queries whose query batches changed this round
+        # (vec_id < 16). The tail is driver-green r06 and covered by the
+        # committed LOCALCHECK artifact each round.
+        # -- (a) never driver-verified (33) --
+        "supplier_pareto": _q_supplier_pareto,
+        "nation_revenue_share": _q_nation_revenue_share,
+        "docs_char_classes": _q_docs_char_classes,
+        "agg_volume_shipping": _q_volume_shipping,
+        "agg_market_share": _q_market_share,
+        "agg_cust_distribution": _q_cust_distribution,
+        "agg_small_qty_revenue": _q_small_qty_revenue,
+        "agg_disjunctive_pred": _q_disjunctive_revenue,
+        "agg_shipped_last": _q_shipped_last,
+        "docs_curate_full": _q_docs_curate_full,
+        "docs_dedup_lines": _q_docs_dedup_lines,
+        "docs_cross_dup": _q_docs_cross_dup,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_quality_gate": _q_docs_quality_gate,
+        "embed_project": _q_embed_project,
+        "embed_kmeans": _q_embed_kmeans,
+        "agg_shipping_priority": _q_shipping_priority,
+        "agg_order_priority": _q_order_priority,
+        "agg_filter_revenue": _q_filter_revenue,
+        "agg_returned_items": _q_returned_items,
+        "agg_promo_share": _q_promo_revenue_share,
+        "events_anomaly_zscore": _q_events_anomaly,
+        "docs_source_stats": _q_docs_source_stats,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "events_user_pagerank": _q_events_pagerank,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_rare_tokens": _q_docs_rare_tokens,
+        "events_retention": _q_events_retention,
+        "docs_curate_incremental": _q_docs_curate_incremental,
+        "docs_dup_spans": _q_docs_dup_spans,
+        "events_rolling_3d": _q_events_rolling,
+        "docs_length_deciles": _q_docs_length_deciles,
+        # -- (b) rotating re-verifications (17) --
+        "events_sessionize": _q_events_sessionize,
+        "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "sim_topk": _q_sim_topk,
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "sim_topk_ivf": _q_sim_topk_ivf,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_near_clusters": _q_dedup_near_clusters,
+        "docs_chunk": _q_docs_chunk,
+        "docs_tfidf": _q_docs_tfidf,
+        "embed_dedup_clusters": _q_embed_dedup_clusters,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "text_quality": _q_text_quality,
+        "text_pii_scrub": _q_pii_scrub,
+        # -- (c) driver-green as of r06 --
         "fuzzy_part_match": _q_fuzzy_parts,
         "events_funnel": _q_events_funnel,
         "agg_cube": _q_agg_cube,
@@ -6059,12 +6122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder": _q_events_zorder,
         "events_top_users": _q_events_top_users,
         "events_multigrain": _q_events_multigrain,
-        # (b) value oracles new in r06 (previously rows-only)
-        "sim_topk_lsh": _q_sim_topk_lsh,
-        "sim_topk_ivf": _q_sim_topk_ivf,
-        # (b2) new operator families, r06 second half: sketching, DQ
-        # rules, weighted sampling, sweep-line concurrency, exact
-        # second moments, decision-support join shapes
         "sketch_distinct_users": _q_sketch_distinct_users,
         "dq_checks": _q_dq_checks,
         "docs_weighted_sample": _q_docs_weighted_sample,
@@ -6095,58 +6152,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": _q_events_anomaly_mad,
         "events_transitions": _q_events_transitions,
         "docs_novelty": _q_docs_novelty,
-        "supplier_pareto": _q_supplier_pareto,
-        "nation_revenue_share": _q_nation_revenue_share,
-        "docs_char_classes": _q_docs_char_classes,
-        "agg_volume_shipping": _q_volume_shipping,
-        "agg_market_share": _q_market_share,
-        "agg_cust_distribution": _q_cust_distribution,
-        "agg_small_qty_revenue": _q_small_qty_revenue,
-        "agg_disjunctive_pred": _q_disjunctive_revenue,
-        "agg_shipped_last": _q_shipped_last,
-        # (c) new in r06
-        "docs_curate_full": _q_docs_curate_full,
-        "docs_dedup_lines": _q_docs_dedup_lines,
-        "docs_cross_dup": _q_docs_cross_dup,
-        "corpus_source_overlap": _q_corpus_source_overlap,
-        "docs_mixture_sample": _q_docs_mixture_sample,
-        "docs_quality_gate": _q_docs_quality_gate,
-        "embed_project": _q_embed_project,
-        "embed_kmeans": _q_embed_kmeans,
-        # (d) new in r06: decision-support joins, outlier flagging,
-        # corpus profiling, incremental cross-corpus dedup
-        "agg_shipping_priority": _q_shipping_priority,
-        "agg_order_priority": _q_order_priority,
-        "agg_filter_revenue": _q_filter_revenue,
-        "agg_returned_items": _q_returned_items,
-        "agg_promo_share": _q_promo_revenue_share,
-        "events_anomaly_zscore": _q_events_anomaly,
-        "docs_source_stats": _q_docs_source_stats,
-        "docs_incremental_dedup": _q_docs_incremental_dedup,
-        "events_user_pagerank": _q_events_pagerank,
-        "docs_unigram_logprob": _q_docs_unigram_logprob,
-        "docs_rare_tokens": _q_docs_rare_tokens,
-        "events_retention": _q_events_retention,
-        "docs_curate_incremental": _q_docs_curate_incremental,
-        "docs_dup_spans": _q_docs_dup_spans,
-        "events_rolling_3d": _q_events_rolling,
-        "docs_length_deciles": _q_docs_length_deciles,
-        # r05-verified, non-ETL
-        "events_sessionize": _q_events_sessionize,
-        "asof_join_events": _q_asof_join,
-        "range_join_events": _q_range_join,
-        "dedup_exact": _q_dedup_exact,
-        "text_stats": _q_text_stats,
-        "sim_topk": _q_sim_topk,
-        "ngram_jaccard_pairs": _q_jaccard_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_near_clusters": _q_dedup_near_clusters,
-        "docs_chunk": _q_docs_chunk,
-        "docs_tfidf": _q_docs_tfidf,
-        "embed_dedup_clusters": _q_embed_dedup_clusters,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "text_quality": _q_text_quality,
-        "text_pii_scrub": _q_pii_scrub,
         "text_langid": _q_text_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_simhash": _q_dedup_simhash,
@@ -6162,7 +6167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": _q_events_resample,
         "scd2_user_state": _q_scd2_user_state,
         "events_json_agg": _q_events_json,
-        # longest-green (driver-verified r01-r05; local check covers them)
         "etl_copy": lambda s, d: _run_etl(s, d, [ETL_COPY], "person_copy"),
         "etl_merge_entities": lambda s, d: _run_etl(s, d, [ETL_MERGE], "entity_dim"),
         "etl_fk_remap": lambda s, d: _run_etl(
@@ -6188,6 +6192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": _q_agg_percentiles,
         "agg_multi_distinct": _q_agg_multi_distinct,
         "events_hourly": _q_events_hourly,
+    
     }
 
 

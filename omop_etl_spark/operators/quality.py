@@ -2,7 +2,8 @@
 
 The reference ships table-level validation rules (not-null,
 referential, domain checks) that it compiles to SQL and runs against
-Postgres after each ETL step (/root/reference/omop_etl/etl.py and the
+Postgres after each ETL step (/root/reference/omop_etl/__main__.py:34-92
+compiling the shipped validation/*.yaml rules, and the
 realistic_rules fixtures replayed in tests/test_golden_workbook.py).
 This module is the Spark-native generalization: a rule list compiles
 to ONE conditional-aggregate pass per table plus one anti-join per
@@ -45,6 +46,17 @@ class DQRule:
     * ``unique``    — ``col`` must have no duplicate values
     * ``fk``        — every non-null ``col`` must exist in
       ``ref_table.ref_col``
+
+    NULL semantics (deliberate, and different from SQL ``CHECK``): for
+    ``in_set`` and ``range``, a NULL value counts as a VIOLATION — in
+    a data-quality profile, "we don't know the value" is a finding,
+    not a pass.  Consequently a NULL in a column carrying both a
+    ``not_null`` rule and a domain/range rule is counted by each rule
+    independently (one violation per rule).  Only ``fk`` follows the
+    SQL convention of skipping NULL keys (a nullable FK is a modeling
+    choice; pair it with ``not_null`` to forbid it).  Rule authors who
+    want SQL ``CHECK`` semantics should pre-filter NULLs or rely on
+    ``not_null`` alone.
     """
 
     name: str

@@ -1,7 +1,8 @@
 """Table reconciliation: snapshot diffs and order-insensitive checksums.
 
 The reference validates ETL output with per-table SQL checks run inside
-Postgres (/root/reference/omop_etl/etl.py); at 100 TB the analogous
+Postgres (the compiled script from /root/reference/omop_etl/__main__.py:34-92
+over the shipped validation/*.yaml rules); at 100 TB the analogous
 questions are "did this rerun produce the same table?" and "what
 exactly changed between snapshot N and N+1?" — answered without ever
 sorting or collecting a table:
@@ -35,16 +36,22 @@ __all__ = [
 def row_signature(cols: Sequence[str], salt: str = "rowsig") -> Column:
     """Deterministic 60-bit integer signature of the named columns.
 
-    ``md5(salt|c1|c2|...)`` first 15 hex chars as a BIGINT — exact in
-    int64, replayable in any engine with ``md5``.  NULLs are encoded as
-    a sentinel distinct from the empty string so ``(NULL)`` and
-    ``('')`` rows differ.  Column order is the caller's contract: pass
-    a sorted list when comparing across engines.
+    Each column is first reduced to a fixed-width digest —
+    ``md5(cast(col as string))`` (32 hex chars) or 32 ``'n'`` chars for
+    NULL (``'n'`` is not a hex digit, so the NULL token cannot collide
+    with any real digest) — then the digests are concatenated and
+    hashed again: ``md5(salt|d1|d2|...)`` first 15 hex chars as a
+    BIGINT.  Because every slot is exactly 32 chars, the encoding is
+    injective over the column tuple: values containing the separator
+    or a literal NULL-sentinel string cannot produce another row's
+    signature (beyond md5-collision odds).  Exact in int64, replayable
+    in any engine with ``md5``.  Column order is the caller's
+    contract: pass a sorted list when comparing across engines.
     """
     parts = [F.lit(salt)]
     for c in cols:
         parts.append(
-            F.coalesce(F.col(c).cast("string"), F.lit(" null"))
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("n" * 32))
         )
     joined = F.concat_ws("|", *parts)
     return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")

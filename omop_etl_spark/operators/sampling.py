@@ -377,30 +377,35 @@ def weighted_sample(
     id_col: str = "doc_id",
     salt: str = "wsample",
 ) -> DataFrame:
-    """Deterministic weighted sampling without replacement
-    (Efraimidis–Spirakis A-Res).
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield–Lund–Thorup).
 
-    Each row gets priority ``u ** (1/w)`` with ``u = unit_hash(id)``
+    Each row gets priority ``w / u`` with ``u = unit_hash(id)`` (a
+    32-bit integer over 2^32; the p ~= 2^-32 ``u = 0`` case yields
+    ``+inf`` — "always sampled" — identically in every IEEE engine)
     and ``w = weight_col``; the global top-``n`` priorities are the
-    sample.  P(row in sample) is (to first order) proportional to its
-    weight, membership is a pure function of ``(salt, id, w)`` — rerun-
-    and engine-stable — and the plan is a single
-    ``TakeOrderedAndProject``: every map task keeps its local top-n, the
-    driver merges ``tasks * n`` rows, no global sort, no full shuffle.
+    sample.  P(row in sample)
+    is ``min(1, w/tau)`` for the rank-(n+1) threshold ``tau`` —
+    proportional to the weight below the cap, the classic priority-
+    sampling scheme.  Membership is a pure function of
+    ``(salt, id, w)`` — rerun-stable — and the plan is a single
+    ``TakeOrderedAndProject``: every map task keeps its local top-n,
+    the driver merges ``tasks * n`` rows, no global sort, no full
+    shuffle.
 
-    Rows with non-positive weight are excluded (their priority would be
-    ill-defined).  Tiebreak is (priority DESC, id ASC); ``u`` is never
-    exactly 0 for md5 outputs observed here, and priorities are distinct
-    with probability ~1, so the cut at rank ``n`` is stable.  The
-    priority itself is ``pow``-computed binary64 — it is excluded from
-    the output so a last-ulp libm difference cannot leak into a value
-    hash (it could, in principle, flip the boundary row; callers needing
-    hard cross-engine determinism at the boundary should use
-    :func:`rank_filter` on an integral key instead).
+    Unlike the ``u ** (1/w)`` key of Efraimidis–Spirakis A-Res, the
+    ``w / u`` priority needs no ``pow``/``log``: both operands are
+    binary64-exact and IEEE-754 division is exactly rounded, so the
+    priority — and therefore the rank-``n`` cut — is bit-identical in
+    every IEEE engine (the A-Res key goes through libm ``pow``, whose
+    last-ulp behavior is platform-dependent and can flip the boundary
+    row; ADVICE r6).  Rows with non-positive weight are excluded
+    (their priority would be ill-defined).  Tiebreak is
+    (priority DESC, id ASC).
     """
     w = F.col(weight_col).cast("double")
     u = unit_hash(id_col, salt)
-    pri = F.pow(u, F.lit(1.0) / w)
+    pri = w / u
     return (
         df.filter(w > 0)
         .withColumn("__pri", pri)

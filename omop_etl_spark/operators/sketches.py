@@ -2,7 +2,8 @@
 
 The reference pipeline profiles source tables before mapping them
 (row counts, distinct counts per key column — see
-/root/reference/omop_etl/etl.py validation queries); at 100 TB an
+the compiled validation/*.yaml rules,
+/root/reference/omop_etl/__main__.py:34-92); at 100 TB an
 exact ``COUNT(DISTINCT x)`` per group is a full shuffle of every
 distinct value.  The KMV (k-minimum-values) sketch bounds that state
 to ``k`` hashes per group while keeping a provable relative error of
@@ -26,7 +27,10 @@ Scale notes
 * The estimate ``(k-1)/h_k`` divides two binary64-exact values
   (``h`` is a 32-bit integer over 2^32), and IEEE-754 division is
   exactly rounded — so ``floor()`` of it matches bit-for-bit across
-  engines.
+  engines.  ``h_k`` is clamped to ``>= 2^-32`` (an all-zero md5
+  prefix occurs with p ~= 2^-32 per distinct value) so the estimator
+  is finite and identical in every engine even then; the oracle SQL
+  applies the same ``greatest(h, 2^-32)``.
 """
 
 from __future__ import annotations
@@ -77,9 +81,13 @@ def kmv_distinct(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("h").alias("h_k"),
     )
+    # h_k == 0 is possible (md5 prefix '00000000', p ~= 2^-32 per
+    # distinct value); clamping to 2^-32 keeps the estimator finite and
+    # engine-agreed instead of floor(inf) -> engine-dependent garbage.
+    h_k_safe = F.greatest(F.col("h_k"), F.lit(1.0 / float(1 << 32)))
     est: Column = (
         F.when(F.col("n_kept") < k, F.col("n_kept"))
-        .otherwise(F.floor(F.lit(float(k - 1)) / F.col("h_k")))
+        .otherwise(F.floor(F.lit(float(k - 1)) / h_k_safe))
         .cast("bigint")
     )
     return agg.select(

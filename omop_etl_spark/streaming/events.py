@@ -393,10 +393,15 @@ def stream_latest_state(
 
     Arrival order is NOT trusted — late or out-of-order rows never
     regress the state (the batch engine's LWW column-rule semantics,
-    SURVEY §2.1 #8, continuously maintained).  State per key is one
-    (ord, value) pair, so memory is bounded by the live-key set;
-    ``applyInPandasWithState`` because built-in streaming aggregates
-    cannot express argmax-by-ordering with bounded custom state.
+    SURVEY §2.1 #8, continuously maintained).  Ties on ``ord_col`` are
+    broken deterministically by the greater value string (NULL loses
+    to any value), applied identically within a micro-batch and across
+    batches — so the surviving value for duplicate ord keys is a pure
+    function of the data, independent of how rows were batched.  State
+    per key is one (ord, value) pair, so memory is bounded by the
+    live-key set; ``applyInPandasWithState`` because built-in
+    streaming aggregates cannot express argmax-by-ordering with
+    bounded custom state.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -408,14 +413,28 @@ def stream_latest_state(
         if state.hasTimedOut:  # pragma: no cover - no timeout configured
             state.remove()
             return
+        def wins(o, v, bo, bv):
+            # deterministic total order on (ord, value): higher ord
+            # wins; on an ord tie the greater value string wins and
+            # NULL loses to any value — the same rule within a batch
+            # and across batches, so batching cannot change the result
+            if bo is None or o > bo:
+                return True
+            if o < bo:
+                return False
+            return v is not None and (bv is None or v > bv)
+
         best_ord, best_val = state.get if state.exists else (None, None)
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            idx = pdf[ord_col].idxmax()
-            o, v = int(pdf[ord_col][idx]), pdf[value_col][idx]
-            if best_ord is None or o > best_ord:
-                best_ord, best_val = o, (None if v is None else str(v))
+            mo = pdf[ord_col].max()
+            sub = pdf.loc[pdf[ord_col] == mo, value_col]
+            vals = [None if pd.isna(x) else str(x) for x in sub]
+            nonnull = [x for x in vals if x is not None]
+            o, v = int(mo), (max(nonnull) if nonnull else None)
+            if wins(o, v, best_ord, best_val):
+                best_ord, best_val = o, v
         state.update((best_ord, best_val))
         yield pd.DataFrame(
             {key_col: [key[0]], ord_col: [best_ord], value_col: [best_val]}

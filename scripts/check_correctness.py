@@ -2,9 +2,10 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB at the given scale factor, then
-compares row count, column-name set, and order-insensitive values
-(columns sorted by name, rows sorted, floats repr'd). Exit 0 iff all
-match.
+compares row count, column-name set, column dtypes (canonicalized to
+engine-neutral families, mirroring the driver's schema_match), and
+order-insensitive values (columns sorted by name, rows sorted, floats
+repr'd). Exit 0 iff all match.
 
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 """
@@ -33,6 +34,34 @@ def norm_value(v):
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
+
+
+def norm_dtype(t: str) -> str:
+    """Map a Spark dtype string or a DuckDB type string to an
+    engine-neutral family so `schema_match` covers types, not just
+    names (VERDICT r6 #3)."""
+    s = str(t).strip().lower()
+    if s.endswith("[]") or s.startswith("array"):
+        return "list"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+             "long", "short", "byte", "ubigint", "uinteger", "usmallint",
+             "utinyint"):
+        return "int"
+    if s in ("double", "float", "real"):
+        return "float"
+    if s in ("string", "varchar", "text", "char"):
+        return "str"
+    if s in ("boolean", "bool"):
+        return "bool"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s in ("binary", "blob"):
+        return "binary"
+    return s
 
 
 def norm_rows(cols, rows):
@@ -71,6 +100,9 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = dict(
+                (c.lower(), norm_dtype(t)) for c, t in sdf.dtypes
+            )
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
@@ -82,6 +114,10 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = [c.lower() for c in rel.columns]
+            d_types = dict(
+                (c.lower(), norm_dtype(t))
+                for c, t in zip(rel.columns, rel.types)
+            )
             d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
@@ -90,9 +126,17 @@ def main() -> int:
 
         sc, sr = norm_rows([c.lower() for c in s_cols], s_rows)
         dc, dr = norm_rows(d_cols, d_rows)
+        type_diffs = {
+            c: (s_types.get(c), d_types.get(c))
+            for c in set(s_types) | set(d_types)
+            if s_types.get(c) != d_types.get(c)
+        }
         if sc != dc:
             failures.append((name, f"columns differ: {sc} vs {dc}"))
             print(f"FAIL {name}: columns {sc} vs {dc}")
+        elif type_diffs:
+            failures.append((name, f"dtypes differ: {type_diffs}"))
+            print(f"FAIL {name}: dtypes (spark, duckdb) {type_diffs}")
         elif len(sr) != len(dr):
             failures.append((name, f"rowcount {len(sr)} vs {len(dr)}"))
             print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")

@@ -71,3 +71,25 @@ def test_partition_checksums_localize_changes(spark):
     cn = {r["p"]: r["checksum"] for r in partition_checksums(new, ["p"]).collect()}
     changed = [p for p in co if co[p] != cn[p]]
     assert changed == [2]
+
+
+def test_signature_injective_over_delimiter_and_sentinel(spark):
+    """ADVICE r6: values containing the '|' delimiter or a literal
+    NULL-sentinel string must not alias another row's signature —
+    per-column digests are fixed-width, so the tuple encoding is
+    injective."""
+    from omop_etl_spark.operators.reconcile import table_checksum
+
+    def cksum(rows):
+        df = spark.createDataFrame(rows, schema="a string, b string")
+        return table_checksum(df, cols=["a", "b"]).collect()[0]["checksum"]
+
+    # delimiter smuggling: ('a|b','c') vs ('a','b|c')
+    assert cksum([Row(a="a|b", b="c")]) != cksum([Row(a="a", b="b|c")])
+    # literal sentinel string vs real NULL
+    assert cksum([Row(a=" null", b="x")]) != cksum([Row(a=None, b="x")])
+    # md5-looking value vs the value whose digest it equals
+    import hashlib
+
+    d = hashlib.md5(b"hello").hexdigest()
+    assert cksum([Row(a=d, b="x")]) != cksum([Row(a="hello", b="x")])

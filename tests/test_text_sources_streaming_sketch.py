@@ -256,3 +256,47 @@ rules:
         load_dq_rules("rules:\n  - {name: a, table: t, kind: not_null, column: c, typo: 1}")
     with _pytest.raises(ValueError, match="missing required"):
         load_dq_rules("rules:\n  - {name: a, table: t, kind: not_null}")
+
+
+def test_stream_latest_state_tie_resolution_batching_independent(spark, tmp_path):
+    """ADVICE r6: duplicate ord keys must resolve to the same survivor
+    whether they arrive in one micro-batch or split across two — the
+    (ord, value) lexicographic tiebreak, NULL lowest."""
+    import pandas as pd
+
+    from omop_etl_spark.streaming import stream_latest_state
+
+    def run(qname, frames):
+        d = tmp_path / qname
+        d.mkdir()
+        for i, f in enumerate(frames):
+            pd.DataFrame(f).to_parquet(d / f"f{i}.parquet")
+        stream = (
+            spark.readStream.schema("k string, o long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            stream_latest_state(stream, "k", "o", "v")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        final = {}
+        for r in spark.table(qname).collect():
+            final[r["k"]] = (r["o"], r["v"])
+        return final
+
+    rows = {"k": ["a", "a", "a"], "o": [7, 7, 7], "v": ["zebra", None, "apple"]}
+    one_batch = run("lww_tie_one", [rows])
+    split = run(
+        "lww_tie_split",
+        [
+            {"k": ["a"], "o": [7], "v": ["apple"]},
+            {"k": ["a", "a"], "o": [7, 7], "v": [None, "zebra"]},
+        ],
+    )
+    assert one_batch == split == {"a": (7, "zebra")}
