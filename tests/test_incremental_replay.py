@@ -1,0 +1,167 @@
+"""Multi-batch incremental-equals-batch replay (VERDICT r6 #6).
+
+Two surfaces:
+
+* ``streaming.docs.flag_stream_neardups`` fed 3 real parquet
+  micro-batches (maxFilesPerTrigger=1): after every batch N, the
+  cumulative stream emissions must equal the batch-mode
+  ``minhash_lsh_join(base_hash='md5')`` rerun over the union of files
+  <= N — the stream-static join is stateless, so each prefix replays
+  exactly.
+* ``pipelines.curate_batch_incremental`` applied batch-at-a-time with
+  the accepted output folded into the corpus: accepted docs join the
+  dedup frontier (later near-dups of them are dropped), rejected docs
+  do not; and when no dup pairs straddle batches, batch-at-a-time
+  equals the one-shot run on the concatenation.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_stream_neardups_three_microbatch_prefixes_replay_in_batch(
+    spark, tmp_path
+):
+    from omop_etl_spark.operators.dedup import minhash_lsh_join
+    from omop_etl_spark.streaming.docs import flag_stream_neardups
+
+    batch_docs = spark.read.parquet(DOCS)
+    corpus = batch_docs.filter(F.col("doc_id") % 7 != 0).persist()
+    incoming = batch_docs.filter(F.col("doc_id") % 7 == 0)
+
+    # three micro-batch files, thirds by doc_id, mtime-ordered so the
+    # file source processes them in a known order
+    d = tmp_path / "in"
+    d.mkdir()
+    splits = [
+        incoming.filter((F.col("doc_id") % 21) == 0),
+        incoming.filter((F.col("doc_id") % 21) == 7),
+        incoming.filter((F.col("doc_id") % 21) == 14),
+    ]
+    paths = []
+    for i, part in enumerate(splits):
+        p = d / f"b{i}.parquet"
+        part.toPandas().to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        paths.append(p)
+
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    emitted = []  # (batch_id, doc_id, ex_id, jaccard)
+
+    def capture(bdf, bid):
+        for r in bdf.collect():
+            emitted.append((bid, r["doc_id"], r["ex_id"], r["jaccard"]))
+
+    q = (
+        flag_stream_neardups(stream, corpus, threshold=0.8)
+        .writeStream.foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    batch_ids = sorted({bid for bid, *_ in emitted})
+    assert len({bid for bid, *_ in emitted}) >= 1
+    n_batches = max(batch_ids) + 1
+    assert n_batches == 3, f"expected 3 micro-batches, saw {n_batches}"
+
+    for upto in range(3):
+        prefix = spark.read.parquet(*[str(p) for p in paths[: upto + 1]])
+        want = {
+            (r.in_id, r.ex_id): r.jaccard
+            for r in minhash_lsh_join(
+                prefix, corpus, threshold=0.8, base_hash="md5"
+            ).collect()
+        }
+        got = {
+            (doc, ex): j for bid, doc, ex, j in emitted if bid <= upto
+        }
+        assert got == want, f"prefix {upto}: stream != batch replay"
+    assert len(emitted) > 0
+    corpus.unpersist()
+
+
+def _cbi(spark, batch_rows, corpus_df):
+    from omop_etl_spark.pipelines import curate_batch_incremental
+
+    batch = spark.createDataFrame(batch_rows, "doc_id int, text string")
+    return curate_batch_incremental(
+        batch, corpus_df, min_tokens=5, near_dedup_threshold=0.7
+    )
+
+
+def test_curate_batch_incremental_three_batch_frontier(spark):
+    """Accepted docs from batch N join the dedup frontier for batch
+    N+1; rejected docs never do."""
+    corpus0 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id int, text string",
+    )
+    b1 = [
+        (10, "completely fresh content nine ten eleven twelve thirteen"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup c1
+        (12, "one two three four five six seven NINE"),  # near-dup c2 -> reject
+    ]
+    b2 = [
+        (20, "completely fresh content nine ten eleven twelve NINE"),  # near-dup of ACCEPTED 10
+        (21, "unrelated words red green blue yellow purple orange"),
+    ]
+    b3 = [
+        # near-dup of REJECTED 12 but also of corpus 2 via the same
+        # overlap? no: build it from 12's unique tail so it only
+        # resembles 12 — must be ACCEPTED (rejected docs leave no state)
+        (30, "NINE seven six five four OTHER WORDS HERE NOW"),
+        (31, "unrelated words red green blue yellow purple TEAL"),  # near-dup of accepted 21
+    ]
+    state = corpus0
+    outs = []
+    for rows in (b1, b2, b3):
+        out = _cbi(spark, rows, state)
+        outs.append({r.doc_id for r in out.collect()})
+        state = state.select("doc_id", "text").unionByName(
+            out.select("doc_id", "text")
+        )
+    assert outs[0] == {10}
+    assert outs[1] == {21}  # 20 dropped against accepted 10
+    assert outs[2] == {30}  # 31 dropped against accepted 21; 30 kept
+
+
+def test_curate_batch_incremental_prefix_equals_one_shot(spark):
+    """With no dup pairs straddling batches, batch-at-a-time equals the
+    one-shot run on the concatenation (the documented precondition:
+    minhash_lsh_join pairs batch-vs-corpus only)."""
+    corpus0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    b1 = [
+        (10, "first topic words apple banana cherry date elderberry"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),  # dup corpus
+    ]
+    b2 = [(20, "second topic words red green blue yellow purple")]
+    b3 = [(30, "third topic words violin cello flute oboe trumpet")]
+
+    state = corpus0
+    incr = set()
+    for rows in (b1, b2, b3):
+        out = _cbi(spark, rows, state)
+        ids = {r.doc_id for r in out.collect()}
+        incr |= ids
+        state = state.select("doc_id", "text").unionByName(
+            out.select("doc_id", "text")
+        )
+    one_shot = {
+        r.doc_id for r in _cbi(spark, b1 + b2 + b3, corpus0).collect()
+    }
+    assert incr == one_shot == {10, 20, 30}
