@@ -6035,6 +6035,402 @@ def entry(spark: SparkSession) -> DataFrame:
     return _run_etl(spark, "/root/testdata/sf0.001", [ETL_COPY], "person_copy")
 
 
+
+# ---------------------------------------------------------------------------
+# remaining classic decision-support shapes (TPC-H Q2/Q11/Q15/Q18/Q20/Q22,
+# adapted to the available columns: no partsupp table, so supply-cost /
+# stock facts derive from lineitem)
+
+
+def _q_part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated per-part MIN decorrelated to a window
+    rank. For every 'bolt' part, the EUROPE supplier with the lowest
+    average sale price (from lineitem, integer cents; avg compared as
+    floor(sum/cnt) — exact int division semantics in both engines).
+    The rank-1 cut is a row_number window partitioned by p_partkey —
+    per-part, so parallelism scales with |part|, no low-cardinality
+    window trap. Ties break on s_suppkey. Supplier/nation filters are
+    semi-reductions before the aggregate; nation/region are bounded
+    dims (broadcast-safe by construction, left to AQE anyway)."""
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+                F.col("r_name") == "EUROPE"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "__sum_c"
+            ),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .withColumn(
+            "avg_price_cents",
+            F.floor(F.col("__sum_c") / F.col("__cnt")).cast("bigint"),
+        )
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%bolt%")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("avg_price_cents").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        offers.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return best.select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        "p_name",
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        "n_name",
+        "avg_price_cents",
+    )
+
+
+ORACLE_PART_MIN_COST_SUPPLIER = """
+WITH sup AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    / COUNT(*)) AS BIGINT) AS avg_price_cents
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.n_name,
+         o.avg_price_cents,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY o.avg_price_cents, o.l_suppkey) AS rn
+  FROM offers o
+  JOIN sup s ON o.l_suppkey = s.s_suppkey
+  JOIN part p ON o.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%bolt%'
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+       avg_price_cents
+FROM ranked WHERE rn = 1
+"""
+
+
+def _q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a SCALAR
+    threshold derived from the global total (HAVING sum > f * total).
+    Value facts come from lineitem restricted to NATION_1 suppliers.
+    The global total is a 1-row frame — the one broadcast that stays
+    correct at any SF. The threshold compare is integer arithmetic
+    (value * 1000 > total): no division, bit-identical everywhere."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+                F.col("n_name") == "NATION_1"
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    base = li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum(cents).cast("bigint").alias("value_cents")
+    )
+    total = base.agg(F.sum(cents).cast("bigint").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("__total"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            "value_cents",
+        )
+        .orderBy(F.col("value_cents").desc(), F.col("p_partkey"))
+    )
+
+
+ORACLE_PART_VALUE_CONCENTRATION = """
+WITH base AS (
+  SELECT l_partkey, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1'
+  )
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM base
+GROUP BY l_partkey
+HAVING SUM(cents) * 1000 > (SELECT SUM(cents) FROM base)
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
+def _q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view joined to its own MAX — the
+    argmax-by-aggregate pattern. Per-supplier revenue over 1996Q1; the
+    supplier(s) achieving the maximum. The max is a 1-row frame
+    (broadcast-safe at any SF); the revenue agg shuffles once on
+    l_suppkey and is consumed by both the max and the equality join
+    without a second scan of lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("bigint").alias("total_cents")
+    )
+    mx = per_supp.agg(F.max("total_cents").alias("__mx"))
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("__mx"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "total_cents",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER_QUARTER = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_cents
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_cents = (SELECT MAX(total_cents) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
+def _q_orders_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate, joined BACK to
+    the dimension chain. Orders whose total line quantity exceeds 300
+    units, with their customer. The per-order aggregate shrinks
+    lineitem to |orders| rows BEFORE any join (quantities are integral
+    doubles, so the sum is exact); the join-back is agg-to-orders on
+    the same key the aggregate shuffled on."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+ORACLE_ORDERS_LARGE_VOLUME = """
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
+def _q_supplier_dominant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain with a correlated
+    per-part threshold. A supplier 'dominates' a part when it shipped
+    more than 30% of that part's total 1996 quantity; count dominated
+    parts per EUROPE supplier. The per-(part,supp) and per-part
+    aggregates share one shuffle ancestry (partial agg on the finer
+    key, re-agg to the coarser), the threshold join is per-part
+    agg-to-agg with integer arithmetic (qty*10 > total*3 — no
+    division), and only suppliers surviving the count filter join the
+    dimension chain."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("supp_qty")
+    )
+    pt = sp.groupBy("l_partkey").agg(
+        F.sum("supp_qty").cast("bigint").alias("part_qty")
+    )
+    dom = sp.join(pt, "l_partkey").filter(
+        F.col("supp_qty") * 10 > F.col("part_qty") * 3
+    )
+    per_supp = dom.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_dominated")
+    )
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+                F.col("r_name") == "EUROPE"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        per_supp.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.col("n_dominated").cast("bigint").alias("n_dominated"),
+        )
+        .orderBy(F.col("n_dominated").desc(), F.col("s_suppkey"))
+    )
+
+
+ORACLE_SUPPLIER_DOMINANT_PARTS = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+),
+sp AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS supp_qty
+  FROM li GROUP BY 1, 2
+),
+pt AS (
+  SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS part_qty
+  FROM sp GROUP BY 1
+),
+dom AS (
+  SELECT sp.l_suppkey, COUNT(*) AS n_dominated
+  FROM sp JOIN pt USING (l_partkey)
+  WHERE sp.supp_qty * 10 > pt.part_qty * 3
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+       CAST(n_dominated AS BIGINT) AS n_dominated
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+ORDER BY n_dominated DESC, s_suppkey
+"""
+
+
+def _q_cust_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-scalar threshold (average positive
+    account balance) + anti-join against the fact table, grouped by
+    nation (the phone-country-code stand-in). 'Dormant' = no order
+    since 1999-01-01 (in this testdata every customer has SOME order,
+    so the classic no-orders-ever anti-join would be vacuous).
+    Balances sum as exact integer cents; the threshold compare
+    'cents * cnt > sum' is pure integer arithmetic — no division,
+    bit-identical in every engine. The anti-join probes the
+    date-filtered orders on o_custkey (filter pushed to the scan);
+    the threshold frame is one row."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    pos = c.filter(F.col("c_acctbal") > 0)
+    thr = pos.agg(
+        F.sum(cents).cast("bigint").alias("__sum"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        pos.crossJoin(F.broadcast(thr))
+        .filter(cents * F.col("__cnt") > F.col("__sum"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(cents).cast("bigint").alias("bal_cents"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "n_custs",
+            "bal_cents",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_CUST_DORMANT_RICH = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 0
+),
+thr AS (SELECT SUM(cents) AS s, COUNT(*) AS n FROM pos)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       COUNT(*) AS n_custs,
+       CAST(SUM(cents) AS BIGINT) AS bal_cents
+FROM pos, thr
+WHERE pos.cents * thr.n > thr.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = pos.c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification need (VERDICT r5 #2): the driver's
     # CORRECTNESS gate covers the FIRST 50 entries, so the queries it
@@ -6085,25 +6481,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_spans": _q_docs_dup_spans,
         "events_rolling_3d": _q_events_rolling,
         "docs_length_deciles": _q_docs_length_deciles,
-        # -- (b) rotating re-verifications (17) --
+        # -- (a2) new in r07, also never driver-verified (6) --
+        "part_min_cost_supplier": _q_part_min_cost_supplier,
+        "part_value_concentration": _q_part_value_concentration,
+        "top_supplier_quarter": _q_top_supplier_quarter,
+        "orders_large_volume": _q_orders_large_volume,
+        "supplier_dominant_parts": _q_supplier_dominant_parts,
+        "cust_dormant_rich": _q_cust_dormant_rich,
+        # -- (b) rotating re-verifications (11) --
+        "sim_topk": _q_sim_topk,
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "sim_topk_ivf": _q_sim_topk_ivf,
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
-        "sim_topk": _q_sim_topk,
-        "sim_topk_lsh": _q_sim_topk_lsh,
-        "sim_topk_ivf": _q_sim_topk_ivf,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_near_clusters": _q_dedup_near_clusters,
+        # -- (c) driver-green as of r06 --
         "docs_chunk": _q_docs_chunk,
         "docs_tfidf": _q_docs_tfidf,
         "embed_dedup_clusters": _q_embed_dedup_clusters,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "text_quality": _q_text_quality,
         "text_pii_scrub": _q_pii_scrub,
-        # -- (c) driver-green as of r06 --
         "fuzzy_part_match": _q_fuzzy_parts,
         "events_funnel": _q_events_funnel,
         "agg_cube": _q_agg_cube,
@@ -6306,6 +6709,12 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": ORACLE_EVENTS_TRANSITIONS,
         "docs_novelty": ORACLE_DOCS_NOVELTY,
         "supplier_pareto": ORACLE_SUPPLIER_PARETO,
+        "part_min_cost_supplier": ORACLE_PART_MIN_COST_SUPPLIER,
+        "part_value_concentration": ORACLE_PART_VALUE_CONCENTRATION,
+        "top_supplier_quarter": ORACLE_TOP_SUPPLIER_QUARTER,
+        "orders_large_volume": ORACLE_ORDERS_LARGE_VOLUME,
+        "supplier_dominant_parts": ORACLE_SUPPLIER_DOMINANT_PARTS,
+        "cust_dormant_rich": ORACLE_CUST_DORMANT_RICH,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
         "docs_char_classes": ORACLE_DOCS_CHAR_CLASSES,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,
