@@ -6431,6 +6431,155 @@ ORDER BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# r07 corpus additions: asymmetric containment dedup, OOV-rate profiling,
+# per-source quality calibration
+
+
+def _q_docs_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (operators/dedup.
+    containment_pairs): |A∩B|/|A| >= 0.8 — catches a short document
+    quoted inside a long one, which Jaccard misses (the union is
+    dominated by the long side). Candidates are prefix-filtered on the
+    contained side only (recall exactly 1), verified on exact string
+    shingle sets; the oracle replays the brute-force definition."""
+    from omop_etl_spark.operators.dedup import containment_pairs
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return containment_pairs(docs, n=3, threshold=0.8).select(
+        F.col("contained_id").cast("bigint").alias("contained_id"),
+        F.col("container_id").cast("bigint").alias("container_id"),
+        "containment",
+    )
+
+
+ORACLE_DOCS_CONTAINMENT_DUP = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS s FROM tok)
+SELECT CAST(a.doc_id AS BIGINT) AS contained_id,
+       CAST(b.doc_id AS BIGINT) AS container_id,
+       round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8
+"""
+
+
+def _q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-500
+    vocabulary — the 'will my tokenizer cover this source' profile.
+    Vocabulary rank is (count DESC, term ASC) — a total order, so the
+    top-500 cut is engine-stable; the OOV rate is integer ppm. The
+    vocab frame is 500 rows by construction (broadcast-safe at any
+    SF); token counts aggregate map-side before either join."""
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__tf"))
+    # top-500 via TakeOrderedAndProject (distributed per-task top-k +
+    # driver merge), NOT a global row_number window (which would be a
+    # single-task sort over the whole vocabulary at scale)
+    vocab = (
+        tf.orderBy(F.col("__tf").desc(), F.col("term").asc())
+        .limit(500)
+        .select("term")
+    )
+    per_src = (
+        toks.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_src.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.floor(F.col("n_oov") * 1000000 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("oov_ppm"),
+    ).orderBy("source")
+
+
+ORACLE_DOCS_OOV_RATE = """
+WITH toks AS (
+  SELECT source, t AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tf
+  ) WHERE rk <= 500
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab)) AS BIGINT) AS n_oov,
+       CAST(floor(COUNT(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab)) * 1000000.0
+            / COUNT(*)) AS BIGINT) AS oov_ppm
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+def _q_docs_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score calibration of document length — cross-source
+    outlier scoring where each source supplies its own scale (a 2000-
+    char doc is normal for 'web', an outlier for 'chat'). The z-score
+    is computed engine-exactly: with integer x, n, sum, sumsq the
+    numerator (x*n - sum)*1000 is exact, the variance term
+    n*sumsq - sum^2 is exact, and sqrt + one division are both
+    IEEE-exactly-rounded — floor() of the result is bit-identical in
+    every engine, no libm dependence. The per-source moment frame is
+    |sources| rows (bounded); docs join it broadcast."""
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    x = F.col("n_chars").cast("bigint")
+    mom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__ss"),
+    )
+    j = docs.join(F.broadcast(mom), "source")
+    num = (x * F.col("__n") - F.col("__s")) * 1000
+    var_term = F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
+    z_milli = F.when(var_term > 0, F.floor(num / F.sqrt(var_term))).otherwise(
+        F.lit(0)
+    )
+    return j.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        x.alias("n_chars"),
+        z_milli.cast("bigint").alias("z_milli"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOCS_QUALITY_CALIBRATED = """
+WITH mom AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CAST(n_chars AS BIGINT)) AS s,
+         SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS ss
+  FROM documents GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN m.n * m.ss - m.s * m.s > 0
+                 THEN floor((CAST(d.n_chars AS BIGINT) * m.n - m.s) * 1000
+                            / sqrt(m.n * m.ss - m.s * m.s))
+                 ELSE 0 END AS BIGINT) AS z_milli
+FROM documents d JOIN mom m ON d.source = m.source
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification need (VERDICT r5 #2): the driver's
     # CORRECTNESS gate covers the FIRST 50 entries, so the queries it
@@ -6488,7 +6637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_large_volume": _q_orders_large_volume,
         "supplier_dominant_parts": _q_supplier_dominant_parts,
         "cust_dormant_rich": _q_cust_dormant_rich,
-        # -- (b) rotating re-verifications (11) --
+        "docs_containment_dup": _q_docs_containment_dup,
+        "docs_oov_rate": _q_docs_oov_rate,
+        "docs_quality_calibrated": _q_docs_quality_calibrated,
+        # -- (b) rotating re-verifications (8) --
         "sim_topk": _q_sim_topk,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
@@ -6497,10 +6649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _q_range_join,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
+        # -- (c) driver-green as of r06 --
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_near_clusters": _q_dedup_near_clusters,
-        # -- (c) driver-green as of r06 --
         "docs_chunk": _q_docs_chunk,
         "docs_tfidf": _q_docs_tfidf,
         "embed_dedup_clusters": _q_embed_dedup_clusters,
@@ -6715,6 +6867,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_large_volume": ORACLE_ORDERS_LARGE_VOLUME,
         "supplier_dominant_parts": ORACLE_SUPPLIER_DOMINANT_PARTS,
         "cust_dormant_rich": ORACLE_CUST_DORMANT_RICH,
+        "docs_containment_dup": ORACLE_DOCS_CONTAINMENT_DUP,
+        "docs_oov_rate": ORACLE_DOCS_OOV_RATE,
+        "docs_quality_calibrated": ORACLE_DOCS_QUALITY_CALIBRATED,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
         "docs_char_classes": ORACLE_DOCS_CHAR_CLASSES,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,

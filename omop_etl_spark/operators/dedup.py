@@ -18,6 +18,7 @@ __all__ = [
     "dedup_groups",
     "token_shingles",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
     "minhash_lsh_join",
@@ -304,6 +305,106 @@ def jaccard_pairs(
         >= threshold
     ).select("id_a", "id_b")
     return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
+
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT directional containment pairs: ``(contained_id,
+    container_id, containment)`` with ``|A ∩ B| / |A| >= threshold``
+    and ``A != B`` — the asymmetric near-dup relation Jaccard misses.
+
+    A short document quoted inside a long one has tiny Jaccard (the
+    union is dominated by the long side) but containment ~1; this is
+    the operator for quote-inclusion, page-within-crawl, and
+    excerpt-vs-source dedup decisions.
+
+    Candidate generation is prefix-filtered on the CONTAINED side only:
+    if ``|A ∩ B| >= ⌈τ·|A|⌉`` then at most ``|A| - ⌈τ·|A|⌉`` of A's
+    shingles lie outside B, so A's ``|A| - ⌈τ·|A|⌉ + 1`` corpus-rarest
+    shingles (:func:`_prefix_postings` — the same AllPairs prefix rule
+    as :func:`jaccard_pairs`) cannot all avoid B. The container side
+    must index ALL its shingles (containment puts no upper bound on
+    ``|B|``), so the only join-size prune on B is the necessary
+    ``|B| >= τ·|A|``. Recall is exactly 1.0; survivors verify on exact
+    string shingle sets, so precision is exact too.
+
+    Hot-shingle note: the container-side posting list of a boilerplate
+    shingle is NOT thinned (unlike the jaccard prefix path, which thins
+    both sides). The contained-side prefix keeps boilerplate grams out
+    of the probe side in almost every document, which bounds the
+    fan-out in practice; a corpus whose documents consist ENTIRELY of
+    boilerplate shingles degrades toward the full index join.
+
+    Exact duplicates qualify in both directions (containment 1.0 each
+    way) — callers folding this into survivor election should run
+    :func:`exact_dedup` first, as :func:`~omop_etl_spark.pipelines.
+    curate_corpus` does for jaccard.
+    """
+    from pyspark import StorageLevel
+
+    sh = spread(df).select(
+        F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
+    )
+    inv = sh.select(
+        F.col("__id"),
+        F.size("__sh").alias("__sz"),
+        F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    pref = _prefix_postings(inv, threshold)
+    cand = (
+        pref.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") != F.col("b.__id"))
+            & (F.col("b.__sz") >= F.col("a.__sz") * F.lit(float(threshold))),
+        )
+        .select(
+            F.col("a.__id").alias("contained_id"),
+            F.col("b.__id").alias("container_id"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand_ids = (
+        cand.select(F.col("contained_id").alias("__cid"))
+        .union(cand.select(F.col("container_id").alias("__cid")))
+        .distinct()
+    )
+    verify = df.join(
+        cand_ids, df[id_col] == cand_ids["__cid"], "left_semi"
+    ).select(
+        F.col(id_col).alias("__vid"), token_shingles(text_col, n).alias("__vsh")
+    )
+    out = (
+        cand.join(
+            verify.withColumnRenamed("__vid", "contained_id").withColumnRenamed(
+                "__vsh", "__sha"
+            ),
+            "contained_id",
+        )
+        .join(
+            verify.withColumnRenamed("__vid", "container_id").withColumnRenamed(
+                "__vsh", "__shb"
+            ),
+            "container_id",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__sha", "__shb")) / F.size("__sha"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select(
+        "contained_id", "container_id", F.round("containment", 6).alias("containment")
+    )
 
 
 def _md5_hash(col: Column, salt: int) -> Column:

@@ -587,3 +587,56 @@ def test_quantize_embeddings_fewer_bits_coarser(spark):
     e8 = sum(r["recon_err"] for r in quantize_embeddings(df, num_bits=8).collect())
     e4 = sum(r["recon_err"] for r in quantize_embeddings(df, num_bits=4).collect())
     assert e8 < e4
+
+
+def test_containment_pairs_asymmetric_quote_inclusion(spark):
+    from omop_etl_spark.operators.dedup import containment_pairs
+
+    long_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    quote = "gamma delta epsilon zeta eta"  # embedded in long_text
+    df = spark.createDataFrame(
+        [
+            (1, long_text),
+            (2, quote),                      # contained in 1, not vice versa
+            (3, "one two three four five"),  # unrelated
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    # 2's three 3-gram shingles all occur in 1; 1 has 8 shingles of
+    # which only 3 occur in 2 -> one direction only
+    assert set(out) == {(2, 1)}
+    assert out[(2, 1)] == 1.0
+
+
+def test_containment_matches_bruteforce_on_real_docs(spark):
+    from omop_etl_spark.operators.dedup import containment_pairs, token_shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r.contained_id, r.container_id, r.containment)
+        for r in containment_pairs(docs, threshold=0.6).collect()
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("i"), token_shingles("text", 3).alias("s")
+    )
+    brute = (
+        sh.alias("a")
+        .crossJoin(sh.alias("b"))
+        .filter(F.col("a.i") != F.col("b.i"))
+        .select(
+            F.col("a.i").alias("ca"),
+            F.col("b.i").alias("cb"),
+            (
+                F.size(F.array_intersect("a.s", "b.s")) / F.size("a.s")
+            ).alias("cont"),
+        )
+        .filter(F.col("cont") >= 0.6)
+    )
+    want = sorted(
+        (r.ca, r.cb, round(r.cont, 6)) for r in brute.collect()
+    )
+    assert got == want and len(got) > 0
