@@ -23,6 +23,13 @@ def recommended_conf(cores: int = 32) -> dict[str, str]:
     * Arrow enabled (pandas-UDF operators are Arrow-batched) with a
       bounded batch size so wide binary/multimodal rows cannot blow up
       a single batch.
+    * Runtime bloom-filter join reduction stays at Spark defaults
+      (enabled; application-side threshold 10 GiB): on a 100 TB fact
+      scan joined to a selectively-filtered dimension, Spark builds a
+      bloom filter over the dim's join keys and pushes
+      ``might_contain`` into the fact scan — rows that cannot match
+      never reach the shuffle. Inert at bench scale by design;
+      plan-asserted in ``tests/test_plan_quality.py``.
     """
     return {
         "spark.sql.adaptive.enabled": "true",

@@ -269,3 +269,38 @@ def test_hint_exemptions_do_not_grow_silently(spark, entry):
     names = set(e.queries())
     assert set(_HINT_EXEMPT) <= names
     assert len(_HINT_EXEMPT) == 4
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """At 100 TB the shuffle join fact side must be pre-filtered by a
+    bloom filter built from the selective dimension side (semi-join
+    reduction). Defaults only trigger past a 10 GiB scan, so lower the
+    thresholds here and assert Spark injects might_contain into the
+    fact side — and that the filtered plan returns identical results."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    q = lambda: (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    baseline = sorted(map(tuple, q().collect()))
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        plan = _plan(df)
+        assert "might_contain" in plan, plan
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
