@@ -4546,12 +4546,12 @@ def _q_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ORDERS_CHECKSUM = """
 WITH sig AS (
   SELECT CAST(concat('0x', substr(md5(concat_ws('|', 'rowsig',
-           coalesce(md5(CAST(o_orderkey AS VARCHAR)), repeat('n', 32)),
-           coalesce(md5(CAST(o_custkey AS VARCHAR)), repeat('n', 32)),
-           coalesce(md5(o_orderstatus), repeat('n', 32)),
-           coalesce(md5(o_orderpriority), repeat('n', 32)),
-           coalesce(md5(CAST(o_orderdate AS VARCHAR)), repeat('n', 32)),
-           coalesce(md5(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)), repeat('n', 32))
+           coalesce(concat(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR)), 'n'),
+           coalesce(concat(CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR), ':', CAST(o_custkey AS VARCHAR)), 'n'),
+           coalesce(concat(CAST(length(o_orderstatus) AS VARCHAR), ':', o_orderstatus), 'n'),
+           coalesce(concat(CAST(length(o_orderpriority) AS VARCHAR), ':', o_orderpriority), 'n'),
+           coalesce(concat(CAST(length(CAST(o_orderdate AS VARCHAR)) AS VARCHAR), ':', CAST(o_orderdate AS VARCHAR)), 'n'),
+           coalesce(concat(CAST(length(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS VARCHAR), ':', CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)), 'n')
          )), 1, 15)) AS BIGINT) AS h
   FROM orders
 )
@@ -4762,9 +4762,9 @@ WITH rows_ AS (
   SELECT event_type,
          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          CAST(concat('0x', substr(md5(concat_ws('|', 'rowsig',
-           coalesce(md5(CAST(event_id AS VARCHAR)), repeat('n', 32)),
-           coalesce(md5(CAST(user_id AS VARCHAR)), repeat('n', 32)),
-           coalesce(md5(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR)), repeat('n', 32))
+           coalesce(concat(CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR), ':', CAST(event_id AS VARCHAR)), 'n'),
+           coalesce(concat(CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR), ':', CAST(user_id AS VARCHAR)), 'n'),
+           coalesce(concat(CAST(length(CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR)) AS VARCHAR), ':', CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR)), 'n')
          )), 1, 15)) AS BIGINT) AS h
   FROM events
 )
@@ -6581,18 +6581,13 @@ ORDER BY doc_id
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered by driver-verification need (VERDICT r5 #2): the driver's
-    # CORRECTNESS gate covers the FIRST 50 entries, so the queries it
-    # has never hash-checked come first — (a) the 18 entries absent
-    # from CORRECTNESS_r05, (b) the two ANN queries whose value oracles
-    # are new this round, (c) queries added this round.  The tail holds
-    # the 18 longest-green queries (driver-verified every round since
-    # r01) — those fall back to the committed LOCALCHECK artifact.
     return {
         # Ordered by driver-verification need (VERDICT r6 #2): the
         # driver's CORRECTNESS gate reads the FIRST 50 entries, so the
         # 33 queries with no driver-green row in any round come first,
-        # then 17 rotating re-verifications — the r5-last-green set plus
+        # then the 9 queries new in r07 (never verified by anyone but
+        # the local checker), then 8 rotating re-verifications — the
+        # oldest-last-green set plus
         # the three ANN queries whose query batches changed this round
         # (vec_id < 16). The tail is driver-green r06 and covered by the
         # committed LOCALCHECK artifact each round.
