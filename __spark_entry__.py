@@ -6580,6 +6580,141 @@ ORDER BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# r07 second half: triangle counting, burst dedup, per-group weighted sample
+
+
+def _q_parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-purchase graph
+    (operators/graph.count_triangles): parts are connected when
+    co-ordered in >= 2 orders; triangles measure clustering in the
+    basket structure. The count uses degree-ordered edge orientation —
+    every out-neighborhood is O(sqrt(E)) on power-law graphs, so the
+    wedge join's fan-out stays flat where a naive enumeration would
+    square the hub degree. The oracle replays the u<v naive
+    formulation (exact, feasible at oracle scale)."""
+    from omop_etl_spark.operators.graph import count_triangles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    b = li.distinct()
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.p") < F.col("c.p")),
+        )
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return count_triangles(pairs, "u", "v")
+
+
+ORACLE_PARTS_TRIANGLE_COUNT = """
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS u, c.p AS v, COUNT(*) AS n
+  FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p
+  GROUP BY 1, 2
+),
+e AS (SELECT u, v FROM pairs WHERE n >= 2)
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT x FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e))) AS BIGINT) AS n_nodes,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(*) FROM e e1
+        JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles
+"""
+
+
+def _q_events_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry burst dedup (operators/temporal.burst_dedup): per
+    (user, event_type), an event re-firing within 10 minutes of its
+    predecessor is chain-noise; only the first event of every burst
+    survives. One lag window per key — a single hash shuffle, no join,
+    no cumsum. Reports per-type survivor counts (the raw survivor set
+    is row-heavy; counts prove the same rows survived in both
+    engines together with min/max id checksums)."""
+    from omop_etl_spark.operators.temporal import burst_dedup
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    kept = burst_dedup(
+        ev, ["user_id", "event_type"], "ts", "10 minutes", tiebreak=["event_id"]
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_BURST_DEDUP = """
+WITH lagged AS (
+  SELECT event_type, event_id,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts,
+         ts
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM lagged
+WHERE prev_ts IS NULL OR ts >= prev_ts + INTERVAL 10 MINUTE
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_docs_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample (operators/sampling.
+    weighted_sample_per_group): 8 docs per source, longer docs
+    proportionally more often — priority sampling's w/u key per group,
+    so the per-group rank cut is one exactly-rounded IEEE division
+    (engine-stable, no libm) and the plan is a WindowGroupLimit
+    partial top-k: exchange volume O(sources * 8) regardless of corpus
+    size."""
+    from omop_etl_spark.operators.sampling import weighted_sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        weighted_sample_per_group(docs, "source", 8, "n_chars")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+ORACLE_DOCS_WEIGHTED_PER_SOURCE = """
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / (CAST(concat('0x', substr(md5(concat('wgroup|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0) AS p
+  FROM documents WHERE n_chars > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS rk
+  FROM pri
+)
+WHERE rk <= 8
+ORDER BY source, doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r6 #2): the
@@ -6635,16 +6770,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment_dup": _q_docs_containment_dup,
         "docs_oov_rate": _q_docs_oov_rate,
         "docs_quality_calibrated": _q_docs_quality_calibrated,
-        # -- (b) rotating re-verifications (8) --
+        "parts_triangle_count": _q_parts_triangle_count,
+        "events_burst_dedup": _q_events_burst_dedup,
+        "docs_weighted_per_source": _q_docs_weighted_per_source,
+        # -- (b) rotating re-verifications (5) --
         "sim_topk": _q_sim_topk,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
+        # -- (c) driver-green as of r06 --
         "range_join_events": _q_range_join,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
-        # -- (c) driver-green as of r06 --
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_near_clusters": _q_dedup_near_clusters,
@@ -6865,6 +7003,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_containment_dup": ORACLE_DOCS_CONTAINMENT_DUP,
         "docs_oov_rate": ORACLE_DOCS_OOV_RATE,
         "docs_quality_calibrated": ORACLE_DOCS_QUALITY_CALIBRATED,
+        "parts_triangle_count": ORACLE_PARTS_TRIANGLE_COUNT,
+        "events_burst_dedup": ORACLE_EVENTS_BURST_DEDUP,
+        "docs_weighted_per_source": ORACLE_DOCS_WEIGHTED_PER_SOURCE,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
         "docs_char_classes": ORACLE_DOCS_CHAR_CLASSES,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,

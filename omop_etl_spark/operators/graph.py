@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["out_degrees", "pagerank"]
+__all__ = ["out_degrees", "pagerank", "count_triangles"]
 
 
 def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -107,3 +107,80 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def count_triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of an undirected simple graph, degree-
+    ordered (one-row result: ``n_nodes, n_edges, n_triangles``).
+
+    The classic O(E^{3/2}) orientation algorithm, expressed
+    relationally: orient every undirected edge from the lower to the
+    higher endpoint under the total order ``(degree, node)``, then
+    count wedges ``a→b, a→c`` (b before c in the same order) closed by
+    an oriented edge ``b→c``.  Each triangle has exactly one node with
+    out-degree 2 within it under this orientation, so every triangle
+    is counted exactly once — no post-join dedup shuffle.
+
+    Why degree-ordered instead of plain id-ordered: a hub of degree d
+    would otherwise own O(d^2) wedges; orienting away from high-degree
+    nodes bounds every out-neighborhood by O(sqrt(E)), which is what
+    keeps the wedge join's fan-out flat on power-law graphs (the
+    standard Schank/Wagner bound).  All three joins are hash
+    equi-joins on node keys; AQE handles residual skew.
+
+    Input may contain duplicate or self edges; both are removed first
+    (distinct on the normalized (lo, hi) pair, lo < hi).
+    """
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(lo.alias("u"), hi.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("ra"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("rb"),
+    )
+    e1 = oriented.select(
+        F.col("a"), F.col("b").alias("w1"), F.col("rb").alias("r1")
+    )
+    e2 = oriented.select(
+        F.col("a"), F.col("b").alias("w2"), F.col("rb").alias("r2")
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("r1") < F.col("r2"))
+        | ((F.col("r1") == F.col("r2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("a").alias("w1"), F.col("b").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"], "left_semi")
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_edges = und.agg(F.count(F.lit(1)).alias("m")).select("m")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("t")).select("t")
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            F.col("n").cast("bigint").alias("n_nodes"),
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+        )
+    )

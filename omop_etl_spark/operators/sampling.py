@@ -31,6 +31,7 @@ __all__ = [
     "shuffle_shards",
     "ntile_by",
     "weighted_sample",
+    "weighted_sample_per_group",
     "token_budget_sample",
 ]
 
@@ -488,4 +489,39 @@ def token_budget_sample(
         .withColumn("cum_tokens", F.col("__off") + F.col("__cum_local"))
         .filter(F.col("cum_tokens") <= budget)
         .drop("__u", "__bkt", "__cum_local", "__os", "__ob", "__off")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wgroup",
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows PER GROUP (priority
+    sampling, the grouped twin of :func:`weighted_sample`).
+
+    Priority is the same ``w / u`` key — one exactly-rounded IEEE
+    division over the md5 unit hash, so the per-group rank-``n`` cut
+    is bit-identical in every engine, no libm.  The per-group top-n
+    compiles to a ``WindowGroupLimit`` partial pass: every map task
+    keeps only its local top-n per group BEFORE the shuffle, so
+    exchange volume is ``O(groups * n)`` regardless of input size —
+    the same bound as the KMV sketch cut.
+
+    Rows with non-positive weight are excluded.  Tiebreak is
+    (priority DESC, id ASC).
+    """
+    w = F.col(weight_col).cast("double")
+    u = unit_hash(id_col, salt)
+    win = Window.partitionBy(group_col).orderBy(
+        (w / u).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
     )

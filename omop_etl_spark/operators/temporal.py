@@ -40,6 +40,7 @@ __all__ = [
     "funnel",
     "interval_concurrency",
     "scd2_lookup",
+    "burst_dedup",
 ]
 
 
@@ -597,4 +598,47 @@ def scd2_lookup(
         value_cols=payload,
         direction="backward",
         prefix=prefix,
+    )
+
+
+def burst_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap: str | Column = "5 minutes",
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keep only the FIRST event of every burst — telemetry/sensor
+    dedup where re-fires within ``gap`` of the previous event are
+    noise, not signal.
+
+    A burst is a maximal chain of same-key events whose CONSECUTIVE
+    gaps are all < ``gap`` (the sessionization island definition, so
+    results compose with ``streaming.sessionize_batch``); the chain's
+    first event survives.  Note this differs from greedy
+    keep-against-last-SURVIVOR dedup: a chain of events each 2s apart
+    is ONE burst however long it runs.
+
+    One ``lag`` window per key ordered by ``(ts, *tiebreak)`` —
+    a single hash shuffle on the keys, no join, no cumsum: a row
+    survives iff it has no predecessor within ``gap``.  Ties at the
+    exact same timestamp need ``tiebreak`` columns for a total order
+    (engine-stable survivor); the first row of a tie group survives
+    only if the tie-predecessor is outside the gap — i.e. exact-time
+    duplicates collapse to the tiebreak winner.
+    """
+    keys = list(keys)
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    g = _interval(gap) if isinstance(gap, str) else gap
+    return (
+        df.withColumn("__prev_ts", prev)
+        .filter(
+            F.col("__prev_ts").isNull()
+            | (F.col(ts_col) >= F.col("__prev_ts") + g)
+        )
+        .drop("__prev_ts")
     )

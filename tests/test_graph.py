@@ -120,3 +120,44 @@ def test_unigram_and_rare_tokens_match_python(spark):
         n_rare = sum(1 for t in ts if cf[t] == 1)
         assert rare[i].n_rare == n_rare
         assert rare[i].n_tokens == len(ts)
+
+
+def test_count_triangles_known_graph(spark):
+    from omop_etl_spark.operators.graph import count_triangles
+
+    # K4 has 4 triangles; add a pendant edge and a duplicate/self edge
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(3, 4), (4, 3), (2, 2)],
+        "src int, dst int",
+    )
+    row = count_triangles(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+
+def test_count_triangles_matches_naive_on_coorder_graph(spark):
+    from omop_etl_spark.operators.graph import count_triangles
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")).distinct()
+    pairs = (
+        b.alias("a")
+        .join(b.alias("c"), (F.col("a.ok") == F.col("c.ok")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    got = count_triangles(pairs, "u", "v").collect()[0]
+    e = pairs
+    naive = (
+        e.alias("e1")
+        .join(e.alias("e2"), (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    assert got.n_triangles == naive

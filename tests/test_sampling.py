@@ -314,3 +314,48 @@ def test_token_budget_sample_append_stable_prefix(spark):
     # the kept set is the 30 smallest hashes each time; any doc kept in
     # the larger corpus that also existed in the smaller one was kept there too
     assert all((d in kept1) for d in kept2 if d < 1000)
+
+
+def test_weighted_sample_per_group_bounds_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from omop_etl_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [
+        Row(doc_id=i, src=("a" if i % 2 else "b"), w=(100 if i < 20 else 1))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    out1 = sorted(
+        (r.src, r.doc_id)
+        for r in weighted_sample_per_group(df, "src", 10, "w").collect()
+    )
+    out2 = sorted(
+        (r.src, r.doc_id)
+        for r in weighted_sample_per_group(df, "src", 10, "w").collect()
+    )
+    assert out1 == out2
+    from collections import Counter
+
+    per = Counter(s for s, _ in out1)
+    assert per == {"a": 10, "b": 10}
+    # heavy-weight rows (doc_id < 20) should dominate both samples
+    heavy = sum(1 for _, d in out1 if d < 20)
+    assert heavy >= 12
+
+
+def test_weighted_sample_per_group_uses_window_group_limit(spark):
+    from pyspark.sql import Row
+
+    from omop_etl_spark.operators.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, src=str(i % 4), w=i + 1) for i in range(100)]
+    )
+    plan = (
+        weighted_sample_per_group(df, "src", 5, "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -468,3 +468,41 @@ def test_scd2_lookup_matches_interval_join(spark):
         3: ("b", 2),
         4: (None, None),
     }
+
+
+def test_burst_dedup_chain_semantics(spark):
+    import datetime as dt
+
+    from omop_etl_spark.operators.temporal import burst_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # key A: chain 0s,2s,4s (one burst) then 600s (new burst)
+        ("a", t0, 1),
+        ("a", t0 + dt.timedelta(seconds=2), 2),
+        ("a", t0 + dt.timedelta(seconds=4), 3),
+        ("a", t0 + dt.timedelta(seconds=600), 4),
+        # key B: 0s and 4s with gap 5s -> 4s is within the gap: one burst
+        ("b", t0, 5),
+        ("b", t0 + dt.timedelta(seconds=4), 6),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int")
+    out = sorted(
+        r.eid
+        for r in burst_dedup(df, ["k"], "ts", "5 seconds", tiebreak=["eid"]).collect()
+    )
+    assert out == [1, 4, 5]
+
+
+def test_burst_dedup_exact_tie_keeps_tiebreak_winner(spark):
+    import datetime as dt
+
+    from omop_etl_spark.operators.temporal import burst_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 9), ("a", t0, 2), ("a", t0, 5)],
+        "k string, ts timestamp, eid int",
+    )
+    out = [r.eid for r in burst_dedup(df, ["k"], "ts", "5 seconds", tiebreak=["eid"]).collect()]
+    assert out == [2]
