@@ -6715,6 +6715,123 @@ ORDER BY source, doc_id
 """
 
 
+
+def _q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization (operators/temporal.apply_cdc): a synthetic
+    insert/update/delete change log over orders — derived by key
+    arithmetic so both engines build the identical log — collapses to
+    final table state with one row_number window per key: highest
+    sequence wins, a winning delete removes the key, arrival order is
+    irrelevant. The gate emits the full final state (keys, status,
+    cents) so the oracle hash covers every surviving row."""
+    from omop_etl_spark.operators.temporal import apply_cdc
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+    )
+    ins = base.select(
+        "k", F.lit(1).alias("seq"), F.lit("I").alias("op"), "status", "cents"
+    )
+    upd = base.filter(F.col("k") % 2 == 0).select(
+        "k",
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("U").alias("status"),
+        (F.col("cents") + 500).alias("cents"),
+    )
+    dels = base.filter(F.col("k") % 9 == 0).select(
+        "k",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    changes = ins.unionByName(upd).unionByName(dels)
+    return apply_cdc(changes, ["k"], "seq").select(
+        F.col("k").cast("bigint").alias("o_orderkey"), "status", "cents"
+    )
+
+
+ORACLE_ORDERS_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+changes AS (
+  SELECT k, 1 AS seq, 'I' AS op, status, cents FROM base
+  UNION ALL
+  SELECT k, 2, 'U', 'U', cents + 500 FROM base WHERE k % 2 = 0
+  UNION ALL
+  SELECT k, 3, 'D', NULL, NULL FROM base WHERE k % 9 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM changes
+)
+SELECT CAST(k AS BIGINT) AS o_orderkey, status, cents
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _q_cust_balance_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 dimension upsert (operators/temporal.upsert — the MERGE
+    INTO shape): customers who ordered in 1999+ get their balance
+    replaced by their latest order's total (key-unique via a max
+    aggregate); everyone else keeps the base row. One left-anti join
+    plus a union — both sides shuffle once on the key, no full-outer
+    null folding."""
+    from omop_etl_spark.operators.temporal import upsert
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    target = c.select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.lit("base").alias("src"),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    updates = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.max(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "bal_cents"
+            )
+        )
+        .withColumn("src", F.lit("order"))
+    )
+    return upsert(target, updates, ["k"]).select(
+        F.col("k").cast("bigint").alias("c_custkey"), "bal_cents", "src"
+    )
+
+
+ORACLE_CUST_BALANCE_UPSERT = """
+WITH target AS (
+  SELECT c_custkey AS k,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         'base' AS src
+  FROM customer
+),
+updates AS (
+  SELECT o_custkey AS k,
+         MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS bal_cents,
+         'order' AS src
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS c_custkey, bal_cents, src FROM (
+  SELECT * FROM target WHERE k NOT IN (SELECT k FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r6 #2): the
@@ -6773,13 +6890,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_triangle_count": _q_parts_triangle_count,
         "events_burst_dedup": _q_events_burst_dedup,
         "docs_weighted_per_source": _q_docs_weighted_per_source,
-        # -- (b) rotating re-verifications (5) --
+        "orders_cdc_apply": _q_orders_cdc_apply,
+        "cust_balance_upsert": _q_cust_balance_upsert,
+        # -- (b) rotating re-verifications (3) --
         "sim_topk": _q_sim_topk,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
+        # -- (c) driver-green as of r06 --
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
-        # -- (c) driver-green as of r06 --
         "range_join_events": _q_range_join,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
@@ -7006,6 +7125,8 @@ def oracle_sql() -> dict[str, str]:
         "parts_triangle_count": ORACLE_PARTS_TRIANGLE_COUNT,
         "events_burst_dedup": ORACLE_EVENTS_BURST_DEDUP,
         "docs_weighted_per_source": ORACLE_DOCS_WEIGHTED_PER_SOURCE,
+        "orders_cdc_apply": ORACLE_ORDERS_CDC_APPLY,
+        "cust_balance_upsert": ORACLE_CUST_BALANCE_UPSERT,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
         "docs_char_classes": ORACLE_DOCS_CHAR_CLASSES,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,

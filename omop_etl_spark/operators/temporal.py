@@ -41,6 +41,8 @@ __all__ = [
     "interval_concurrency",
     "scd2_lookup",
     "burst_dedup",
+    "apply_cdc",
+    "upsert",
 ]
 
 
@@ -642,3 +644,63 @@ def burst_dedup(
         )
         .drop("__prev_ts")
     )
+
+
+def apply_cdc(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ord_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Materialize a CDC change log into its final table state — the
+    batch twin of ``streaming.stream_latest_state`` generalized to
+    deletes.
+
+    Per key, the change with the highest ``(ord_col, *tiebreak)``
+    wins; if that winning change is a delete (``op_col ==
+    delete_op``), the key is absent from the output, otherwise the
+    winning row's payload columns are emitted (``op_col`` dropped).
+    Arrival/file order is never trusted — the result is a pure
+    function of the change set, so replaying a backfill out of order
+    produces the identical table.
+
+    One ``row_number`` window per key (single hash shuffle, no join);
+    ties beyond the tiebreak columns would make the survivor
+    ill-defined, so pass enough columns for a total order (e.g. a log
+    sequence number).
+    """
+    keys = list(keys)
+    order = [F.col(ord_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("__cdc_rn", F.row_number().over(w))
+        .filter(F.col("__cdc_rn") == 1)
+        .filter(F.col(op_col) != F.lit(delete_op))
+        .drop("__cdc_rn", op_col)
+    )
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """SCD1 upsert (the MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT shape, expressed relationally): rows of
+    ``updates`` replace same-key rows of ``target``; unmatched update
+    rows append; unmatched target rows survive.
+
+    ``updates`` must be key-unique (enforce upstream with
+    ``quality.dq_profile``'s unique rule or :func:`apply_cdc`);
+    duplicate update keys would emit duplicate rows rather than pick a
+    winner.  Plan: one left-anti join (target minus updated keys) + a
+    union — both sides shuffle once on the keys, no window, no
+    full-outer null-folding over every column.
+    """
+    keys = list(keys)
+    kept = target.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)

@@ -506,3 +506,47 @@ def test_burst_dedup_exact_tie_keeps_tiebreak_winner(spark):
     )
     out = [r.eid for r in burst_dedup(df, ["k"], "ts", "5 seconds", tiebreak=["eid"]).collect()]
     assert out == [2]
+
+
+def test_apply_cdc_last_writer_and_delete(spark):
+    from omop_etl_spark.operators.temporal import apply_cdc
+
+    rows = [
+        # key 1: insert, update, delete (delete wins -> absent)
+        (1, 10, "I", "a"),
+        (1, 20, "U", "b"),
+        (1, 30, "D", None),
+        # key 2: delete then REINSERT later (insert wins)
+        (2, 10, "D", None),
+        (2, 20, "I", "z"),
+        # key 3: out-of-order arrival, highest ord wins
+        (3, 50, "U", "new"),
+        (3, 40, "I", "old"),
+    ]
+    df = spark.createDataFrame(rows, "k int, seq int, op string, v string")
+    got = {r.k: r.v for r in apply_cdc(df, ["k"], "seq").collect()}
+    assert got == {2: "z", 3: "new"}
+
+
+def test_apply_cdc_order_independent(spark):
+    from omop_etl_spark.operators.temporal import apply_cdc
+
+    rows = [(i % 7, i, ("D" if i % 11 == 0 else "U"), f"v{i}") for i in range(200)]
+    df1 = spark.createDataFrame(rows, "k int, seq int, op string, v string")
+    df2 = spark.createDataFrame(list(reversed(rows)), "k int, seq int, op string, v string")
+    a = sorted(map(tuple, apply_cdc(df1, ["k"], "seq").collect()))
+    b = sorted(map(tuple, apply_cdc(df2, ["k"], "seq").collect()))
+    assert a == b
+
+
+def test_upsert_merge_shape(spark):
+    from omop_etl_spark.operators.temporal import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k int, v string"
+    )
+    got = sorted(map(tuple, upsert(target, updates, ["k"]).collect()))
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
