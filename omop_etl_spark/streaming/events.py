@@ -20,6 +20,8 @@ windows per key.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -41,6 +43,7 @@ __all__ = [
     "stream_kmv_distinct",
     "dq_monitor_stream",
     "stream_latest_state",
+    "stream_burst_dedup",
 ]
 
 #: schema of the raw parquet with ns timestamps surfaced as long
@@ -444,6 +447,72 @@ def stream_latest_state(
         latest_fn,
         outputStructType=f"{key_col} {key_type}, {ord_col} long, {value_col} string",
         stateStructType="best_ord long, best_val string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_burst_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int = 300,
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.burst_dedup``: emit only
+    the first event of every burst (chain of same-key events with
+    consecutive gaps < ``gap_seconds``), continuously.
+
+    State per key is ONE timestamp — the last event seen — so memory
+    is bounded by the live-key set forever (unlike ``dropDuplicates``
+    whose state grows with distinct events).  Within a micro-batch,
+    rows sort by ``(ts, id)`` before the chain scan; across batches
+    the chain extends from the stored last-seen timestamp.  For
+    per-key-ordered arrival the emitted set after any prefix of the
+    stream EQUALS the batch ``burst_dedup`` of the same prefix
+    (asserted in tests/test_incremental_replay.py); an event arriving
+    LATE (behind its key's last-seen ts) cannot retroactively split a
+    burst — it is judged against the chain as already materialized,
+    the one semantic a single-pass stream cannot replay.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    schema = stream.schema
+    typ = {f.name: f.dataType.simpleString() for f in schema.fields}
+    out_type = ", ".join(
+        [f"{k} {typ[k]}" for k in keys]
+        + [f"{ts_col} timestamp", f"{id_col} {typ[id_col]}"]
+    )
+
+    def burst_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        last_us = state.get[0] if state.exists else None
+        kept_ts, kept_id = [], []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ts, rid in zip(pdf[ts_col], pdf[id_col]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is None or us >= last_us + gap_seconds * 1_000_000:
+                    kept_ts.append(ts)
+                    kept_id.append(rid)
+                last_us = us
+        state.update((last_us,))
+        out = {k: [key[i]] * len(kept_ts) for i, k in enumerate(keys)}
+        out[ts_col] = kept_ts
+        out[id_col] = kept_id
+        yield pd.DataFrame(out)
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        burst_fn,
+        outputStructType=out_type,
+        stateStructType="last_us long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -329,3 +329,68 @@ def test_cc_converges_in_log_rounds_on_chain(spark):
     assert len(rows) == n
     assert all(r.component == 0 for r in rows)
     assert {r.id for r in rows} == set(range(n))
+
+
+def _py_containment_pairs(docs, threshold, n=3):
+    out = {}
+    for ida, ta in docs:
+        sa = _py_shingles(ta, n)
+        for idb, tb in docs:
+            if ida == idb:
+                continue
+            sb = _py_shingles(tb, n)
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                out[(ida, idb)] = round(c, 6)
+    return out
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=2, max_size=8, unique=True))
+def test_containment_matches_python_reference(spark, doc_texts):
+    from omop_etl_spark.operators.dedup import containment_pairs
+
+    docs = [(i, t) for i, t in enumerate(doc_texts)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    expected = _py_containment_pairs(docs, 0.6)
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),            # key
+            st.integers(0, 50),           # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 99),           # value payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_apply_cdc_matches_python_reference(spark, log):
+    """apply_cdc == a pure-Python fold: per key the max (seq, -op_rank,
+    value) ... using the operator's own tiebreak contract (seq then
+    value desc via tiebreak), delete wins removes the key."""
+    from omop_etl_spark.operators.temporal import apply_cdc
+
+    rows = [(k, s, op, f"v{val}") for (k, s, op, val) in log]
+    df = spark.createDataFrame(rows, "k int, seq int, op string, v string")
+    got = sorted(
+        map(tuple, apply_cdc(df, ["k"], "seq", tiebreak=["op", "v"]).collect())
+    )
+    best = {}
+    for k, s, op, v in rows:
+        cur = best.get(k)
+        cand = (s, op, v)
+        if cur is None or cand > cur:
+            best[k] = cand
+    expected = sorted(
+        (k, s, v) for k, (s, op, v) in best.items() if op != "D"
+    )
+    assert got == expected
