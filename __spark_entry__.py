@@ -6832,6 +6832,196 @@ SELECT CAST(k AS BIGINT) AS c_custkey, bal_cents, src FROM (
 """
 
 
+
+def _q_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.cm_sketch_counts
+    / cm_estimate): 4x256 integer counters over every term occurrence
+    in the corpus, probed with the exact top-10 terms. Cells are SUMS
+    (partition-order independent, unlike SpaceSaving-family heavy-
+    hitter state), so the estimate is a pure function of the data and
+    DuckDB replays the identical sketch; the exact count rides along
+    so the oracle also certifies the CM >= exact upper-bound property.
+    Sketch state is O(depth*width) however large the corpus — the
+    probe join broadcasts a 1024-row frame."""
+    from omop_etl_spark.operators.sketches import cm_estimate, cm_sketch_counts
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("term")
+    )
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), F.col("term")).limit(10)
+    sk = cm_sketch_counts(terms, "term", depth=4, width=256)
+    est = cm_estimate(sk, top.select("term"), "term", depth=4, width=256)
+    return (
+        est.join(top, "term")
+        .select(
+            "term",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("est_count").cast("bigint").alias("est_count"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("term"))
+    )
+
+
+ORACLE_SKETCH_TERM_COUNTS = """
+WITH terms AS (
+  SELECT t AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+exact AS (SELECT term, COUNT(*) AS exact_count FROM terms GROUP BY 1),
+top AS (SELECT term, exact_count FROM exact ORDER BY exact_count DESC, term LIMIT 10),
+cells AS (
+  SELECT r.r AS row,
+         CAST(CAST(concat('0x', substr(md5(concat('cm|', CAST(r.r AS VARCHAR), '|', term)), 1, 8)) AS BIGINT) % 256 AS INT) AS bucket
+  FROM terms, (SELECT unnest(range(4)) AS r) r
+),
+sk AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+probes AS (
+  SELECT t.term AS pterm, r.r AS row,
+         CAST(CAST(concat('0x', substr(md5(concat('cm|', CAST(r.r AS VARCHAR), '|', t.term)), 1, 8)) AS BIGINT) % 256 AS INT) AS bucket
+  FROM top t, (SELECT unnest(range(4)) AS r) r
+)
+SELECT p.pterm AS term,
+       CAST(t.exact_count AS BIGINT) AS exact_count,
+       CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p
+JOIN top t ON p.pterm = t.term
+LEFT JOIN sk ON p.row = sk.row AND p.bucket = sk.bucket
+GROUP BY p.pterm, t.exact_count
+ORDER BY exact_count DESC, term
+"""
+
+
+def _q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between per-source term
+    DISTRIBUTIONS — the distribution-shift monitor for a training mix
+    ('has the web slice drifted from the books slice?').
+
+    Exactness: with integer counts, TV over a source pair folds to
+    ``1 + (1/2) * sum_shared(|pa - pb| - pa - pb)`` — only SHARED
+    terms contribute (the absent-term mass is implied by totals), so
+    one inner self-join on the term key suffices and the whole
+    numerator is cross-multiplied integer arithmetic
+    (``|ca*nb - cb*na| - ca*nb - cb*na``); floor-ppm after the single
+    final division is bit-identical in every engine, no logs (a JS/KL
+    variant would ride on libm ln). Source pairs sharing no terms
+    densify from the bounded source-totals cross join (TV = 1).
+    Overflow headroom: the cross-products are < na*nb, so int64 holds
+    up to ~3e9-token sources; past that, cast the products to
+    decimal(38,0) (same arithmetic, exact)."""
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tc.select(
+        F.col("source").alias("src_a"), "term", F.col("c").alias("ca")
+    )
+    b = tc.select(
+        F.col("source").alias("src_b"), "term", F.col("c").alias("cb")
+    )
+    contrib = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("src_a"), F.col("n").alias("na")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("nb")
+                )
+            ),
+            "src_b",
+        )
+        .groupBy("src_a", "src_b", "na", "nb")
+        .agg(
+            F.sum(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                - F.col("ca") * F.col("nb")
+                - F.col("cb") * F.col("na")
+            ).alias("__s")
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.floor(
+                (2 * F.col("na") * F.col("nb") + F.col("__s"))
+                * 1000000
+                / (2 * F.col("na") * F.col("nb"))
+            )
+            .cast("bigint")
+            .alias("tv_ppm"),
+        )
+    )
+    all_pairs = (
+        totals.select(F.col("source").alias("src_a"))
+        .crossJoin(totals.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    return (
+        all_pairs.join(contrib, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("tv_ppm", F.lit(1000000)).cast("bigint").alias("tv_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLE_CORPUS_SOURCE_DRIFT = """
+WITH tc AS (
+  SELECT source, t AS term, COUNT(*) AS c
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+  GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(c) AS n FROM tc GROUP BY 1),
+contrib AS (
+  SELECT a.source AS src_a, b.source AS src_b, ta.n AS na, tb.n AS nb,
+         SUM(ABS(a.c * tb.n - b.c * ta.n) - a.c * tb.n - b.c * ta.n) AS s
+  FROM tc a
+  JOIN tc b ON a.term = b.term AND a.source < b.source
+  JOIN totals ta ON a.source = ta.source
+  JOIN totals tb ON b.source = tb.source
+  GROUP BY 1, 2, 3, 4
+),
+all_pairs AS (
+  SELECT ta.source AS src_a, tb.source AS src_b
+  FROM totals ta JOIN totals tb ON ta.source < tb.source
+)
+SELECT p.src_a, p.src_b,
+       CAST(COALESCE(
+         floor((2 * c.na * c.nb + c.s) * 1000000.0 / (2 * c.na * c.nb)),
+         1000000) AS BIGINT) AS tv_ppm
+FROM all_pairs p
+LEFT JOIN contrib c ON p.src_a = c.src_a AND p.src_b = c.src_b
+ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r6 #2): the
@@ -6892,11 +7082,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_per_source": _q_docs_weighted_per_source,
         "orders_cdc_apply": _q_orders_cdc_apply,
         "cust_balance_upsert": _q_cust_balance_upsert,
-        # -- (b) rotating re-verifications (3) --
+        "sketch_term_counts": _q_sketch_term_counts,
+        "corpus_source_drift": _q_corpus_source_drift,
+        # -- (b) rotating re-verifications (1) --
         "sim_topk": _q_sim_topk,
         "sim_topk_lsh": _q_sim_topk_lsh,
-        "sim_topk_ivf": _q_sim_topk_ivf,
         # -- (c) driver-green as of r06 --
+        "sim_topk_ivf": _q_sim_topk_ivf,
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,
@@ -7127,6 +7319,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_per_source": ORACLE_DOCS_WEIGHTED_PER_SOURCE,
         "orders_cdc_apply": ORACLE_ORDERS_CDC_APPLY,
         "cust_balance_upsert": ORACLE_CUST_BALANCE_UPSERT,
+        "sketch_term_counts": ORACLE_SKETCH_TERM_COUNTS,
+        "corpus_source_drift": ORACLE_CORPUS_SOURCE_DRIFT,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
         "docs_char_classes": ORACLE_DOCS_CHAR_CLASSES,
         "agg_volume_shipping": ORACLE_VOLUME_SHIPPING,

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from .sampling import unit_hash
 
-__all__ = ["kmv_distinct", "kmv_set_similarity"]
+__all__ = ["kmv_distinct", "kmv_set_similarity", "cm_sketch_counts", "cm_estimate"]
 
 
 def kmv_distinct(
@@ -168,3 +168,97 @@ def kmv_set_similarity(
             F.expr("(n_common * 1000000) div __m").alias("jaccard_ppm"),
         )
     )
+
+
+def cm_sketch_counts(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Build a count-min sketch over ``value_col`` occurrences:
+    ``depth x width`` integer counters, each cell the exact count of
+    values hashing into it.
+
+    State is ``O(depth * width)`` — constant, mergeable (cells add),
+    and partition-order independent (cells are SUMS, unlike
+    SpaceSaving/Misra-Gries whose state depends on arrival order) — so
+    the sketch, and every estimate read from it, is a pure function of
+    the data multiset: exactly replayable in any engine with ``md5``.
+
+    Returns ``(row, bucket, cnt)``; feed to :func:`cm_estimate`.
+    Plan: ONE scan — each value explodes into its ``depth`` (row,
+    bucket) cells inline (no per-row union re-scanning the input),
+    then one map-side-combined aggregate: heavy hitters collapse
+    before the exchange, and the exchange itself is at most
+    ``depth * width`` rows per task.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("cm_sketch_counts requires depth, width >= 1")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cm_bucket(F.col(value_col), r, width, salt).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("__c"))
+        .select("__c.row", "__c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cm_bucket(c: Column, row: int, width: int, salt: str) -> Column:
+    """Bucket of a value in sketch row ``row``: first 8 md5 hex chars
+    of ``salt|row|value`` modulo ``width`` — the same public-hash
+    recipe as KMV, so an ANSI-SQL oracle replays it bit-for-bit."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|{row}|"), c.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % width).cast("int")
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the count-min sketch for every probe value: the
+    estimate is ``min`` over rows of the counter each row hashes the
+    value into — an upper bound on the true count (classic CM
+    guarantee: overestimate ≤ 2N/width with prob ≥ 1 - 2^-depth).
+
+    The sketch frame is bounded (``depth * width`` rows) so the probe
+    join broadcasts at any scale; missing cells count 0.
+    """
+    pr = probes.select(F.col(value_col).alias("__v")).distinct()
+    probed = pr
+    for r in range(depth):
+        probed = probed.withColumn(
+            f"__b{r}", _cm_bucket(F.col("__v"), r, width, salt)
+        )
+    lookups = None
+    for r in range(depth):
+        leg = probed.select(
+            "__v", F.lit(r).alias("row"), F.col(f"__b{r}").alias("bucket")
+        )
+        lookups = leg if lookups is None else lookups.unionByName(leg)
+    est = (
+        lookups.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("__v")
+        .agg(F.min("cnt").cast("bigint").alias("est_count"))
+    )
+    return est.select(F.col("__v").alias(value_col), "est_count")

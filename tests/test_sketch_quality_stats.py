@@ -298,3 +298,38 @@ def test_kmv_set_similarity_tracks_true_jaccard(spark):
         for r in kmv_set_similarity(df, "g", "v", k=256).collect()
     }
     assert out == again
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+
+
+def test_cm_estimate_upper_bounds_and_hits_exact_when_sparse(spark):
+    from pyspark.sql import Row
+
+    from omop_etl_spark.operators.sketches import cm_estimate, cm_sketch_counts
+
+    rows = [Row(v=f"t{i % 20}") for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    sk = cm_sketch_counts(df, "v", depth=4, width=256)
+    probes = spark.createDataFrame([Row(v=f"t{i}") for i in range(20)] + [Row(v="absent")])
+    est = {r.v: r.est_count for r in cm_estimate(sk, probes, "v", depth=4, width=256).collect()}
+    exact = {f"t{i}": 50 for i in range(20)}
+    # CM never underestimates; with 20 values in 256 buckets collisions
+    # are rare, so most estimates are exact
+    assert all(est[k] >= v for k, v in exact.items())
+    assert sum(1 for k, v in exact.items() if est[k] == v) >= 15
+    assert est["absent"] >= 0  # upper bound only
+
+
+def test_cm_sketch_partition_order_independent(spark):
+    from pyspark.sql import Row
+
+    from omop_etl_spark.operators.sketches import cm_sketch_counts
+
+    rows = [Row(v=f"x{i % 13}") for i in range(500)]
+    a = spark.createDataFrame(rows).repartition(13)
+    b = spark.createDataFrame(list(reversed(rows))).repartition(2)
+    sa = sorted(map(tuple, cm_sketch_counts(a, "v").collect()))
+    sb = sorted(map(tuple, cm_sketch_counts(b, "v").collect()))
+    assert sa == sb
