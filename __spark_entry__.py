@@ -7167,12 +7167,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Ordered by driver-verification need (VERDICT r6 #2): the
         # driver's CORRECTNESS gate reads the FIRST 50 entries, so the
         # 33 queries with no driver-green row in any round come first,
-        # then the 9 queries new in r07 (never verified by anyone but
-        # the local checker), then 8 rotating re-verifications — the
-        # oldest-last-green set plus
-        # the three ANN queries whose query batches changed this round
-        # (vec_id < 16). The tail is driver-green r06 and covered by the
-        # committed LOCALCHECK artifact each round.
+        # then the 19 queries new in r07 (never verified by anyone but
+        # the local checker; the last two spill just past the window).
+        # Queued right behind them: the three ANN queries whose query
+        # batches changed this round (vec_id < 16). The tail is
+        # driver-green r06; everything outside the window is covered by
+        # the committed LOCALCHECK artifact until rotation.
         # -- (a) never driver-verified (33) --
         "supplier_pareto": _q_supplier_pareto,
         "nation_revenue_share": _q_nation_revenue_share,
