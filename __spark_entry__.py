@@ -6854,7 +6854,14 @@ def _q_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
-    top = exact.orderBy(F.col("exact_count").desc(), F.col("term")).limit(10)
+    # the 10-row top frame feeds BOTH the probe set and the final
+    # join-back — persisted so the exact-count pass tokenizes the
+    # corpus once, not once per consumer
+    top = (
+        exact.orderBy(F.col("exact_count").desc(), F.col("term"))
+        .limit(10)
+        .persist()
+    )
     sk = cm_sketch_counts(terms, "term", depth=4, width=256)
     est = cm_estimate(sk, top.select("term"), "term", depth=4, width=256)
     return (

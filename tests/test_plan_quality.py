@@ -304,3 +304,27 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_latest_k_and_top_terms_use_window_group_limit(spark, entry):
+    for name in ("events_latest_k", "docs_top_terms_per_source"):
+        plan = _plan(entry.queries()[name](spark, SF_DIR))
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_cm_sketch_two_executed_scans(spark, entry):
+    # the sketch explodes each value into its depth cells inline (one
+    # scan) and the persisted top-10 frame is built from one
+    # exact-count scan, then served from cache to every consumer. The
+    # plan STRING reprints the cached child under each
+    # InMemoryTableScan, so count only non-cached scans.
+    plan = _plan(entry.queries()["sketch_term_counts"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    executed = plan.count("FileScan parquet") - plan.count("InMemoryRelation")
+    assert executed <= 2, plan
+
+
+def test_except_all_has_no_row_number_over_fact(spark, entry):
+    # exceptAll plans as count-difference + generate, not a window
+    plan = _plan(entry.queries()["orders_except_all"](spark, SF_DIR))
+    assert "row_number" not in plan.lower(), plan
