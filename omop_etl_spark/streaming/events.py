@@ -211,18 +211,29 @@ def stream_interval_join(
     lower: str = "0 seconds",
     upper: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval:
-    match right rows with ``right_ts ∈ [left_ts - lower, left_ts +
-    upper]`` and equal ``on`` keys. Both sides are watermarked, and the
+    """Stream-stream join bounded by an event-time interval: match
+    right rows with ``right_ts ∈ [left_ts - lower, left_ts + upper]``
+    and equal ``on`` keys. Both sides are watermarked, and the
     interval bound is what lets Spark expire join state — an unbounded
     stream-stream join would buffer both streams forever. State per
     key ≈ rows inside ``watermark + interval`` only.
+
+    ``how`` may be ``"inner"`` (default), ``"left_outer"``, or
+    ``"full_outer"``: with an outer side, a left row with NO interval
+    match emits null-padded ONCE the watermark has passed its match
+    window — i.e. the row is provably unmatchable, the only moment a
+    stream can say "no partner will ever arrive". Until then it sits
+    in state; expect outer results one watermark-advance later than
+    inner results (asserted in tests/test_incremental_replay.py).
 
     Column names must be disjoint between the two inputs (rename
     before calling); the equi keys are ``(left_col, right_col)``
     pairs. This is the streaming twin of
     :func:`...operators.temporal.range_join`."""
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(f"unsupported join type: {how}")
     l_wm = left.withWatermark(left_ts, watermark)
     r_wm = right.withWatermark(right_ts, watermark)
     cond = (
@@ -231,7 +242,7 @@ def stream_interval_join(
     )
     for lc, rc in on:
         cond = cond & (F.col(lc) == F.col(rc))
-    return l_wm.join(r_wm, cond, "inner")
+    return l_wm.join(r_wm, cond, how)
 
 
 def sessionize_batch(

@@ -219,3 +219,69 @@ def test_stream_burst_dedup_prefix_equals_batch(spark, tmp_path):
         for r in burst_dedup(df, ["k"], "ts", "300 seconds", tiebreak=["eid"]).collect()
     )
     assert got == want == [1, 4, 10, 11]
+
+
+def test_stream_interval_join_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """A left row with no interval partner must emit null-padded once
+    the watermark passes its match window — and the matched + null
+    rows together equal the batch left join."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from omop_etl_spark.streaming.events import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    # left: l1 matches r1 within 60s; l2 has no partner ever
+    left_rows = [
+        {"lk": ["u1", "u2"], "lts": [sec(0), sec(10)], "lid": [1, 2]},
+        # a late left batch pushes the watermark far past l1/l2's windows
+        {"lk": ["u3"], "lts": [sec(100000)], "lid": [3]},
+    ]
+    right_rows = [
+        {"rk": ["u1"], "rts": [sec(30)], "rid": [101]},
+        {"rk": ["u3"], "rts": [sec(100010)], "rid": [103]},
+    ]
+    import os
+
+    ld, rd = tmp_path / "l", tmp_path / "r"
+    ld.mkdir(); rd.mkdir()
+    for i, b in enumerate(left_rows):
+        p = ld / f"f{i}.parquet"
+        pd.DataFrame(b).astype({"lts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i,) * 2)
+    for i, b in enumerate(right_rows):
+        p = rd / f"f{i}.parquet"
+        pd.DataFrame(b).astype({"rts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i,) * 2)
+
+    ls = (
+        spark.readStream.schema("lk string, lts timestamp, lid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ld))
+    )
+    rs = (
+        spark.readStream.schema("rk string, rts timestamp, rid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(rd))
+    )
+    out = stream_interval_join(
+        ls, rs, on=[("lk", "rk")], left_ts="lts", right_ts="rts",
+        lower="0 seconds", upper="60 seconds", watermark="10 seconds",
+        how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sij_lo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {(r.lid, r.rid) for r in spark.table("sij_lo").collect()}
+    # l1 matched r1; l2 unmatched -> null; l3 matched r103
+    assert (1, 101) in got and (3, 103) in got
+    assert (2, None) in got, f"unmatched left row never emitted: {got}"
