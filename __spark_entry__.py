@@ -5873,30 +5873,38 @@ def _q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration of supplier revenue: rank suppliers by
     revenue and report each one's cumulative share (ppm) — the 80/20
     check behind procurement risk. The heavy work is one fact
-    aggregate; the ranking window then runs over |suppliers| rows
-    (dimension-sized — windows over aggregates, never over facts)."""
+    aggregate; the per-supplier aggregate is still SF-LINEAR (~1B
+    suppliers in the 100 TB narrative), so the global rank + running
+    sum come from operators/rank.ranked_running_sum — the
+    range-repartition + broadcast-prefix-offset decomposition (stats-
+    gated: single-partition window only below 64 MiB, same policy as
+    planner/surrogate.with_surrogate_id; the distributed path itself
+    is pinned and value-tested in tests/test_rank.py). The ppm scaling
+    rides decimal(38,0) `div` — exact integral quotient matching the
+    oracle's hugeint `//`, where an int64 `cum * 1e6` would wrap once
+    total revenue passes ~9e12 cents (~sf0.5)."""
+    from omop_etl_spark.operators.rank import ranked_running_sum
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
         "bigint"
     )
     per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_cents"))
-    w = Window.orderBy(F.desc("rev_cents"), F.asc("l_suppkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = ranked_running_sum(
+        per_supp,
+        [F.col("rev_cents").desc(), F.col("l_suppkey").asc()],
+        "rev_cents",
+        rank_col="rev_rank",
+        cum_col="__cum",
     )
-    wr = Window.orderBy(F.desc("rev_cents"), F.asc("l_suppkey"))
     total = per_supp.agg(F.sum("rev_cents").alias("__t"))
-    return (
-        per_supp.crossJoin(F.broadcast(total))
-        .select(
-            F.col("l_suppkey").cast("bigint").alias("suppkey"),
-            F.col("rev_cents").cast("bigint").alias("rev_cents"),
-            F.row_number().over(wr).cast("bigint").alias("rev_rank"),
-            F.expr(
-                "(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey ASC"
-                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)"
-                " div __t"
-            ).alias("cum_share_ppm"),
-        )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col("l_suppkey").cast("bigint").alias("suppkey"),
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.col("rev_rank"),
+        F.expr(
+            "CAST(__cum AS DECIMAL(38,0)) * 1000000 div CAST(__t AS DECIMAL(38,0))"
+        ).alias("cum_share_ppm"),
     )
 
 
@@ -6919,9 +6927,15 @@ def _q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division is bit-identical in every engine, no logs (a JS/KL
     variant would ride on libm ln). Source pairs sharing no terms
     densify from the bounded source-totals cross join (TV = 1).
-    Overflow headroom: the cross-products are < na*nb, so int64 holds
-    up to ~3e9-token sources; past that, cast the products to
-    decimal(38,0) (same arithmetic, exact)."""
+    Overflow headroom: the per-term cross-products ``ca*nb`` stay in
+    int64 up to ~3e9-token sources (they are < na*nb). The final ppm
+    scaling runs in DOUBLE on both engines — the int64 form
+    ``(2*na*nb + s) * 1000000`` would wrap silently once na*nb
+    exceeds ~4.6e12 (sources of only ~2M tokens), so numerator and
+    denominator are cast to double BEFORE the 1e6 multiply, matching
+    the oracle's ``* 1000000.0``. floor() of the double ratio is
+    engine-identical; past ~3e9-token sources move the per-term
+    products to decimal(38,0) (same arithmetic, exact)."""
     docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     tc = (
         docs.select(
@@ -6974,9 +6988,9 @@ def _q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             F.floor(
-                (2 * F.col("na") * F.col("nb") + F.col("__s"))
-                * 1000000
-                / (2 * F.col("na") * F.col("nb"))
+                (2 * F.col("na") * F.col("nb") + F.col("__s")).cast("double")
+                * 1000000.0
+                / (2 * F.col("na") * F.col("nb")).cast("double")
             )
             .cast("bigint")
             .alias("tv_ppm"),
@@ -7171,17 +7185,27 @@ GROUP BY event_type ORDER BY event_type
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordered by driver-verification need (VERDICT r6 #2): the
-        # driver's CORRECTNESS gate reads the FIRST 50 entries, so the
-        # 33 queries with no driver-green row in any round come first,
-        # then the 19 queries new in r07 (never verified by anyone but
-        # the local checker; the last two spill just past the window).
-        # Queued right behind them: the three ANN queries whose query
-        # batches changed this round (vec_id < 16). The tail is
-        # driver-green r06; everything outside the window is covered by
-        # the committed LOCALCHECK artifact until rotation.
-        # -- (a) never driver-verified (33) --
+        # Ordered by driver-verification need (VERDICT r7 #1): the
+        # driver's CORRECTNESS gate reads the FIRST 50 entries.
+        # r8 window head = (a) the only 2 queries with no driver-green
+        # row in any round, (b) the 3 ANN queries whose batch bounding
+        # changed in r7 after their r06 driver check, (c) queries whose
+        # FORM changed this round (supplier_pareto distributed rank,
+        # corpus_source_drift double-ppm) or that are NEW this round.
+        # The window tail backfills with r07-green rows; everything
+        # outside the window is covered by the committed LOCALCHECK
+        # artifact until rotation.
+        # -- (a) never driver-verified (2) --
+        "orders_except_all": _q_orders_except_all,
+        "events_latest_k": _q_events_latest_k,
+        # -- (b) changed in r7 after last driver check (3) --
+        "sim_topk": _q_sim_topk,
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "sim_topk_ivf": _q_sim_topk_ivf,
+        # -- (c) changed or new in r8 --
         "supplier_pareto": _q_supplier_pareto,
+        "corpus_source_drift": _q_corpus_source_drift,
+        # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
         "agg_volume_shipping": _q_volume_shipping,
@@ -7230,17 +7254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": _q_orders_cdc_apply,
         "cust_balance_upsert": _q_cust_balance_upsert,
         "sketch_term_counts": _q_sketch_term_counts,
-        "corpus_source_drift": _q_corpus_source_drift,
         "docs_top_terms_per_source": _q_docs_top_terms_per_source,
-        "orders_except_all": _q_orders_except_all,
-        "events_latest_k": _q_events_latest_k,
-        # (the 50-slot window is now exactly the never-driver-verified
-        # set: 33 from r06 + 17 new in r07; the three ANN queries whose
-        # batches changed re-verify from the local checker + next round)
-        "sim_topk": _q_sim_topk,
-        "sim_topk_lsh": _q_sim_topk_lsh,
-        # -- (c) driver-green as of r06 --
-        "sim_topk_ivf": _q_sim_topk_ivf,
+        # -- driver-green as of r06 --
         "events_sessionize": _q_events_sessionize,
         "asof_join_events": _q_asof_join,
         "range_join_events": _q_range_join,

@@ -1,0 +1,112 @@
+"""Distributed global ranking with running aggregates.
+
+The anti-pattern this module exists to kill: ``Window.orderBy(...)``
+with no ``partitionBy`` funnels EVERY row into one reducer — fine on a
+bounded frame (a 25-row dimension), a scale cliff on anything
+SF-linear.  ``ranked_running_sum`` computes the same
+``row_number() + SUM() OVER (ORDER BY ...)`` pair with the classic
+distributed decomposition (same machinery as
+``planner/surrogate.with_surrogate_id`` and
+``operators/sampling.pack_sequences``):
+
+1. ``repartitionByRange`` on the order key — partition ids ascend with
+   the global order, each partition holds a contiguous rank range;
+2. one tiny per-partition aggregate (count + sum) — ≤ one row per
+   partition, prefix-summed with a window whose input is
+   partition-COUNT-sized (bounded by config, not by data);
+3. broadcast the offsets back and finish with a window PARTITIONED BY
+   the range-partition id — per-reducer work is one partition, never
+   the whole frame.
+
+Strategy choice is stats-gated exactly like ``with_surrogate_id``:
+below ``_SMALL_FRAME_BYTES`` the single-partition window is cheaper
+(saves the range-sampling job and an exchange); above it the
+distributed path is mandatory.  Pass ``num_partitions`` to pin the
+distributed path (tests do).
+
+Reference parity note: the reference (omop-etl) delegates all ranking
+to PostgreSQL window functions; this module is the Spark-side scale
+strategy for the same semantics, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..planner.surrogate import use_small_frame_path
+
+__all__ = ["ranked_running_sum"]
+
+
+def ranked_running_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    rank_col: str = "rank",
+    cum_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``rank_col`` = global 1-based ``row_number`` and ``cum_col``
+    = inclusive running ``SUM(value_col)`` under ``ORDER BY
+    order_cols``.
+
+    ``order_cols`` should be a UNIQUE ordering (include a tiebreaker
+    key) — with ties, rank assignment within the tie group is
+    arbitrary, which also makes the running sum nondeterministic at
+    tie boundaries.
+
+    Both output columns are bigint; ``value_col`` must be integral
+    (the running sum is exact int64 — callers needing wider headroom
+    cast to decimal downstream).
+    """
+    from pyspark import StorageLevel
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    if num_partitions is None and use_small_frame_path(df):
+        w = Window.orderBy(*cols)
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return df.withColumn(
+            rank_col, F.row_number().over(w).cast("bigint")
+        ).withColumn(cum_col, F.sum(value_col).over(wf).cast("bigint"))
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    # persist is load-bearing, not a cache hint: repartitionByRange
+    # SAMPLES its boundaries per plan instantiation, so the offsets
+    # branch and the assign branch must observe one partitioner or rows
+    # silently land in different partitions between the two.
+    ranged = df.repartitionByRange(num_partitions, *cols).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pid = ranged.withColumn("__rk_pid", F.spark_partition_id())
+    totals = pid.groupBy("__rk_pid").agg(
+        F.count(F.lit(1)).alias("__rk_cnt"),
+        F.sum(value_col).alias("__rk_sum"),
+    )
+    # exclusive prefix sums over ≤ num_partitions rows: the ONLY
+    # partition-less window here, and its frame is bounded by the
+    # partition count, never the data.
+    w_off = Window.orderBy("__rk_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__rk_pid",
+        F.coalesce(F.sum("__rk_cnt").over(w_off), F.lit(0)).alias("__rk_cnt_off"),
+        F.coalesce(F.sum("__rk_sum").over(w_off), F.lit(0)).alias("__rk_sum_off"),
+    )
+    w_in = Window.partitionBy("__rk_pid").orderBy(*cols)
+    w_in_f = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        pid.join(F.broadcast(offsets), "__rk_pid")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_in) + F.col("__rk_cnt_off")).cast("bigint"),
+        )
+        .withColumn(
+            cum_col,
+            (F.sum(value_col).over(w_in_f) + F.col("__rk_sum_off")).cast("bigint"),
+        )
+        .drop("__rk_pid", "__rk_cnt_off", "__rk_sum_off")
+    )

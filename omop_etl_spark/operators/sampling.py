@@ -229,10 +229,10 @@ def pack_sequences(
     any global sort."""
     from pyspark import StorageLevel
 
-    from ..planner.surrogate import _SMALL_FRAME_BYTES, _estimated_bytes
+    from ..planner.surrogate import use_small_frame_path
 
     cum_excl_name = "__pk_cum"
-    if num_partitions is None and _estimated_bytes(df) < _SMALL_FRAME_BYTES:
+    if num_partitions is None and use_small_frame_path(df):
         w = (
             Window.orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, -1)

@@ -56,6 +56,27 @@ def _estimated_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+#: Session conf that pins every stats-gated prefix-sum/rank operator to
+#: its distributed path regardless of the size estimate. Set by the
+#: plan-quality scanner (tests/test_plan_quality.py) so the plans it
+#: audits are the plans a large SF would produce; never set in
+#: production (the gate exists because the single-partition window IS
+#: cheaper below _SMALL_FRAME_BYTES).
+FORCE_DISTRIBUTED_CONF = "spark.omop_etl.prefixsum.forceDistributed"
+
+
+def use_small_frame_path(df: DataFrame) -> bool:
+    """Shared strategy gate for the three prefix-sum consumers
+    (with_surrogate_id, sampling.pack_sequences, rank.ranked_running_sum):
+    True -> single-partition window, False -> distributed range path."""
+    try:
+        if df.sparkSession.conf.get(FORCE_DISTRIBUTED_CONF, "false") == "true":
+            return False
+    except Exception:  # noqa: BLE001 - conf layer hiccup: size decides
+        pass
+    return _estimated_bytes(df) < _SMALL_FRAME_BYTES
+
+
 def with_surrogate_id(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -83,7 +104,7 @@ def with_surrogate_id(
     # sampling job, a 32-way exchange, and a fan of tiny output files);
     # above it the distributed path below is mandatory. An explicit
     # num_partitions pins the distributed path (tests rely on this).
-    if num_partitions is None and _estimated_bytes(df) < _SMALL_FRAME_BYTES:
+    if num_partitions is None and use_small_frame_path(df):
         w = Window.orderBy(*cols)
         return df.withColumn(
             id_col,

@@ -344,7 +344,10 @@ def stream_kmv_distinct(
                     worst = max(cur)
         state.update((sorted(cur),))
         n = len(cur)
-        est = n if n < k else int((k - 1) / max(cur))
+        # Same 2^-32 clamp as batch kmv_distinct (operators/sketches.py):
+        # a zero hash would make int((k-1)/h) an OverflowError and break
+        # the documented exact streaming == batch equivalence.
+        est = n if n < k else int((k - 1) / max(max(cur), 2.0**-32))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_kept": [n], "est_distinct": [est]}
         )

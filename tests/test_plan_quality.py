@@ -328,3 +328,96 @@ def test_except_all_has_no_row_number_over_fact(spark, entry):
     # exceptAll plans as count-difference + generate, not a window
     plan = _plan(entry.queries()["orders_except_all"](spark, SF_DIR))
     assert "row_number" not in plan.lower(), plan
+
+
+# ---------------------------------------------------------------------------
+# global-window scanner (VERDICT r7 #2): a Window with NO partitionBy
+# funnels its whole input into one reducer — acceptable only on frames
+# that stay bounded at every scale factor. This scanner walks every
+# registry query's OPTIMIZED logical plan (with the stats gate pinned to
+# the distributed path, so the audited plans are the plans a large SF
+# would produce) and flags any partition-less Window that can reach an
+# SF-linear parquet relation without passing a row-bounding node.
+
+# Partition-less windows over provably bounded frames the tree-walk
+# cannot classify on its own. Adding a query here is a reviewed
+# decision; each entry must say why the frame is bounded.
+_GLOBAL_WINDOW_EXEMPT = {
+    # ntile_by's offset window runs over the per-VALUE counts aggregate
+    # (sampling.py ntile_by step 2): frame size = |distinct n_chars|,
+    # bounded by the value domain (document length cap), not by SF.
+    "docs_length_deciles": "ntile offset frame is |distinct n_chars| "
+    "(value-domain-bounded aggregate, sampling.py:326-338)",
+}
+
+
+def _children(n):
+    ch = n.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _is_row_bounding(n):
+    """Nodes that provably collapse their input to a bounded row count:
+    limits, scalar aggregates, and per-partition-count aggregates
+    (grouping on spark_partition_id — the prefix-sum offset frames of
+    surrogate.py / sampling.py / rank.py, <= shuffle-partition rows)."""
+    name = n.nodeName()
+    if name in ("GlobalLimit", "LocalLimit"):
+        return True
+    if name == "Aggregate":
+        ge = n.groupingExpressions()
+        if ge.isEmpty():
+            return True
+        gs = ge.toString()
+        if "_pid" in gs or "SPARK_PARTITION_ID" in gs.upper():
+            return True
+    return False
+
+
+def _sf_linear_scans_under(n):
+    out = []
+    for c in _children(n):
+        if _is_row_bounding(c):
+            continue
+        if "Relation" in c.nodeName():
+            head = c.toString().splitlines()[0]
+            if any(col in head for col in _SCALING_TABLE_COLS):
+                out.append(head[:90])
+            continue
+        out.extend(_sf_linear_scans_under(c))
+    return out
+
+
+def test_no_partitionless_window_over_sf_linear_scan(spark, entry):
+    from omop_etl_spark.planner.surrogate import FORCE_DISTRIBUTED_CONF
+
+    import __spark_entry__ as e
+
+    offenders = {}
+    try:
+        spark.conf.set(FORCE_DISTRIBUTED_CONF, "true")
+        for name, fn in _queries(e):
+            if name in _GLOBAL_WINDOW_EXEMPT:
+                continue
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+            stack = [plan]
+            while stack:
+                node = stack.pop()
+                stack.extend(_children(node))
+                if (
+                    node.nodeName() == "Window"
+                    and node.partitionSpec().isEmpty()
+                ):
+                    hits = _sf_linear_scans_under(node)
+                    if hits:
+                        offenders.setdefault(name, []).extend(hits)
+    finally:
+        spark.conf.unset(FORCE_DISTRIBUTED_CONF)
+    assert not offenders, offenders
+
+
+def test_global_window_exemptions_do_not_grow_silently(spark, entry):
+    import __spark_entry__ as e
+
+    assert set(_GLOBAL_WINDOW_EXEMPT) <= set(e.queries())
+    assert len(_GLOBAL_WINDOW_EXEMPT) == 1
