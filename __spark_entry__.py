@@ -7183,6 +7183,108 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_docs_encode_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword (BPE) encoding of the corpus against the fixed
+    DEFAULT_MERGES table — the id stream an LLM actually trains on
+    (VERDICT r7 #5; the whitespace vocab/encode path in chunking.py is
+    the word-level precursor).
+
+    Scale shape (operators/bpe.py): Python touches only the DISTINCT
+    word frame (Arrow-batched pandas UDF, vocabulary-sized); the token
+    stream, join-back, and per-doc assembly are pure JVM. The oracle
+    replays the identical lowest-rank/left-to-right merge semantics in
+    DuckDB with a recursive CTE over separator-delimited symbol
+    strings — a full-value independent check of the encode, not a
+    fixture replay. first_ids (the first 8 token ids in document
+    order) pins sequence ORDER; n_tokens/ids_sum pin the multiset."""
+    from omop_etl_spark.operators.bpe import encode_documents
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    enc = encode_documents(docs)
+    flat = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token_ids"))),
+            lambda s: s.token_ids,
+        )
+    )
+    return enc.groupBy(F.col("doc_id").cast("bigint").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.size("token_ids")).cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.aggregate(
+                "token_ids", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            )
+        )
+        .cast("bigint")
+        .alias("ids_sum"),
+        F.array_join(F.slice(flat, 1, 8), ",").alias("first_ids"),
+    )
+
+
+def _oracle_docs_encode_bpe() -> str:
+    """Recursive-CTE BPE replay: same merges table, same
+    lowest-rank-first selection (arg_min over applicable merges), same
+    all-occurrences left-to-right replace (SQL replace() over
+    '|'-delimited symbol strings), same vocab ids."""
+    from omop_etl_spark.operators.bpe import DEFAULT_MERGES, bpe_vocab
+
+    merges_rows = ", ".join(
+        f"({rank}, '|{a}|{b}|', '|{a + b}|')"
+        for rank, (a, b) in enumerate(DEFAULT_MERGES)
+    )
+    vocab_rows = ", ".join(
+        f"('{sym}', {vid})" for sym, vid in bpe_vocab(DEFAULT_MERGES).items()
+    )
+    return f"""
+WITH RECURSIVE
+merges(rank, pat, rep) AS (VALUES {merges_rows}),
+vocab(sym, id) AS (VALUES {vocab_rows}),
+words AS (
+  SELECT doc_id, t.w AS word, t.i AS pos
+  FROM documents,
+       (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w,
+               generate_subscripts(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i) t
+  WHERE t.w <> ''
+),
+winit AS (
+  SELECT word, '|' || array_to_string(string_split(word, ''), '|') || '|' AS s
+  FROM (SELECT DISTINCT word FROM words) w0
+),
+enc AS (
+  SELECT word, s FROM winit
+  UNION ALL
+  SELECT word, replace(s, arg_min(pat, rank), arg_min(rep, rank)) AS s
+  FROM (SELECT e.word, e.s, m.pat, m.rep, m.rank
+        FROM enc e JOIN merges m ON contains(e.s, m.pat)) t
+  GROUP BY word, s
+),
+final AS (
+  SELECT word, s FROM enc e
+  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))
+),
+wsyms AS (
+  SELECT word, syms, unnest(generate_series(1, len(syms))) AS si
+  FROM (SELECT word, string_split(trim(s, '|'), '|') AS syms FROM final) t
+),
+wenc AS (
+  SELECT w.word, COUNT(*) AS n_tok, SUM(v.id) AS id_sum,
+         string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY w.si) AS ids_str
+  FROM wsyms w JOIN vocab v ON v.sym = w.syms[w.si]
+  GROUP BY w.word
+)
+SELECT CAST(ws.doc_id AS BIGINT) AS doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(we.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(we.id_sum) AS BIGINT) AS ids_sum,
+       array_to_string(
+         (string_split(string_agg(we.ids_str, ',' ORDER BY ws.pos), ','))[1:8],
+         ',') AS first_ids
+FROM words ws JOIN wenc we ON ws.word = we.word
+GROUP BY ws.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -7205,6 +7307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) changed or new in r8 --
         "supplier_pareto": _q_supplier_pareto,
         "corpus_source_drift": _q_corpus_source_drift,
+        "docs_encode_bpe": _q_docs_encode_bpe,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -7489,6 +7592,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_term_counts": ORACLE_SKETCH_TERM_COUNTS,
         "corpus_source_drift": ORACLE_CORPUS_SOURCE_DRIFT,
         "docs_top_terms_per_source": ORACLE_DOCS_TOP_TERMS_PER_SOURCE,
+        "docs_encode_bpe": _oracle_docs_encode_bpe(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

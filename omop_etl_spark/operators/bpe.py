@@ -1,0 +1,210 @@
+"""Deterministic byte-pair-encoding (BPE) subword tokenization.
+
+A real LLM training pipeline feeds subword IDS, not whitespace tokens
+— this module supplies the encode step for a GIVEN merges table (the
+tokenizer is trained offline; encoding must be deterministic and
+engine-replayable, like the rest of this repo's operators).
+
+Algorithm (the standard encode-time BPE, as in the original NMT BPE
+and GPT-2 tokenizers): a word starts as its character sequence;
+repeatedly find the LOWEST-RANK merge whose pair occurs adjacently and
+replace every left-to-right non-overlapping occurrence; stop when no
+merge applies. Final symbols map to ids through a fixed vocabulary
+(base characters first, then one id per merge output, in rank order).
+
+Scale design — the Python work is VOCABULARY-sized, never corpus-sized:
+
+1. tokenize to words JVM-side (``split`` + ``filter``);
+2. encode each DISTINCT word once with an Arrow-batched pandas UDF
+   (the word->subword expansion is inherently sequential per word —
+   this is the one place Python is the right tool; batch shape is
+   one string column in, one ``array<int>`` column out);
+3. hash-join the encoded vocabulary back to the word stream and do
+   all per-document assembly (flatten / counts / sums) JVM-side.
+
+Word frequency is Zipfian, so the distinct-word frame is orders of
+magnitude smaller than the token stream at any SF; the join back is a
+plain equi-join (AQE handles the hot-word skew).
+
+The left-to-right replace semantics are chosen to be bit-identical to
+a SQL ``replace()`` replay over separator-delimited symbol strings —
+that is what makes the DuckDB recursive-CTE oracle for
+``docs_encode_bpe`` (__spark_entry__.py) an independent full-value
+check of this implementation.
+
+Reference parity: the reference has no tokenizer (it compiles YAML to
+SQL); this operator is part of the training-data surface this repo
+adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "DEFAULT_MERGES",
+    "BASE_SYMBOLS",
+    "bpe_vocab",
+    "encode_words",
+    "encode_documents",
+    "py_encode_word",
+]
+
+#: Base vocabulary: the only characters surviving the repo-standard
+#: ``[^a-z0-9]+`` tokenization. ids 0..35.
+BASE_SYMBOLS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+#: A small, fixed English-ish merges table (rank = list position;
+#: merged symbol = concatenation). Outputs are unique strings, so the
+#: symbol -> id map is well-defined. In production the table comes from
+#: offline tokenizer training; a fixed table keeps every gate query
+#: SF-independent.
+DEFAULT_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("t", "i"), ("e", "s"), ("t", "e"), ("a", "r"), ("o", "u"),
+    ("n", "d"), ("a", "l"), ("in", "g"), ("s", "t"), ("l", "e"),
+    ("m", "e"), ("c", "o"), ("d", "e"), ("i", "s"), ("i", "t"),
+    ("o", "f"), ("an", "d"), ("er", "s"), ("th", "at"), ("ou", "r"),
+    ("h", "e"), ("t", "o"), ("u", "s"), ("l", "l"), ("o", "o"),
+    ("e", "e"), ("s", "e"), ("c", "h"), ("s", "h"), ("p", "r"),
+    ("w", "h"), ("a", "s"), ("w", "it"), ("wit", "h"), ("f", "or"),
+    ("c", "on"), ("p", "a"), ("m", "a"), ("d", "i"), ("l", "i"),
+    ("0", "0"), ("1", "9"), ("2", "0"), ("t", "s"), ("e", "d"),
+]
+
+
+def bpe_vocab(merges: list[tuple[str, str]] = DEFAULT_MERGES) -> dict[str, int]:
+    """symbol -> id: base characters 0..35, then merge outputs in rank
+    order (first occurrence wins when two merges share an output)."""
+    vocab = {c: i for i, c in enumerate(BASE_SYMBOLS)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def py_encode_word(
+    word: str, merges: list[tuple[str, str]], vocab: dict[str, int]
+) -> list[int]:
+    """Pure-Python single-word encode — the exact semantics the pandas
+    UDF applies per batch and the SQL oracle replays with replace():
+    lowest-rank applicable merge, all left-to-right non-overlapping
+    occurrences at once."""
+    syms = list(word)
+    while True:
+        best = None
+        for rank, (a, b) in enumerate(merges):
+            found = any(
+                syms[i] == a and syms[i + 1] == b for i in range(len(syms) - 1)
+            )
+            if found:
+                best = (a, b)
+                break
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return [vocab[s] for s in syms]
+
+
+def encode_words(
+    words: DataFrame,
+    word_col: str = "word",
+    merges: list[tuple[str, str]] | None = None,
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Add ``ids_col: array<int>`` to a frame of (distinct) words.
+
+    One Arrow batch in, one out; the merges table travels to executors
+    in the UDF closure (it is vocabulary-sized by contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mg = list(DEFAULT_MERGES if merges is None else merges)
+    vocab = bpe_vocab(mg)
+
+    @pandas_udf("array<int>")
+    def _encode(col):  # pragma: no cover - runs on executors
+        import pandas as pd
+
+        # self-contained copy of py_encode_word: a nested function is
+        # cloudpickled BY VALUE, so executors need no omop_etl_spark
+        # import (the driver may run from any cwd). Kept in lockstep by
+        # tests/test_bpe.py::test_encode_words_matches_python.
+        def encode_word(word):
+            syms = list(word)
+            while True:
+                best = None
+                for a, b in mg:
+                    if any(
+                        syms[i] == a and syms[i + 1] == b
+                        for i in range(len(syms) - 1)
+                    ):
+                        best = (a, b)
+                        break
+                if best is None:
+                    break
+                a, b = best
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return [vocab[s] for s in syms]
+
+        cache: dict[str, list[int]] = {}
+
+        def enc(w):
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = encode_word(w)
+            return got
+
+        return pd.Series([enc(w) for w in col])
+
+    return words.withColumn(ids_col, _encode(F.col(word_col)))
+
+
+def encode_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Encode whole documents: returns ``(id_col, pos, word,
+    token_ids)`` — one row per word occurrence in document order, ids
+    from the distinct-word encode joined back.
+
+    Documents with no ``[a-z0-9]`` token produce no rows (standard
+    explode semantics). Callers wanting the flat per-document id
+    sequence aggregate with ``collect_list(struct(pos, token_ids))`` +
+    ``array_sort`` + ``flatten`` — see ``docs_encode_bpe``.
+    """
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    encoded = encode_words(
+        words.select("word").distinct(), "word", merges
+    )
+    return words.join(encoded, "word").select(
+        id_col, "pos", "word", "token_ids"
+    )

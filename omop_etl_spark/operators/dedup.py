@@ -308,6 +308,52 @@ def jaccard_pairs(
 
 
 
+def _containment_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate ``(contained_id, container_id)`` pairs for
+    :func:`containment_pairs` — contained-side prefix filter joined
+    against the full container-side index, recall exactly 1.0.
+
+    Exposed as its own stage so the skew stress test
+    (tests/test_properties.py::test_containment_boilerplate_skew_stress)
+    can assert the candidate volume stays O(docs) on a hot-shingle
+    corpus: the contained-side prefix picks each document's
+    corpus-RAREST shingles, so boilerplate grams never enter the probe
+    side unless a document consists almost entirely of them.
+    """
+    from pyspark import StorageLevel
+
+    sh = spread(df).select(
+        F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
+    )
+    inv = sh.select(
+        F.col("__id"),
+        F.size("__sh").alias("__sz"),
+        F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    pref = _prefix_postings(inv, threshold)
+    return (
+        pref.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") != F.col("b.__id"))
+            & (F.col("b.__sz") >= F.col("a.__sz") * F.lit(float(threshold))),
+        )
+        .select(
+            F.col("a.__id").alias("contained_id"),
+            F.col("b.__id").alias("container_id"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -348,30 +394,8 @@ def containment_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = spread(df).select(
-        F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
-    )
-    inv = sh.select(
-        F.col("__id"),
-        F.size("__sh").alias("__sz"),
-        F.explode(F.transform("__sh", lambda g: F.xxhash64(g))).alias("__g"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    pref = _prefix_postings(inv, threshold)
-    cand = (
-        pref.alias("a")
-        .join(
-            inv.alias("b"),
-            (F.col("a.__g") == F.col("b.__g"))
-            & (F.col("a.__id") != F.col("b.__id"))
-            & (F.col("b.__sz") >= F.col("a.__sz") * F.lit(float(threshold))),
-        )
-        .select(
-            F.col("a.__id").alias("contained_id"),
-            F.col("b.__id").alias("container_id"),
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _containment_candidates(df, id_col, text_col, n, threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     cand_ids = (
         cand.select(F.col("contained_id").alias("__cid"))
