@@ -116,6 +116,15 @@ def main() -> None:
     # line: short metric string, 2-decimal per-query times, no small-SF
     # map.  Full-precision detail (incl. the sf0.01 pass) goes to
     # bench_detail.json next to this script.
+    # host-load indicator (VERDICT r7 #7): BENCH_r07 read 10% slower
+    # than the builder's quiet run purely from neighbor load; the
+    # 1-minute loadavg at bench end lets a reader separate noise from
+    # regression without forensics (32 hardware threads -> load1 well
+    # above 32 means contended numbers).
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load1 = -1.0
     out = {
         "metric": f"total sec, all queries, best-of-{runs} noop-sink runs"
         + (", +60s/failed query" if errors else ""),
@@ -123,6 +132,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
+        "load1": load1,
     }
     if errors:
         out["errors"] = len(errors)
@@ -132,6 +142,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load1": load1,
     }
     if errors:
         detail["errors"] = errors

@@ -11,6 +11,7 @@ from .events import (
     stream_kmv_distinct,
     dq_monitor_stream,
     stream_latest_state,
+    stream_cdc_state,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "stream_kmv_distinct",
     "dq_monitor_stream",
     "stream_latest_state",
+    "stream_cdc_state",
 ]

@@ -466,6 +466,95 @@ def stream_latest_state(
     )
 
 
+def stream_cdc_state(
+    stream: DataFrame,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Streaming CDC materialization WITH deletes — the streaming twin
+    of ``temporal.apply_cdc`` (VERDICT r7 #6: ``stream_latest_state``
+    could keep the latest value but never drop a key).
+
+    Per key, the change with the highest ``ord_col`` wins, whatever
+    order batches arrive in; each micro-batch emits the winning
+    ``(ord, op, value)`` for every key that received data. An
+    append-mode stream cannot retract, so a delete is emitted as a row
+    with ``op = delete_op`` and NULL value — the consumer materializes
+    the current table as "last emission per key where op != delete_op"
+    (exactly what the replay test folds, and what a keyed sink's
+    tombstone write does).
+
+    Like ``apply_cdc``, results are a pure function of the change set
+    only when ``ord_col`` totally orders each key's changes (a log
+    sequence number); on an ord tie the greater ``(op, value)`` string
+    pair wins (NULL loses), applied identically within and across
+    batches so batching still cannot change the outcome. State per key
+    is one (ord, op, value) triple — a deleted key keeps its tombstone
+    so late pre-delete changes cannot resurrect it (bound the live-key
+    set upstream with retention if keys churn forever).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_type = dict(zip(stream.schema.names, stream.schema))[key_col].dataType.simpleString()
+
+    def cdc_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+
+        def pair(op, val):
+            # deterministic tie order on (op, value): encode None as
+            # the minimum so NULL loses to any value
+            return ((op is not None, op or ""), (val is not None, val or ""))
+
+        def wins(o, op, v, bo, bop, bv):
+            if bo is None or o > bo:
+                return True
+            if o < bo:
+                return False
+            return pair(op, v) > pair(bop, bv)
+
+        best_ord, best_op, best_val = (
+            state.get if state.exists else (None, None, None)
+        )
+        saw = False
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                saw = True
+                o = int(row[ord_col])
+                op = None if pd.isna(row[op_col]) else str(row[op_col])
+                v = None if pd.isna(row[value_col]) else str(row[value_col])
+                if wins(o, op, v, best_ord, best_op, best_val):
+                    best_ord, best_op, best_val = o, op, v
+        state.update((best_ord, best_op, best_val))
+        if saw:
+            out_val = None if best_op == delete_op else best_val
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    ord_col: [best_ord],
+                    op_col: [best_op],
+                    value_col: [out_val],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        cdc_fn,
+        outputStructType=(
+            f"{key_col} {key_type}, {ord_col} long, "
+            f"{op_col} string, {value_col} string"
+        ),
+        stateStructType="best_ord long, best_op string, best_val string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_burst_dedup(
     stream: DataFrame,
     keys: Sequence[str],

@@ -1,0 +1,131 @@
+"""Scale-growth probe (VERDICT r7 #4): measure, don't argue.
+
+Times the heaviest registry queries at sf0.1 (driver data) and at the
+generated distribution-preserving sf1 (scripts/gen_scale_testdata.py,
+10x rows, constant dup-rate/fan-out) on the same local[32] session,
+then reports the time ratio per query. On a fixed 32-thread box a
+scan-bound query should grow ~<=10x for 10x data; the per-query
+``expect`` notes the operators whose CONTRACT is super-linear (exact
+all-pairs cosine is O(n^2) by definition) so the table separates
+"algorithm is quadratic on purpose" from "plan fell over".
+
+Writes SCALEPROBE.json (full numbers) and prints a markdown table for
+SCALE.md.
+
+Usage: python scripts/scale_probe.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = str(Path(__file__).resolve().parent.parent / "testdata_sf1")
+
+#: query -> expected growth note ("linear" unless the operator's
+#: contract is inherently super-linear in n)
+PROBE = {
+    "docs_curate_full": "linear (gates+LSH+chunk; buckets banded)",
+    "docs_training_export": "linear (stats-gated prefix sums)",
+    "dedup_clusters": "linear (CC rounds log n)",
+    "dedup_near_clusters": "linear (banded buckets)",
+    "dedup_minhash_lsh": "linear (banded buckets)",
+    "docs_containment_dup": "linear (prefix-filtered candidates)",
+    "docs_soft_dedup_weights": "linear",
+    "docs_leakage_safe_split": "linear",
+    "parts_triangle_count": "O(E^1.5) contract (degree-ordered)",
+    "embed_dedup_clusters": "O(n^2) contract (exact cosine pairs)",
+    "embed_project": "linear (d x d partials)",
+    "etl_fk_remap": "linear (hash joins)",
+    "docs_incremental_dedup": "linear",
+    "docs_tfidf": "linear (term-doc pairs)",
+    "ngram_jaccard_pairs": "linear-ish (prefix index; rare-gram join)",
+    "docs_encode_bpe": "linear (distinct-word python, JVM stream)",
+    "supplier_pareto": "linear (distributed rank above stats gate)",
+    "part_golden_records": "linear (blocked comparisons)",
+}
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALEPROBE.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from omop_etl_spark.conf import apply_recommended
+
+    spark = (
+        apply_recommended(SparkSession.builder.master(f"local[{cpus}]"), int(cpus))
+        .config("spark.sql.warehouse.dir", "/tmp/scaleprobe-wh")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .appName("omop-etl-spark-scale-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(256).repartition(int(cpus)).mapInPandas(_identity, "id long").count()
+
+    qs = entrymod.queries()
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    def timed(fn, d):
+        fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    rows = []
+    for name, note in PROBE.items():
+        try:
+            t01 = timed(qs[name], SF01)
+            t1 = timed(qs[name], SF1)
+            ratio = round(t1 / t01, 1) if t01 > 0 else -1.0
+            rows.append(
+                {"query": name, "sf0_1_s": t01, "sf1_s": t1, "ratio": ratio,
+                 "expect": note}
+            )
+            print(f"# {name}: {t01}s -> {t1}s  ({ratio}x)  [{note}]",
+                  file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001
+            rows.append({"query": name, "error": f"{type(exc).__name__}: {exc}"[:200]})
+            print(f"# {name}: FAILED {exc}", file=sys.stderr, flush=True)
+
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = -1.0
+    doc = {"cpus": int(cpus), "runs_best_of": runs, "load1_at_end": load1,
+           "sf1_dir": SF1, "rows": rows}
+    Path(out_json).write_text(json.dumps(doc, indent=1) + "\n")
+
+    print("| query | sf0.1 s | sf1 s | ratio | expected shape |")
+    print("| --- | --- | --- | --- | --- |")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['query']} | ERROR | | | {r['error']} |")
+        else:
+            print(
+                f"| {r['query']} | {r['sf0_1_s']} | {r['sf1_s']} "
+                f"| {r['ratio']}x | {r['expect']} |"
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -285,3 +285,103 @@ def test_stream_interval_join_left_outer_emits_unmatched_after_watermark(
     # l1 matched r1; l2 unmatched -> null; l3 matched r103
     assert (1, 101) in got and (3, 103) in got
     assert (2, None) in got, f"unmatched left row never emitted: {got}"
+
+
+def test_stream_cdc_with_deletes_three_batch_prefix_equals_apply_cdc(
+    spark, tmp_path
+):
+    """VERDICT r7 #6: streaming CDC must handle DELETES. Feed a change
+    log (unique per-key seq, interleaved I/U/D, out-of-order arrival)
+    as 3 parquet micro-batches; after every prefix, the materialized
+    state (last emission per key, tombstones dropped) must equal
+    temporal.apply_cdc run on the same prefix in batch."""
+    import os
+
+    import pandas as pd
+
+    from omop_etl_spark.operators.temporal import apply_cdc
+    from omop_etl_spark.streaming import stream_cdc_state
+
+    # per-key seq is unique (the CDC contract); arrival order is NOT
+    # seq order: k1's delete (seq 30) arrives in batch 2, a stale
+    # update (seq 20) in batch 3 — it must not resurrect the key.
+    batches = [
+        pd.DataFrame(
+            {
+                "k": ["k1", "k2", "k3"],
+                "seq": [10, 11, 12],
+                "op": ["I", "I", "I"],
+                "v": ["a1", "b1", "c1"],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "k": ["k1", "k2", "k4"],
+                "seq": [30, 21, 13],
+                "op": ["D", "U", "I"],
+                "v": [None, "b2", "d1"],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "k": ["k1", "k3", "k4"],
+                "seq": [20, 32, 40],
+                "op": ["U", "U", "D"],
+                "v": ["a_stale", "c2", None],
+            }
+        ),
+    ]
+    d = tmp_path / "cdc_in"
+    d.mkdir()
+    paths = []
+    for i, pdf in enumerate(batches):
+        p = d / f"b{i}.parquet"
+        pdf.to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        paths.append(str(p))
+
+    stream = (
+        spark.readStream.schema("k string, seq long, op string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    emitted = []
+
+    def capture(bdf, bid):
+        for r in bdf.collect():
+            emitted.append((bid, r["k"], r["seq"], r["op"], r["v"]))
+
+    q = (
+        stream_cdc_state(stream, "k", "seq", "v")
+        .writeStream.foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert max(b for b, *_ in emitted) + 1 == 3
+
+    for upto in range(3):
+        # stream-side materialization: last emission per key, drop
+        # tombstones
+        last = {}
+        for bid, k, seq, op, v in emitted:
+            if bid <= upto:
+                last[k] = (seq, op, v)
+        got = {k: (seq, v) for k, (seq, op, v) in last.items() if op != "D"}
+
+        prefix = spark.read.parquet(*paths[: upto + 1])
+        want = {
+            r["k"]: (r["seq"], r["v"])
+            for r in apply_cdc(prefix, ["k"], "seq").collect()
+        }
+        assert got == want, f"prefix {upto}: stream != apply_cdc"
+
+    # end state sanity: k1 and k4 deleted, k2/k3 at their newest values
+    final = {}
+    for bid, k, seq, op, v in emitted:
+        final[k] = (seq, op, v)
+    assert final["k1"] == (30, "D", None)
+    assert final["k4"] == (40, "D", None)
+    assert final["k2"] == (21, "U", "b2")
+    assert final["k3"] == (32, "U", "c2")
