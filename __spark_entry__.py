@@ -7285,6 +7285,260 @@ GROUP BY ws.doc_id
 """
 
 
+def _q_docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source — tokens-per-word and
+    chars-per-token, the go/no-go numbers for a tokenizer against a
+    corpus slice (high fertility on one source = that slice trains
+    expensively). Integer ppm ratios via `div` (exact in both
+    engines); the encode reuses the distinct-word BPE path of
+    docs_encode_bpe, so Python cost is vocabulary-sized."""
+    from omop_etl_spark.operators.bpe import encode_documents
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    enc = encode_documents(docs)
+    j = enc.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("word_chars"),
+            F.sum(F.size("token_ids")).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "word_chars",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_words").alias(
+                "tokens_per_word_ppm"
+            ),
+            F.expr("(word_chars * 1000000) div n_tokens").alias(
+                "chars_per_token_ppm"
+            ),
+        )
+    )
+
+
+def _oracle_docs_bpe_fertility() -> str:
+    from omop_etl_spark.operators.bpe import DEFAULT_MERGES, bpe_vocab
+
+    merges_rows = ", ".join(
+        f"({rank}, '|{a}|{b}|', '|{a + b}|')"
+        for rank, (a, b) in enumerate(DEFAULT_MERGES)
+    )
+    vocab_rows = ", ".join(
+        f"('{sym}', {vid})" for sym, vid in bpe_vocab(DEFAULT_MERGES).items()
+    )
+    return f"""
+WITH RECURSIVE
+merges(rank, pat, rep) AS (VALUES {merges_rows}),
+vocab(sym, id) AS (VALUES {vocab_rows}),
+words AS (
+  SELECT doc_id, t.w AS word
+  FROM documents,
+       (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w) t
+  WHERE t.w <> ''
+),
+winit AS (
+  SELECT word, '|' || array_to_string(string_split(word, ''), '|') || '|' AS s
+  FROM (SELECT DISTINCT word FROM words) w0
+),
+enc AS (
+  SELECT word, s FROM winit
+  UNION ALL
+  SELECT word, replace(s, arg_min(pat, rank), arg_min(rep, rank)) AS s
+  FROM (SELECT e.word, e.s, m.pat, m.rep, m.rank
+        FROM enc e JOIN merges m ON contains(e.s, m.pat)) t
+  GROUP BY word, s
+),
+final AS (
+  SELECT word, s FROM enc e
+  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))
+),
+wenc AS (
+  SELECT word, len(string_split(trim(s, '|'), '|')) AS n_tok FROM final
+),
+agg AS (
+  SELECT d.source,
+         COUNT(*) AS n_words,
+         SUM(length(ws.word)) AS word_chars,
+         SUM(we.n_tok) AS n_tokens
+  FROM words ws
+  JOIN wenc we ON ws.word = we.word
+  JOIN documents d ON ws.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((n_tokens * 1000000) // n_words AS BIGINT) AS tokens_per_word_ppm,
+       CAST((word_chars * 1000000) // n_tokens AS BIGINT) AS chars_per_token_ppm
+FROM agg
+"""
+
+
+def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type value quantiles (p50/p90/p99, discrete) via the
+    histogram decomposition — per-(type, cent-value) counts first, a
+    cumulative window over that VALUE-DOMAIN-bounded frame second, a
+    conditional-min third. Never sorts facts inside a per-type
+    reducer: the naive `row_number() OVER (PARTITION BY type ORDER BY
+    value)` puts N/|types| rows in one task — the same single-reducer
+    cliff the global-window ban exists for, partitioned edition. Rank
+    indices are pure integer arithmetic (floor(p*(n-1))+1 as
+    (k*(n-1))//d + 1), so both engines pick the identical element."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    hist = ev.groupBy("event_type", vc.alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    j = cum.join(F.broadcast(tot), "event_type")
+
+    def idx(k: int, d: int):
+        return (F.lit(k) * (F.col("n") - 1)) / F.lit(d)
+
+    def pick(k: int, d: int):
+        i = F.floor(idx(k, d)).cast("bigint") + 1
+        return F.min(F.when(F.col("cum") >= i, F.col("v")))
+
+    return (
+        j.groupBy("event_type", "n")
+        .agg(
+            pick(1, 2).cast("bigint").alias("p50_cents"),
+            pick(9, 10).cast("bigint").alias("p90_cents"),
+            pick(99, 100).cast("bigint").alias("p99_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "p50_cents",
+            "p90_cents",
+            "p99_cents",
+        )
+    )
+
+
+ORACLE_EVENTS_VALUE_QUANTILES = """
+WITH hist AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+tot AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+SELECT c.event_type,
+       CAST(t.n AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN c.cum >= (1 * (t.n - 1)) // 2 + 1 THEN c.v END)
+            AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN c.cum >= (9 * (t.n - 1)) // 10 + 1 THEN c.v END)
+            AS BIGINT) AS p90_cents,
+       CAST(MIN(CASE WHEN c.cum >= (99 * (t.n - 1)) // 100 + 1 THEN c.v END)
+            AS BIGINT) AS p99_cents
+FROM cum c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.n
+"""
+
+
+def _q_docs_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by REAL tokenizer cost: per-doc BPE token
+    counts (docs_encode_bpe's path) fed into
+    sampling.pack_sequences with a 512-token budget — the exact
+    doc->training-sequence step, now measured in the unit the trainer
+    bills in. Bin assignment is the ordered exclusive prefix sum
+    (stats-gated distributed decomposition above the size
+    threshold)."""
+    from omop_etl_spark.operators.bpe import encode_documents
+    from omop_etl_spark.operators.sampling import pack_sequences
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    per_doc = (
+        encode_documents(docs)
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("token_ids")).cast("bigint").alias("bpe_tokens"))
+    )
+    packed = pack_sequences(
+        per_doc, cost_col="bpe_tokens", order_col="doc_id", budget=512
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bpe_tokens").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+def _oracle_docs_pack_bpe() -> str:
+    from omop_etl_spark.operators.bpe import DEFAULT_MERGES, bpe_vocab
+
+    merges_rows = ", ".join(
+        f"({rank}, '|{a}|{b}|', '|{a + b}|')"
+        for rank, (a, b) in enumerate(DEFAULT_MERGES)
+    )
+    vocab_rows = ", ".join(
+        f"('{sym}', {vid})" for sym, vid in bpe_vocab(DEFAULT_MERGES).items()
+    )
+    return f"""
+WITH RECURSIVE
+merges(rank, pat, rep) AS (VALUES {merges_rows}),
+vocab(sym, id) AS (VALUES {vocab_rows}),
+words AS (
+  SELECT doc_id, t.w AS word
+  FROM documents,
+       (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w) t
+  WHERE t.w <> ''
+),
+winit AS (
+  SELECT word, '|' || array_to_string(string_split(word, ''), '|') || '|' AS s
+  FROM (SELECT DISTINCT word FROM words) w0
+),
+enc AS (
+  SELECT word, s FROM winit
+  UNION ALL
+  SELECT word, replace(s, arg_min(pat, rank), arg_min(rep, rank)) AS s
+  FROM (SELECT e.word, e.s, m.pat, m.rep, m.rank
+        FROM enc e JOIN merges m ON contains(e.s, m.pat)) t
+  GROUP BY word, s
+),
+final AS (
+  SELECT word, s FROM enc e
+  WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))
+),
+wenc AS (
+  SELECT word, len(string_split(trim(s, '|'), '|')) AS n_tok FROM final
+),
+per_doc AS (
+  SELECT ws.doc_id, SUM(we.n_tok) AS bpe_tokens
+  FROM words ws JOIN wenc we ON ws.word = we.word
+  GROUP BY ws.doc_id
+),
+packed AS (
+  SELECT doc_id, bpe_tokens,
+         COALESCE(SUM(bpe_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM per_doc
+)
+SELECT CAST(FLOOR(cum / CAST(512 AS DOUBLE)) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS bin_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -7308,6 +7562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_pareto": _q_supplier_pareto,
         "corpus_source_drift": _q_corpus_source_drift,
         "docs_encode_bpe": _q_docs_encode_bpe,
+        "docs_bpe_fertility": _q_docs_bpe_fertility,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "docs_pack_bpe": _q_docs_pack_bpe,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -7593,6 +7850,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_source_drift": ORACLE_CORPUS_SOURCE_DRIFT,
         "docs_top_terms_per_source": ORACLE_DOCS_TOP_TERMS_PER_SOURCE,
         "docs_encode_bpe": _oracle_docs_encode_bpe(),
+        "docs_bpe_fertility": _oracle_docs_bpe_fertility(),
+        "events_value_quantiles": ORACLE_EVENTS_VALUE_QUANTILES,
+        "docs_pack_bpe": _oracle_docs_pack_bpe(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
