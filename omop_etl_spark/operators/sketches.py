@@ -193,6 +193,14 @@ def cm_sketch_counts(
     then one map-side-combined aggregate: heavy hitters collapse
     before the exchange, and the exchange itself is at most
     ``depth * width`` rows per task.
+
+    STREAMING twin: this same function applied to a streaming
+    DataFrame in ``update`` output mode — cells are sums, so Spark's
+    built-in streaming aggregation state (≤ depth*width keys, bounded
+    forever) IS the sketch; no custom state operator needed.
+    Prefix-equals-batch proven in
+    tests/test_text_sources_streaming_sketch.py::
+    test_stream_cm_sketch_prefix_equals_batch.
     """
     if depth < 1 or width < 1:
         raise ValueError("cm_sketch_counts requires depth, width >= 1")

@@ -300,3 +300,65 @@ def test_stream_latest_state_tie_resolution_batching_independent(spark, tmp_path
         ],
     )
     assert one_batch == split == {"a": (7, "zebra")}
+
+
+def test_stream_cm_sketch_prefix_equals_batch(spark, tmp_path):
+    """The count-min sketch is a pure sum over (row, bucket) cells, so
+    the BATCH operator is already a valid streaming aggregation: run
+    cm_sketch_counts directly on a stream in update mode and after
+    every micro-batch the folded state (last emission per cell) must
+    equal the batch sketch over the prefix. No custom state code — the
+    mergeable-cells property IS the streaming design."""
+    import os
+
+    import pandas as pd
+
+    from omop_etl_spark.operators.sketches import cm_sketch_counts
+
+    d = tmp_path / "cm_in"
+    d.mkdir()
+    batches = [
+        pd.DataFrame({"term": ["spark"] * 5 + ["flink", "duck"]}),
+        pd.DataFrame({"term": ["spark"] * 3 + ["duck"] * 4}),
+        pd.DataFrame({"term": ["trino", "spark", "duck"]}),
+    ]
+    paths = []
+    for i, pdf in enumerate(batches):
+        p = d / f"b{i}.parquet"
+        pdf.to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        paths.append(str(p))
+
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    emitted = []
+
+    def capture(bdf, bid):
+        for r in bdf.collect():
+            emitted.append((bid, r["row"], r["bucket"], r["cnt"]))
+
+    q = (
+        cm_sketch_counts(stream, "term", depth=4, width=64)
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert max(b for b, *_ in emitted) + 1 == 3
+
+    for upto in range(3):
+        folded = {}
+        for bid, row, bucket, cnt in emitted:
+            if bid <= upto:
+                folded[(row, bucket)] = cnt
+        prefix = spark.read.parquet(*paths[: upto + 1])
+        want = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cm_sketch_counts(prefix, "term", depth=4, width=64).collect()
+        }
+        assert folded == want, f"prefix {upto}: stream != batch sketch"
