@@ -7539,6 +7539,182 @@ GROUP BY 1
 """
 
 
+def _q_events_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running spend that RESETS at each signup event — the
+    counter-reset / statement-close cumulative pattern
+    (operators/temporal.segmented_cumsum: inclusive reset-count window
+    defines the segment, a second window partitioned by (user, seg)
+    does the sum; both windows partitioned, never global). Integer
+    cents keep the running sum engine-exact."""
+    from omop_etl_spark.operators.temporal import segmented_cumsum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+        (F.col("event_type") == "signup").alias("is_reset"),
+    )
+    out = segmented_cumsum(
+        base,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="vc",
+        reset_col="is_reset",
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("seg"),
+        F.col("cum"),
+    )
+
+
+ORACLE_EVENTS_RESET_CUMSUM = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS r
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, ts, vc,
+         SUM(r) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM e
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(seg AS BIGINT) AS seg,
+       CAST(SUM(vc) OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum
+FROM s
+"""
+
+
+def _q_events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-4 core of the user<->event-type bipartite graph after 3
+    peel rounds (operators/graph.kcore_peel) — the dense-engagement
+    subgraph ('users active across >=4 surfaces, surfaces with such
+    users'). Fixed round count keeps the result an exact function of
+    the input; the oracle unrolls the same 3 rounds as CTEs, like the
+    PageRank gate. Each round: one degree aggregate + two semi-joins,
+    all hash equi-joins."""
+    from omop_etl_spark.operators.graph import kcore_peel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fwd = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    core = kcore_peel(edges, k=4, rounds=3)
+    return (
+        core.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .orderBy("node")
+    )
+
+
+def _oracle_events_kcore(k: int = 4, rounds: int = 3) -> str:
+    step = """
+k{i} AS (SELECT src FROM (SELECT src, COUNT(*) AS c FROM e{p} GROUP BY src) d
+         WHERE c >= {k}),
+e{i} AS (SELECT e.src, e.dst FROM e{p} e
+         JOIN k{i} a ON e.src = a.src
+         JOIN k{i} b ON e.dst = b.src)"""
+    chain = ",".join(
+        step.format(i=i + 1, p=i, k=k) for i in range(rounds)
+    )
+    return f"""
+WITH fwd AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                  't' || event_type AS dst
+  FROM events
+),
+e0 AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+{chain}
+SELECT src AS node, COUNT(*) AS deg
+FROM e{rounds}
+GROUP BY src
+ORDER BY node
+"""
+
+
+def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase attributed to the same
+    user's most recent click within 7 days (click at the same
+    timestamp counts — the deterministic tie order is (ts, click <
+    purchase, event_id)). One partitioned carry-forward window over
+    the union of clicks and purchases — the as-of pattern with zero
+    join nodes; microsecond integers keep gaps engine-exact."""
+    # ts is TIMESTAMP_NTZ in the parquet; pin the session to UTC so the
+    # NTZ->LTZ cast (required by unix_micros) is epoch-identical to the
+    # oracle's naive epoch_us (conf-set guarded: an unchanged set still
+    # invalidates cached plan state).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kf"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kf", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lc = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    out = (
+        base.withColumn("__lc", lc)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "__lc_in",
+            F.when(
+                F.col("__lc") >= F.expr("ts - INTERVAL 7 DAYS"), F.col("__lc")
+            ),
+        )
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("__lc_in").alias("last_click_us"),
+        (F.unix_micros("ts") - F.unix_micros("__lc_in")).alias("gap_us"),
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = """
+WITH base AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kf
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, kf, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+  FROM base
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(CASE WHEN lc >= ts - INTERVAL 7 DAY THEN lc END)
+            AS BIGINT) AS last_click_us,
+       CAST(epoch_us(ts) - epoch_us(CASE WHEN lc >= ts - INTERVAL 7 DAY
+                                         THEN lc END) AS BIGINT) AS gap_us
+FROM carried
+WHERE event_type = 'purchase'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -7565,6 +7741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_fertility": _q_docs_bpe_fertility,
         "events_value_quantiles": _q_events_value_quantiles,
         "docs_pack_bpe": _q_docs_pack_bpe,
+        "events_reset_cumsum": _q_events_reset_cumsum,
+        "events_kcore": _q_events_kcore,
+        "events_attribution": _q_events_attribution,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -7853,6 +8032,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_fertility": _oracle_docs_bpe_fertility(),
         "events_value_quantiles": ORACLE_EVENTS_VALUE_QUANTILES,
         "docs_pack_bpe": _oracle_docs_pack_bpe(),
+        "events_reset_cumsum": ORACLE_EVENTS_RESET_CUMSUM,
+        "events_kcore": _oracle_events_kcore(),
+        "events_attribution": ORACLE_EVENTS_ATTRIBUTION,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -184,3 +184,35 @@ def count_triangles(
             F.col("t").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-``rounds`` k-core peeling: repeatedly delete nodes of
+    degree < ``k`` (and their incident edges). After enough rounds the
+    survivor set IS the k-core; a FIXED round count keeps the
+    computation an exact, engine-replayable function of the input (the
+    same unrolled-iteration contract as :func:`pagerank` — the oracle
+    replays each round as a CTE), and in practice the peel converges
+    in a handful of rounds on social/bipartite graphs.
+
+    Input must be symmetric for undirected semantics (pass both
+    directions, as the pagerank gate does). Each round is one degree
+    aggregate + two semi-joins — all hash equi-joins on the node key,
+    nothing quadratic, O(rounds) shuffles.
+
+    Returns the surviving edge set (same columns).
+    """
+    b = edges
+    for _ in range(rounds):
+        deg = b.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select(src)
+        b = b.join(keep, src, "left_semi").join(
+            keep.withColumnRenamed(src, dst), dst, "left_semi"
+        )
+    return b

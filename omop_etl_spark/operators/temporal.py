@@ -704,3 +704,44 @@ def upsert(
     keys = list(keys)
     kept = target.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates)
+
+
+def segmented_cumsum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    reset_col: str,
+    seg_col: str = "seg",
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Running SUM(``value_col``) per key that RESETS whenever
+    ``reset_col`` is true — meter readings after a counter reset,
+    session spend after a re-login, balance after a statement close.
+
+    The reset cannot be expressed as one window frame; the standard
+    decomposition is two stacked windows: ``seg`` = inclusive running
+    count of reset rows (so each reset row STARTS its segment and its
+    own value is the first contribution), then the running sum
+    partitioned by ``(keys..., seg)``.  Both windows are partitioned
+    (never global) and each key's frame is that key's rows — the same
+    scale class as any per-entity window.  ``order_cols`` must totally
+    order each key's rows (include a unique id) or the sums at ties
+    are ill-defined.
+    """
+    keys, order_cols = list(keys), list(order_cols)
+    w1 = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        seg_col,
+        F.sum(F.when(F.col(reset_col), 1).otherwise(0)).over(w1).cast("bigint"),
+    )
+    w2 = (
+        Window.partitionBy(*keys, seg_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.withColumn(cum_col, F.sum(value_col).over(w2).cast("bigint"))

@@ -161,3 +161,31 @@ def test_count_triangles_matches_naive_on_coorder_graph(spark):
         .count()
     )
     assert got.n_triangles == naive
+
+
+def test_kcore_peel_matches_python(spark):
+    from omop_etl_spark.operators.graph import kcore_peel
+
+    # undirected (symmetric) graph: a 4-clique with pendant chains —
+    # k=3 peeling must strip the chains and keep the clique
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+           (3, 4), (4, 5), (5, 6), (2, 7)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def py_peel(es, k, rounds):
+        es = set(es)
+        for _ in range(rounds):
+            deg = {}
+            for a, _b in es:
+                deg[a] = deg.get(a, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            es = {(a, b) for a, b in es if a in keep and b in keep}
+        return es
+
+    for k, rounds in [(3, 1), (3, 3), (2, 2), (5, 2)]:
+        got = {(r.src, r.dst) for r in kcore_peel(df, k, rounds).collect()}
+        assert got == py_peel(edges, k, rounds), (k, rounds)
+    # the 3-core after enough rounds is exactly the clique
+    final = {(r.src, r.dst) for r in kcore_peel(df, 3, 4).collect()}
+    assert {a for a, _ in final} == {0, 1, 2, 3}

@@ -550,3 +550,33 @@ def test_upsert_merge_shape(spark):
     )
     got = sorted(map(tuple, upsert(target, updates, ["k"]).collect()))
     assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+
+
+def test_segmented_cumsum_matches_python(spark):
+    import random
+
+    from omop_etl_spark.operators.temporal import segmented_cumsum
+
+    rng = random.Random(8)
+    rows = [
+        (k, i, rng.randrange(-5, 20), rng.random() < 0.2)
+        for k in range(6)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k long, i long, v long, r boolean")
+    got = {
+        (x.k, x.i): (x.seg, x.cum)
+        for x in segmented_cumsum(df, ["k"], ["i"], "v", "r").collect()
+    }
+    want = {}
+    for k in range(6):
+        seg, cum = 0, 0
+        for kk, i, v, r in sorted(rows):
+            if kk != k:
+                continue
+            if r:
+                seg += 1
+                cum = 0
+            cum += v
+            want[(k, i)] = (seg, cum)
+    assert got == want
