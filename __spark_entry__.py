@@ -696,8 +696,10 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # orders.o_orderdate is TIMESTAMP_NTZ in the parquet; pin the
     # session to UTC so the NTZ->LTZ cast is epoch-identical to the
-    # oracle's naive-timestamp semantics.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # oracle's naive-timestamp semantics (get-compare guard: an
+    # unchanged conf.set still invalidates cached plan state).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     out = asof_join(
