@@ -90,20 +90,30 @@ def py_encode_word(
     """Pure-Python single-word encode — the exact semantics the pandas
     UDF applies per batch and the SQL oracle replays with replace():
     lowest-rank applicable merge, all left-to-right non-overlapping
-    occurrences at once."""
+    occurrences at once.
+
+    The applicable-merge search is a pair->rank dict over the word's
+    ADJACENT pairs (O(L) per step), not a scan of the merges table in
+    rank order (O(M) per step) — identical result ("the minimum over
+    applicable ranks" commutes), but viable for production-sized
+    tables (a 30k-merge tokenizer would make the rank-scan ~500x
+    slower per step). Kept in lockstep with the UDF's nested copy by
+    tests/test_bpe.py; large-table equivalence pinned by
+    test_large_merge_table_matches_rank_scan."""
+    rank_of = {pair: r for r, pair in reversed(list(enumerate(merges)))}
     syms = list(word)
-    while True:
-        best = None
-        for rank, (a, b) in enumerate(merges):
-            found = any(
-                syms[i] == a and syms[i + 1] == b for i in range(len(syms) - 1)
-            )
-            if found:
-                best = (a, b)
-                break
+    while len(syms) > 1:
+        best = min(
+            (
+                (rank_of[p], p)
+                for p in zip(syms, syms[1:])
+                if p in rank_of
+            ),
+            default=None,
+        )
         if best is None:
             break
-        a, b = best
+        a, b = best[1]
         out: list[str] = []
         i = 0
         while i < len(syms):
@@ -140,20 +150,22 @@ def encode_words(
         # cloudpickled BY VALUE, so executors need no omop_etl_spark
         # import (the driver may run from any cwd). Kept in lockstep by
         # tests/test_bpe.py::test_encode_words_matches_python.
+        rank_of = {pair: r for r, pair in reversed(list(enumerate(mg)))}
+
         def encode_word(word):
             syms = list(word)
-            while True:
-                best = None
-                for a, b in mg:
-                    if any(
-                        syms[i] == a and syms[i + 1] == b
-                        for i in range(len(syms) - 1)
-                    ):
-                        best = (a, b)
-                        break
+            while len(syms) > 1:
+                best = min(
+                    (
+                        (rank_of[p], p)
+                        for p in zip(syms, syms[1:])
+                        if p in rank_of
+                    ),
+                    default=None,
+                )
                 if best is None:
                     break
-                a, b = best
+                a, b = best[1]
                 out, i = [], 0
                 while i < len(syms):
                     if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:

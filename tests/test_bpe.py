@@ -76,3 +76,63 @@ def test_encode_is_arrow_batched_not_rowwise(spark):
     plan = encode_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_large_merge_table_matches_rank_scan(spark):
+    """Production tokenizers carry tens of thousands of merges; the
+    dict-based lowest-pair search must equal the naive scan of the
+    merges table in rank order, and the Spark encode must agree, on a
+    500-merge table generated from corpus bigram statistics."""
+    import random
+
+    rng = random.Random(99)
+    # synthesize a 500-merge table over the base alphabet: start from
+    # random char pairs, then chain merges so outputs feed later rules
+    merges, symbols = [], [c for c in BASE_SYMBOLS]
+    seen = set()
+    while len(merges) < 500:
+        a, b = rng.choice(symbols), rng.choice(symbols)
+        if (a, b) in seen or len(a + b) > 12:
+            continue
+        seen.add((a, b))
+        merges.append((a, b))
+        symbols.append(a + b)
+    vocab = bpe_vocab(merges)
+
+    def naive(word):
+        syms = list(word)
+        while True:
+            best = None
+            for a, b in merges:  # rank order
+                if any(
+                    syms[i] == a and syms[i + 1] == b
+                    for i in range(len(syms) - 1)
+                ):
+                    best = (a, b)
+                    break
+            if best is None:
+                break
+            a, b = best
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return [vocab[s] for s in syms]
+
+    words = [
+        "".join(rng.choice(BASE_SYMBOLS) for _ in range(rng.randrange(1, 15)))
+        for _ in range(60)
+    ]
+    for w in words:
+        assert py_encode_word(w, merges, vocab) == naive(w), w
+
+    df = spark.createDataFrame([(w,) for w in set(words)], "word string")
+    got = {
+        r.word: list(r.token_ids) for r in encode_words(df, merges=merges).collect()
+    }
+    assert got == {w: naive(w) for w in set(words)}
