@@ -53,6 +53,12 @@ PROBE = {
     "docs_encode_bpe": "linear (distinct-word python, JVM stream)",
     "supplier_pareto": "linear (distributed rank above stats gate)",
     "part_golden_records": "linear (blocked comparisons)",
+    "docs_bpe_fertility": "linear (distinct-word python, JVM agg)",
+    "docs_pack_bpe": "linear (stats-gated prefix sum)",
+    "events_value_quantiles": "linear (value-domain histogram)",
+    "events_reset_cumsum": "linear (per-user partitioned windows)",
+    "events_attribution": "linear (per-user carry-forward window)",
+    "events_kcore": "linear-ish (3 rounds of degree agg + semi-joins)",
 }
 
 
