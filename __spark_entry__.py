@@ -5466,9 +5466,19 @@ def _q_part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster elects canonical attributes — min id as the record key,
     lexicographically-first name (a deterministic canonicalization
     rule), min retail price in cents, and the member count. The MDM
-    composition: match -> cluster -> merge, each stage the documented
-    scale shape (blocked distance work, O(log n) CC rounds,
-    one hash aggregate for the merge)."""
+    composition: EXACT-collapse -> fuzzy match -> cluster -> merge.
+
+    The exact-collapse stage is the scale fix the sf1 probe demanded:
+    blocking keys (brand, first name word) have a bounded domain, so
+    block SIZES grow linearly with SF and the within-block Levenshtein
+    volume quadratically (measured 10.6x for 10x data on the
+    duplicated-name probe corpus). Identical (name, brand) records are
+    first collapsed to one representative (a hash aggregate — the
+    exact_dedup shape), fuzzy matching runs over DISTINCT names only,
+    and members rejoin their representative as zero-cost edges before
+    CC — same clusters (same-name records are distance 0), compare
+    volume O(distinct-names-per-block^2), which the value domain
+    bounds."""
     from omop_etl_spark.operators.cluster import assign_clusters
     from omop_etl_spark.operators.fuzzy import fuzzy_self_match
 
@@ -5479,12 +5489,21 @@ def _q_part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
         F.split(F.col("p_name"), " ")[0].alias("block"),
     )
-    pairs = fuzzy_self_match(
-        part, id_col="pid", text_col="name",
+    reps = part.groupBy("name", "brand", "block").agg(
+        F.min("pid").alias("rep")
+    )
+    rep_pairs = fuzzy_self_match(
+        reps, id_col="rep", text_col="name",
         block_on=["brand", "block"], max_distance=2,
     )
+    member_edges = (
+        part.join(reps.select("name", "brand", "rep"), ["name", "brand"])
+        .filter(F.col("pid") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("pid").alias("id_b"))
+    )
+    pairs = rep_pairs.select("id_a", "id_b").unionByName(member_edges)
     clustered = assign_clusters(
-        part.select("pid"), pairs.select("id_a", "id_b"), id_col="pid"
+        part.select("pid"), pairs, id_col="pid"
     ).join(part.select("pid", "name", "price_cents"), "pid")
     return (
         clustered.groupBy("cluster_id")
