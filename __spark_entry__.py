@@ -7736,6 +7736,322 @@ WHERE event_type = 'purchase'
 """
 
 
+
+def _q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality via a HyperLogLog
+    sketch over a PUBLIC hash (operators/sketches.hll_registers) — the
+    mergeable counterpart to `sketch_distinct_users`'s KMV: registers
+    merge with element-wise MAX, so 1000 executors can sketch 100 TB
+    and combine state in one O(groups * 4096)-row shuffle. Every
+    output column is exactly integral (the raw estimator is ONE exact
+    decimal(38,0) integer division; the linear-counting branch rides
+    the floor-scaled-micro pattern of unigram_logprob_scores), so the
+    DuckDB oracle replays sketch AND estimate bit-for-bit."""
+    from omop_etl_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    return hll_estimate(regs, ["event_type"])
+
+
+_HLL_NUM = 7213 * 4096 * 4096 * 4096 * (1 << 61)
+_HLL_DEN_ALPHA = 10000 * 4096 + 10790
+
+ORACLE_SKETCH_HLL_USERS = f"""
+WITH h AS (
+  SELECT event_type, md5(concat('hll|', CAST(user_id AS VARCHAR))) AS hx
+  FROM events
+),
+parts AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(hx, 1, 3)) AS BIGINT) AS bucket,
+         regexp_replace(substr(hx, 4, 15), '^0+', '') AS stripped
+  FROM h
+),
+rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN stripped = '' THEN 61
+              ELSE (15 - length(stripped)) * 4
+                   + CASE WHEN substr(stripped, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                          WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 1
+                          WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+                          ELSE 3 END + 1 END AS rho
+  FROM parts
+),
+regs AS (SELECT event_type, bucket, MAX(rho) AS register FROM rho GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_present,
+         SUM(register) AS reg_sum,
+         SUM(CAST((CAST(1 AS BIGINT) << (61 - register)) AS HUGEINT)) AS ssum
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CAST(n_present AS BIGINT) AS n_present,
+         CAST(4096 - n_present AS BIGINT) AS v_empty,
+         CAST(reg_sum AS BIGINT) AS reg_sum,
+         CAST(CAST('{_HLL_NUM}' AS HUGEINT) //
+              ({_HLL_DEN_ALPHA} * (ssum + (4096 - n_present) * CAST('{1 << 61}' AS HUGEINT)))
+              AS BIGINT) AS est_raw
+  FROM agg
+)
+SELECT event_type, n_present, v_empty, reg_sum, est_raw,
+       CASE WHEN v_empty > 0
+            THEN 4096 * CAST(floor(ln(4096.0 / v_empty) * 1000000) AS BIGINT)
+       END AS est_lc_micro,
+       CASE WHEN v_empty > 0 AND est_raw * 2 <= 5 * 4096
+            THEN 4096 * CAST(floor(ln(4096.0 / v_empty) * 1000000) AS BIGINT)
+            ELSE est_raw * 1000000 END AS est_micro
+FROM est
+"""
+
+
+def _q_docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    bigram LM (operators/chunking.bigram_surprisal_scores) — the
+    transition-aware quality signal unigram perplexity misses:
+    shuffled/garbled text has common words in rare ORDERS. Per-bigram-
+    type logprob is floor-scaled to bigint once; per-doc accumulation
+    is an exact integer sum."""
+    from omop_etl_spark.operators.chunking import bigram_surprisal_scores
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return bigram_surprisal_scores(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_bigrams",
+        "sum_lp_micro",
+        "mean_logprob",
+    )
+
+
+ORACLE_DOCS_BIGRAM_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, greatest(len(tk), 1))) AS r(i)
+),
+bg_tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, SUM(tf) AS c12 FROM bg_tf GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+logp AS (
+  SELECT c12.w1, c12.w2,
+         CAST(floor(ln(c12 / CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(t.tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(t.tf * l.lp) AS BIGINT) AS sum_lp_micro,
+       round(SUM(t.tf * l.lp) / (SUM(t.tf) * 1000000.0), 6) AS mean_logprob
+FROM bg_tf t JOIN logp l ON t.w1 = l.w1 AND t.w2 = l.w2
+GROUP BY t.doc_id
+"""
+
+
+def _q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely mean-shift day per event type by the CUSUM statistic
+    (operators/temporal.cusum_changepoints) — drift detection on the
+    ingestion-volume series. Facts aggregate to a daily grain FIRST, so
+    the per-type window state is days, not events; the scaled deviation
+    `n*prefix - t*total` is pure int64, bit-identical in any engine."""
+    from omop_etl_spark.operators.temporal import cusum_changepoints
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return cusum_changepoints(daily, ["event_type"], "day", "cnt").select(
+        "event_type",
+        F.col("cp_at").alias("cp_day"),
+        "cp_dev_scaled",
+        F.col("n_points").alias("n_days"),
+        F.col("total_value").alias("total_events"),
+    )
+
+
+ORACLE_EVENTS_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM daily
+),
+dev AS (
+  SELECT event_type, day, abs(n * pre - t * tot) AS adev, n, tot,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * pre - t * tot) DESC, day) AS rn
+  FROM scored
+)
+SELECT event_type, day AS cp_day, CAST(adev AS BIGINT) AS cp_dev_scaled,
+       CAST(n AS BIGINT) AS n_days, CAST(tot AS BIGINT) AS total_events
+FROM dev WHERE rn = 1
+"""
+
+
+def _q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quintile segmentation per
+    customer — the classic CRM scoring. The three quintile assignments
+    ride operators/rank.ranked_running_sum (distributed global rank,
+    stats-gated) + ntile_from_rank, NOT a partition-less ntile()
+    window: the per-customer aggregate is SF-LINEAR, exactly the frame
+    the plan scanner bans single-reducer sorts over. Ordering is made
+    unique with the custkey tiebreak so NTILE is deterministic in both
+    engines."""
+    from omop_etl_spark.operators.rank import ntile_from_rank, ranked_running_sum
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    od = F.to_date("o_orderdate")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.max(od).alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    bounds = orders.agg(F.max(od).alias("__maxd"))
+    nrow = per_c.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    base = (
+        per_c.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "recency_days", F.datediff(F.col("__maxd"), F.col("__last")).cast("bigint")
+        )
+        .drop("__maxd", "__last")
+    )
+    r1 = ranked_running_sum(
+        base,
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        "n_orders",
+        rank_col="__r_rank",
+        cum_col="__c1",
+    ).drop("__c1")
+    r2 = ranked_running_sum(
+        r1,
+        [F.col("n_orders").desc(), F.col("o_custkey").asc()],
+        "n_orders",
+        rank_col="__f_rank",
+        cum_col="__c2",
+    ).drop("__c2")
+    r3 = ranked_running_sum(
+        r2,
+        [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
+        "n_orders",
+        rank_col="__m_rank",
+        cum_col="__c3",
+    ).drop("__c3")
+    out = r3.crossJoin(F.broadcast(nrow)).select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        "recency_days",
+        "n_orders",
+        "monetary_cents",
+        ntile_from_rank("__r_rank", "__n", 5).alias("r_tile"),
+        ntile_from_rank("__f_rank", "__n", 5).alias("f_tile"),
+        ntile_from_rank("__m_rank", "__n", 5).alias("m_tile"),
+    )
+    return out.withColumn(
+        "rfm_code",
+        (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")).cast("int"),
+    )
+
+
+ORACLE_ORDERS_RFM = """
+WITH per_c AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS monetary_cents,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+base AS (
+  SELECT o_custkey, n_orders, monetary_cents,
+         date_diff('day', last_order, maxd) AS recency_days
+  FROM per_c, mx
+),
+tiled AS (
+  SELECT o_custkey, recency_days, n_orders, monetary_cents,
+         NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+         NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_tile,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_tile
+  FROM base
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       monetary_cents,
+       CAST(r_tile AS INT) AS r_tile,
+       CAST(f_tile AS INT) AS f_tile,
+       CAST(m_tile AS INT) AS m_tile,
+       CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS rfm_code
+FROM tiled
+"""
+
+
+def _q_cust_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue laid out by months-since-cohort — the standard
+    retention/LTV report. One per-customer aggregate for the cohort
+    key, one fact join back on the customer key (hash, SF-linear both
+    sides), one bounded (months x months) aggregate. All-integer
+    outputs."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    od = F.to_date("o_orderdate")
+    cohort = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min(od), "month").alias("cohort_month")
+    )
+    j = orders.select(
+        "o_custkey",
+        od.alias("__d"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("__cents"),
+    ).join(cohort, "o_custkey")
+    age = (
+        (F.year("__d") * 12 + F.month("__d"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("int")
+    return (
+        j.groupBy("cohort_month", age.alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("__cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE_CUST_COHORT_LTV = """
+WITH firsts AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS DATE) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT f.cohort_month,
+         (year(CAST(o.o_orderdate AS DATE)) * 12 + month(CAST(o.o_orderdate AS DATE)))
+         - (year(f.cohort_month) * 12 + month(f.cohort_month)) AS age_months,
+         o.o_custkey,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT cohort_month,
+       CAST(age_months AS INT) AS age_months,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(cents) AS revenue_cents
+FROM j GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -7765,6 +8081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_reset_cumsum": _q_events_reset_cumsum,
         "events_kcore": _q_events_kcore,
         "events_attribution": _q_events_attribution,
+        "sketch_hll_users": _q_sketch_hll_users,
+        "docs_bigram_surprisal": _q_docs_bigram_surprisal,
+        "events_changepoint": _q_events_changepoint,
+        "orders_rfm": _q_orders_rfm,
+        "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -8056,6 +8377,11 @@ def oracle_sql() -> dict[str, str]:
         "events_reset_cumsum": ORACLE_EVENTS_RESET_CUMSUM,
         "events_kcore": _oracle_events_kcore(),
         "events_attribution": ORACLE_EVENTS_ATTRIBUTION,
+        "sketch_hll_users": ORACLE_SKETCH_HLL_USERS,
+        "docs_bigram_surprisal": ORACLE_DOCS_BIGRAM_SURPRISAL,
+        "events_changepoint": ORACLE_EVENTS_CHANGEPOINT,
+        "orders_rfm": ORACLE_ORDERS_RFM,
+        "cust_cohort_ltv": ORACLE_CUST_COHORT_LTV,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

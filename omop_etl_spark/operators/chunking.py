@@ -35,6 +35,7 @@ __all__ = [
     "token_cooccurrence",
     "build_vocab",
     "encode_tokens",
+    "bigram_surprisal_scores",
 ]
 
 
@@ -418,4 +419,68 @@ def encode_tokens(
             ).alias("ids"),
         )
         .select(F.col(id_col), F.col("n_tokens").cast("bigint"), "ids")
+    )
+
+
+def bigram_surprisal_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram LM — one rung up the perplexity ladder from
+    :func:`unigram_logprob_scores`: repetitive boilerplate scores HIGH
+    (its transitions are corpus-frequent) while shuffled/garbled text
+    scores LOW even when its unigrams are common, which is exactly the
+    signal a quality gate wants for machine-generated spam.
+
+    ``p(w2|w1) = c(w1,w2) / c(w1, *)`` with counts from the corpus
+    itself, so every document bigram is observed (no smoothing term
+    needed).  Documents with fewer than two tokens emit no bigrams and
+    drop out — callers union them back with NULL scores if required.
+
+    Determinism contract (same as the unigram operator): the per-
+    bigram-TYPE logprob is floor-scaled to bigint micro-units once,
+    so per-doc accumulation is an exact integer sum; only the final
+    mean is a rounded float.
+
+    Shuffle profile: one doc-bigram count, one corpus-bigram count
+    (vocab^2-bounded, in practice far smaller), one w1-marginal agg,
+    and joins back on bigram keys — all hash-partitioned; no windows,
+    no per-doc sort.
+    """
+    toks = spread(df).select(F.col(id_col), _term_tokens(text_col).alias("__toks"))
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+                "slice(__toks, 2, greatest(size(__toks) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    bg_tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = bg_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    logp = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.log(F.col("c12") / F.col("c1")) * 1_000_000)
+        .cast("bigint")
+        .alias("__lp"),
+    )
+    return (
+        bg_tf.join(logp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("__lp")).cast("bigint").alias("sum_lp_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_lp_micro",
+            F.round(
+                F.col("sum_lp_micro") / (F.col("n_bigrams") * 1_000_000.0), 6
+            ).alias("mean_logprob"),
+        )
     )

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..planner.surrogate import use_small_frame_path
 
-__all__ = ["ranked_running_sum"]
+__all__ = ["ranked_running_sum", "ntile_from_rank"]
 
 
 def ranked_running_sum(
@@ -110,3 +110,32 @@ def ranked_running_sum(
         )
         .drop("__rk_pid", "__rk_cnt_off", "__rk_sum_off")
     )
+
+
+def ntile_from_rank(rank_col: str | Column, n_col: str | Column, k: int) -> Column:
+    """``NTILE(k)`` reconstructed from a precomputed global rank and
+    row count — the missing piece that lets quantile bucketing (RFM
+    scores, decile reports) ride :func:`ranked_running_sum`'s
+    distributed rank instead of a partition-less ``ntile()`` window
+    (the single-reducer shape tests/test_plan_quality.py bans over
+    SF-linear frames).
+
+    Matches SQL NTILE exactly: with ``n = q*k + r0``, the first ``r0``
+    tiles get ``q + 1`` rows.  Ceil rides integer arithmetic
+    (``(a + b - 1) div b`` via ``floor`` over an exact binary64
+    quotient — exact while ranks stay below 2^52, i.e. any real
+    frame), so engines agree bit-for-bit.  The rank must come from a
+    UNIQUE ordering (tiebreak key included) — NTILE over a non-unique
+    order is nondeterministic in any engine.
+    """
+    if k < 1:
+        raise ValueError("ntile_from_rank requires k >= 1")
+    r = F.col(rank_col) if isinstance(rank_col, str) else rank_col
+    n = F.col(n_col) if isinstance(n_col, str) else n_col
+    q = F.floor(n / k).cast("bigint")
+    r0 = (n - q * k).cast("bigint")
+    big = r0 * (q + 1)
+    qs = F.greatest(q, F.lit(1))
+    first = F.floor((r + q) / (q + 1)).cast("bigint")
+    rest = (r0 + F.floor((r - big + qs - 1) / qs)).cast("bigint")
+    return F.when(r <= big, first).otherwise(rest).cast("int")

@@ -42,7 +42,14 @@ from pyspark.sql import functions as F
 
 from .sampling import unit_hash
 
-__all__ = ["kmv_distinct", "kmv_set_similarity", "cm_sketch_counts", "cm_estimate"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_set_similarity",
+    "cm_sketch_counts",
+    "cm_estimate",
+    "hll_registers",
+    "hll_estimate",
+]
 
 
 def kmv_distinct(
@@ -270,3 +277,130 @@ def cm_estimate(
         .agg(F.min("cnt").cast("bigint").alias("est_count"))
     )
     return est.select(F.col("__v").alias(value_col), "est_count")
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    b: int = 12,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HyperLogLog registers over a *public* hash — the
+    mergeable cardinality sketch (Flajolet et al. 2007) with none of
+    the engine-private register layout of ``approx_count_distinct``.
+
+    Sketch state is ``(group, bucket, register)`` rows: bucket = the
+    first ``b`` bits of ``md5(salt|value)``, register = the max over
+    the group's values of ``rho`` (position of the first 1-bit in the
+    next 60 bits, so ``1..61``).  ``MAX`` makes the state mergeable:
+    registers of a union are the element-wise max of the parts'
+    registers — the property that lets 1000 executors sketch 100 TB
+    with one ``O(groups * 2^b)``-row shuffle (map-side partial MAX
+    collapses everything bigger).
+
+    Engine portability: ``rho`` is computed entirely with STRING ops
+    on the md5 hex (strip leading zero nybbles, classify the first
+    non-zero hex digit) — no float, no engine-specific bit intrinsics
+    — so a DuckDB oracle replays the registers bit-for-bit.
+
+    ``b`` must be a multiple of 4 (bucket = whole hex nybbles),
+    4 <= b <= 16; default 4096 buckets (~1.6% standard error).
+    """
+    if b % 4 != 0 or not 4 <= b <= 16:
+        raise ValueError("hll_registers requires b in {4, 8, 12, 16}")
+    gcols = list(group_cols)
+    nyb = b // 4
+    hx = F.md5(F.concat(F.lit(f"{salt}|"), F.col(value_col).cast("string")))
+    bucket = F.conv(F.substring(hx, 1, nyb), 16, 10).cast("bigint")
+    stripped = F.regexp_replace(F.substring(hx, nyb + 1, 15), "^0+", "")
+    first = F.substring(stripped, 1, 1)
+    lz_digit = (
+        F.when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(0))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .when(first.isin("2", "3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rho = (
+        F.when(stripped == "", F.lit(61))
+        .otherwise((F.lit(15) - F.length(stripped)) * 4 + lz_digit + 1)
+        .cast("int")
+    )
+    return (
+        df.select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    b: int = 12,
+) -> DataFrame:
+    """Cardinality estimates from :func:`hll_registers` state, with
+    every column either exactly integral or floor-scaled once — the
+    same determinism contract as :func:`kmv_distinct`, so a SQL oracle
+    reproduces the sketch AND the estimate bit-for-bit.
+
+    * ``n_present`` / ``v_empty`` — buckets with/without data.
+    * ``reg_sum`` — ``SUM(register)``: a compact exact checksum of the
+      full register state (pins the sketch in correctness gates).
+    * ``est_raw`` — the raw HLL estimator ``alpha_m * m^2 / Z`` where
+      ``Z = sum(2^-register)`` over all ``m`` buckets, computed as ONE
+      exact integer division: ``2^-register`` is scaled by ``2^61``
+      into exact int64 terms summed in decimal(38,0), and
+      ``alpha_m = 0.7213 / (1 + 1.079 / m)`` enters as the exact
+      rational ``7213*m / (10000*m + 10790)`` — so no float touches
+      the estimate at all.
+    * ``est_lc_micro`` — linear-counting correction
+      ``m * ln(m / V)`` in floor-scaled micro-units (the one libm
+      call, floored once per group — the accepted pattern of
+      ``unigram_logprob_scores``); NULL when every bucket is hit.
+    * ``est_micro`` — the standard estimator choice, scaled 1e6:
+      linear counting when ``est_raw <= 2.5m`` and empty buckets
+      remain, else ``est_raw * 1e6``.
+    """
+    if b % 4 != 0 or not 4 <= b <= 16:
+        raise ValueError("hll_estimate requires b in {4, 8, 12, 16}")
+    gcols = list(group_cols)
+    m = 1 << b
+    two61 = 1 << 61
+    num = 7213 * m * m * m * two61  # alpha numerator * m^2 * 2^61
+    den_alpha = 10000 * m + 10790
+    agg = registers.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum("register").cast("bigint").alias("reg_sum"),
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - register) AS DECIMAL(38,0))")
+        ).alias("__ssum"),
+    )
+    est_raw = F.expr(
+        f"CAST(CAST({num} AS DECIMAL(38,0)) div "
+        f"(CAST({den_alpha} AS DECIMAL(38,0)) * "
+        f"(__ssum + CAST(({m} - n_present) AS DECIMAL(38,0)) * CAST({two61} AS DECIMAL(38,0)))) "
+        "AS BIGINT)"
+    )
+    v_empty = (F.lit(m) - F.col("n_present")).cast("bigint")
+    est_lc_micro = F.when(
+        v_empty > 0,
+        F.lit(m)
+        * F.floor(F.log(F.lit(float(m)) / v_empty) * 1_000_000).cast("bigint"),
+    ).cast("bigint")
+    out = agg.select(
+        *gcols,
+        "n_present",
+        v_empty.alias("v_empty"),
+        "reg_sum",
+        est_raw.alias("est_raw"),
+        est_lc_micro.alias("est_lc_micro"),
+    )
+    est_micro = (
+        F.when(
+            (F.col("v_empty") > 0) & (F.col("est_raw") * 2 <= 5 * m),
+            F.col("est_lc_micro"),
+        )
+        .otherwise(F.col("est_raw") * 1_000_000)
+        .cast("bigint")
+    )
+    return out.withColumn("est_micro", est_micro)

@@ -43,6 +43,7 @@ __all__ = [
     "burst_dedup",
     "apply_cdc",
     "upsert",
+    "cusum_changepoints",
 ]
 
 
@@ -745,3 +746,63 @@ def segmented_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return out.withColumn(cum_col, F.sum(value_col).over(w2).cast("bigint"))
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_prefix: str = "cp",
+) -> DataFrame:
+    """Single most-likely mean-shift point per group by the CUSUM
+    statistic — where does each series stop looking like its own
+    average?  (Page 1954; the standard first pass of drift detection
+    on ingestion-volume / metric series.)
+
+    For the group's series ``x_1..x_n`` in ``order_col`` order, the
+    deviation at ``t`` is ``S_t = prefix_t - t * mean``; the change
+    point is the ``t`` maximizing ``|S_t|`` (earliest wins ties).  To
+    keep both engines bit-identical the statistic is scaled by ``n``:
+    ``dev_t = n * prefix_t - t * total`` — pure int64 (headroom:
+    ``n * total`` must stay under 2^63, which holds for any per-group
+    series up to ~3e9 points of 1e9-scale values aggregated first —
+    callers aggregate facts to a bounded grain, e.g. daily, before
+    calling).
+
+    Output: one row per group — ``<prefix>_at`` (the order key at the
+    change point), ``<prefix>_dev_scaled`` (``|dev|``, scaled by n),
+    ``n_points``, ``total_value``.
+
+    Scale: windows are PARTITIONED by the group key; per-reducer state
+    is one group's series at the aggregated grain, never the fact
+    table.  No partition-less window anywhere.
+    """
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(order_col)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy(*gcols)
+    scored = (
+        df.select(*gcols, order_col, F.col(value_col).cast("bigint").alias("__v"))
+        .withColumn("__t", F.row_number().over(w).cast("bigint"))
+        .withColumn("__pre", F.sum("__v").over(wf).cast("bigint"))
+        .withColumn("__n", F.count(F.lit(1)).over(wg).cast("bigint"))
+        .withColumn("__tot", F.sum("__v").over(wg).cast("bigint"))
+        .withColumn(
+            "__dev", F.col("__n") * F.col("__pre") - F.col("__t") * F.col("__tot")
+        )
+    )
+    pick = Window.partitionBy(*gcols).orderBy(
+        F.abs(F.col("__dev")).desc(), F.col(order_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *gcols,
+            F.col(order_col).alias(f"{out_prefix}_at"),
+            F.abs(F.col("__dev")).alias(f"{out_prefix}_dev_scaled"),
+            F.col("__n").alias("n_points"),
+            F.col("__tot").alias("total_value"),
+        )
+    )
