@@ -8052,6 +8052,124 @@ FROM j GROUP BY 1, 2
 """
 
 
+
+def _q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of the part catalog on (price, size):
+    the points no other part dominates on both dimensions — the
+    classic multi-criteria shortlist operator. Points first collapse
+    to distinct (price_cents, size) aggregates; the dominance test is
+    then ONE exclusive global running-min of size under (price, size)
+    order — operators/rank.running_extreme, the same range-repartition
+    + broadcast-prefix decomposition as ranked_running_sum (MIN
+    replacing SUM), so no partition-less window ever sees the
+    SF-linear frame. After dedup, a point is dominated iff any
+    predecessor in (price asc, size asc) order has size <= mine, i.e.
+    iff the exclusive running min <= my size."""
+    from omop_etl_spark.operators.rank import running_extreme
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pts = part.groupBy(
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        "p_size",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    sl = running_extreme(
+        pts,
+        [F.col("price_cents").asc(), F.col("p_size").asc()],
+        "p_size",
+        out_col="__pm",
+        inclusive=False,
+    )
+    return sl.filter(
+        F.col("__pm").isNull() | (F.col("__pm") > F.col("p_size"))
+    ).select("price_cents", F.col("p_size").cast("int").alias("p_size"), "n_parts")
+
+
+ORACLE_PART_SKYLINE = """
+WITH pts AS (
+  SELECT CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+         p_size, COUNT(*) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+m AS (
+  SELECT *, MIN(p_size) OVER (ORDER BY price_cents, p_size
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM pts
+)
+SELECT price_cents, CAST(p_size AS INT) AS p_size, CAST(n_parts AS BIGINT) AS n_parts
+FROM m WHERE pm IS NULL OR pm > p_size
+"""
+
+
+def _q_orders_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prune, measured: build a portable Bloom
+    filter (operators/sketches.bloom_build, m=4096 k=3, public md5
+    hashes) over the negative-balance customer blacklist, probe every
+    ordering customer, and score it against exact membership. The
+    filter is a <= m-row bit frame — broadcast at any scale — and the
+    zero in n_false_neg is the Bloom guarantee the gate pins every
+    round: members ALWAYS pass; only false POSITIVES are possible."""
+    from omop_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    members = cust.filter(F.col("c_acctbal") < 0).select("c_custkey").distinct()
+    bits = bloom_build(members, "c_custkey", m=4096, k=3)
+    probes = orders.select("o_custkey").distinct()
+    probed = bloom_probe(probes, bits, "o_custkey", m=4096, k=3)
+    mem = members.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("__m"))
+    j = probed.join(mem, "o_custkey", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(F.when(F.col("bloom_pass") & F.col("__m").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.when(~F.col("bloom_pass") & F.col("__m").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )
+
+
+ORACLE_ORDERS_BLOOM_PROBE = """
+WITH members AS (
+  SELECT DISTINCT c_custkey AS v FROM customer WHERE c_acctbal < 0
+),
+mb AS (
+  SELECT DISTINCT
+    (CAST(concat('0x', substr(md5(concat('bloom', CAST(i AS VARCHAR), '|',
+                                         CAST(v AS VARCHAR))), 1, 8)) AS BIGINT)
+     % 4096) AS bit
+  FROM members, (VALUES (0), (1), (2)) t(i)
+),
+probes AS (SELECT DISTINCT o_custkey AS v FROM orders),
+legs AS (
+  SELECT v, i,
+    (CAST(concat('0x', substr(md5(concat('bloom', CAST(i AS VARCHAR), '|',
+                                         CAST(v AS VARCHAR))), 1, 8)) AS BIGINT)
+     % 4096) AS bit
+  FROM probes, (VALUES (0), (1), (2)) t(i)
+),
+hits AS (
+  SELECT l.v, COUNT(mb.bit) AS nhit
+  FROM legs l LEFT JOIN mb ON l.bit = mb.bit
+  GROUP BY l.v
+),
+flags AS (
+  SELECT h.v, (nhit = 3) AS pass, (m.v IS NOT NULL) AS is_member
+  FROM hits h LEFT JOIN members m ON h.v = m.v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN is_member AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+FROM flags
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -8086,6 +8204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": _q_events_changepoint,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
+        "part_skyline": _q_part_skyline,
+        "orders_bloom_probe": _q_orders_bloom_probe,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -8382,6 +8502,8 @@ def oracle_sql() -> dict[str, str]:
         "events_changepoint": ORACLE_EVENTS_CHANGEPOINT,
         "orders_rfm": ORACLE_ORDERS_RFM,
         "cust_cohort_ltv": ORACLE_CUST_COHORT_LTV,
+        "part_skyline": ORACLE_PART_SKYLINE,
+        "orders_bloom_probe": ORACLE_ORDERS_BLOOM_PROBE,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

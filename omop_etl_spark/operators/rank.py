@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..planner.surrogate import use_small_frame_path
 
-__all__ = ["ranked_running_sum", "ntile_from_rank"]
+__all__ = ["ranked_running_sum", "ntile_from_rank", "running_extreme"]
 
 
 def ranked_running_sum(
@@ -139,3 +139,78 @@ def ntile_from_rank(rank_col: str | Column, n_col: str | Column, k: int) -> Colu
     first = F.floor((r + q) / (q + 1)).cast("bigint")
     rest = (r0 + F.floor((r - big + qs - 1) / qs)).cast("bigint")
     return F.when(r <= big, first).otherwise(rest).cast("int")
+
+
+def running_extreme(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "run_min",
+    agg: str = "min",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running MIN/MAX of ``value_col`` under ``ORDER BY
+    order_cols`` — the same distributed decomposition as
+    :func:`ranked_running_sum` (range-repartition, per-partition
+    extreme, broadcast prefix extremes, finishing window PARTITIONED
+    by the range-partition id), for the running-aggregate shapes SUM
+    can't express: Pareto frontiers / skyline pruning ("is anything
+    before me already smaller?"), record-to-date series, monotone
+    envelope checks.
+
+    ``inclusive=False`` gives the EXCLUSIVE frame (strict
+    predecessors only, SQL's ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING``): the first row's value is NULL.  ``order_cols``
+    should be a unique ordering for deterministic results.
+
+    MIN/MAX are idempotent monoids, so the partition-extreme merge is
+    exact — no numeric-type caveats; ``value_col``'s type is
+    preserved.
+    """
+    if agg not in ("min", "max"):
+        raise ValueError("running_extreme supports agg in {'min', 'max'}")
+    from pyspark import StorageLevel
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    fa = F.min if agg == "min" else F.max
+    combine = F.least if agg == "min" else F.greatest
+    end = Window.currentRow if inclusive else -1
+
+    if num_partitions is None and use_small_frame_path(df):
+        w = Window.orderBy(*cols).rowsBetween(Window.unboundedPreceding, end)
+        return df.withColumn(out_col, fa(value_col).over(w))
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    # persist is load-bearing: repartitionByRange samples boundaries
+    # per plan instantiation (see ranked_running_sum).
+    ranged = df.repartitionByRange(num_partitions, *cols).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pid = ranged.withColumn("__rx_pid", F.spark_partition_id())
+    totals = pid.groupBy("__rx_pid").agg(fa(value_col).alias("__rx_ext"))
+    # exclusive prefix extreme over <= num_partitions rows — the only
+    # partition-less window, frame bounded by config not data.
+    w_off = Window.orderBy("__rx_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__rx_pid", fa("__rx_ext").over(w_off).alias("__rx_off")
+    )
+    w_in = (
+        Window.partitionBy("__rx_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = fa(value_col).over(w_in)
+    return (
+        pid.join(F.broadcast(offsets), "__rx_pid")
+        .withColumn(
+            out_col,
+            F.when(local.isNull(), F.col("__rx_off"))
+            .when(F.col("__rx_off").isNull(), local)
+            .otherwise(combine(local, F.col("__rx_off"))),
+        )
+        .drop("__rx_pid", "__rx_off")
+    )

@@ -49,6 +49,8 @@ __all__ = [
     "cm_estimate",
     "hll_registers",
     "hll_estimate",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 
@@ -404,3 +406,89 @@ def hll_estimate(
         .cast("bigint")
     )
     return out.withColumn("est_micro", est_micro)
+
+
+def _bloom_positions(value: Column, m: int, k: int, salt: str) -> Column:
+    """Array of ``k`` bit positions in ``[0, m)`` for ``value``, each
+    from an independently-salted md5 — pure string/int ops, so any
+    engine with md5 replays the filter bit-for-bit."""
+    legs = []
+    for i in range(k):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{i}|"), value.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        legs.append(h % m)
+    return F.array(*legs)
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m: int = 8192,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter over ``value_col`` as a frame of SET BIT
+    positions (``<= m`` rows) — the classic pre-join membership prune
+    for 100 TB semi-joins: ship the bounded bit frame to every
+    executor instead of shuffling the fact side against the member
+    list.  No false negatives ever; false-positive rate
+    ``~(1 - e^(-k*n/m))^k``.
+
+    The explicit, hash-portable twin of Spark's runtime
+    ``bloomFilter`` join reduction (which is engine-private state):
+    this one is SQL-oracle-replayable and persistable as a tiny table.
+    One scan, one ``m``-bounded distinct.
+    """
+    if m < 2 or k < 1:
+        raise ValueError("bloom_build requires m >= 2, k >= 1")
+    # groupBy, not .distinct(): identical semantics, but distinct shows
+    # as Deduplicate in the ANALYZED plan while groupBy shows as
+    # Aggregate — the row-collapsing node the broadcast-hint scale
+    # guard (tests/test_plan_quality.py) recognizes between a hint and
+    # an SF-linear scan.  The bit frame is <= m rows either way.
+    return (
+        df.select(
+            F.explode(_bloom_positions(F.col(value_col), m, k, salt)).alias("bit")
+        )
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("bit")
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    value_col: str,
+    m: int = 8192,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe every (distinct) ``value_col`` against a
+    :func:`bloom_build` bit frame: adds ``bloom_pass`` — true iff all
+    ``k`` of the value's bits are set (so true members ALWAYS pass).
+
+    The bit frame is ``<= m`` rows — broadcast at any scale; the probe
+    explodes to ``k`` rows per distinct value, aggregates back with a
+    count-of-hits compare.  Nothing SF-linear crosses the network
+    twice.
+    """
+    if m < 2 or k < 1:
+        raise ValueError("bloom_probe requires m >= 2, k >= 1")
+    pr = probes.select(F.col(value_col).alias("__v")).distinct()
+    legs = pr.select(
+        "__v", F.explode(_bloom_positions(F.col("__v"), m, k, salt)).alias("bit")
+    )
+    hit = legs.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return (
+        hit.groupBy("__v")
+        .agg((F.count("__set") == k).alias("bloom_pass"))
+        .select(F.col("__v").alias(value_col), "bloom_pass")
+    )

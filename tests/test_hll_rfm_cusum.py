@@ -136,3 +136,155 @@ def test_bigram_surprisal_orders_matter(spark):
     )
     out = {r["doc_id"]: r["mean_logprob"] for r in bigram_surprisal_scores(docs).collect()}
     assert out[3] < out[1]
+
+
+# ------------------------------------------------ streaming HLL twin
+def test_stream_hll_registers_prefix_equals_batch(spark, tmp_path):
+    """HLL registers are a pure MAX over (group, bucket) cells, so the
+    BATCH operator is already a valid streaming aggregation (same
+    argument as the count-min twin): run hll_registers directly on a
+    stream in update mode; after every micro-batch the folded state
+    (last emission per cell) must equal the batch registers over the
+    prefix."""
+    import os
+
+    import pandas as pd
+
+    d = tmp_path / "hll_in"
+    d.mkdir()
+    batches = [
+        pd.DataFrame({"g": ["a"] * 50 + ["b"] * 30, "v": list(range(50)) + list(range(30))}),
+        pd.DataFrame({"g": ["a"] * 40, "v": list(range(25, 65))}),
+        pd.DataFrame({"g": ["b"] * 20, "v": list(range(100, 120))}),
+    ]
+    paths = []
+    for i, pdf in enumerate(batches):
+        p = d / f"b{i}.parquet"
+        pdf.to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        paths.append(str(p))
+
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    emitted = []
+
+    def capture(bdf, bid):
+        for r in bdf.collect():
+            emitted.append((bid, r["g"], r["bucket"], r["register"]))
+
+    q = (
+        hll_registers(stream, ["g"], "v")
+        .writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert max(b for b, *_ in emitted) + 1 == 3
+
+    for upto in range(3):
+        folded = {}
+        for bid, g, bucket, reg in emitted:
+            if bid <= upto:
+                folded[(g, bucket)] = reg
+        prefix = spark.read.parquet(*paths[: upto + 1])
+        want = {
+            (r["g"], r["bucket"]): r["register"]
+            for r in hll_registers(prefix, ["g"], "v").collect()
+        }
+        assert folded == want, f"prefix {upto}: stream != batch registers"
+
+
+# ---------------------------------------------------- running extreme
+def test_running_extreme_matches_window_both_paths(spark):
+    from omop_etl_spark.operators.rank import running_extreme
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    want_incl, want_excl, mn = [], [], None
+    for k, v in sorted(rows):
+        want_excl.append((k, mn))
+        mn = v if mn is None else min(mn, v)
+        want_incl.append((k, mn))
+    for npart in (None, 7):
+        got_i = {
+            (r["k"], r["run_min"])
+            for r in running_extreme(
+                df, [F.col("k").asc()], "v", num_partitions=npart
+            ).collect()
+        }
+        got_e = {
+            (r["k"], r["run_min"])
+            for r in running_extreme(
+                df, [F.col("k").asc()], "v", inclusive=False, num_partitions=npart
+            ).collect()
+        }
+        assert got_i == set(want_incl), f"inclusive npart={npart}"
+        assert got_e == set(want_excl), f"exclusive npart={npart}"
+
+
+def test_running_extreme_max_and_validation(spark):
+    from omop_etl_spark.operators.rank import running_extreme
+
+    df = spark.createDataFrame([(1, 5), (2, 3), (3, 9)], "k long, v long")
+    got = {
+        (r["k"], r["rmax"])
+        for r in running_extreme(
+            df, [F.col("k").asc()], "v", out_col="rmax", agg="max", num_partitions=2
+        ).collect()
+    }
+    assert got == {(1, 5), (2, 5), (3, 9)}
+    with pytest.raises(ValueError):
+        running_extreme(df, ["k"], "v", agg="avg")
+
+
+# ------------------------------------------------------------ skyline
+def test_skyline_equals_dominance_bruteforce(spark):
+    from omop_etl_spark.operators.rank import running_extreme
+
+    rng = random.Random(11)
+    pts = list({(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(300)})
+    df = spark.createDataFrame(pts, "x long, y long")
+    sl = running_extreme(
+        df, [F.col("x").asc(), F.col("y").asc()], "y", out_col="pm",
+        inclusive=False, num_partitions=5,
+    ).filter(F.col("pm").isNull() | (F.col("pm") > F.col("y")))
+    got = {(r["x"], r["y"]) for r in sl.collect()}
+    want = {
+        (x, y)
+        for x, y in pts
+        if not any(
+            (a <= x and b <= y and (a < x or b < y)) for a, b in pts
+        )
+    }
+    assert got == want
+
+
+# -------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from omop_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 300).select(F.col("id").alias("v"))
+    others = spark.range(1000, 4000).select(F.col("id").alias("v"))
+    bits = bloom_build(members, "v", m=8192, k=3)
+    probed = bloom_probe(members.unionByName(others), bits, "v", m=8192, k=3)
+    rows = {r["v"]: r["bloom_pass"] for r in probed.collect()}
+    assert all(rows[v] for v in range(300)), "bloom false negative!"
+    fp = sum(1 for v in range(1000, 4000) if rows[v])
+    # n=300, m=8192, k=3 -> theoretical fp ~ 0.1%; allow generous slack
+    assert fp / 3000 < 0.02, fp
+
+
+def test_bloom_validates_params(spark):
+    from omop_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    df = spark.range(3).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        bloom_build(df, "v", m=1)
+    with pytest.raises(ValueError):
+        bloom_probe(df, df, "v", k=0)
