@@ -8170,6 +8170,167 @@ FROM flags
 """
 
 
+
+def _q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    econometric inequality summary behind "do 1% of customers drive
+    90% of revenue?".  Sample formula over values ranked ASCENDING
+    with a unique tiebreak: ``G = 2*sum(rank*v)/(n*sum(v)) - (n+1)/n``.
+    The global rank rides operators/rank.ranked_running_sum (the
+    per-customer aggregate is SF-linear — no partition-less window);
+    ``sum(rank*v)`` runs in decimal(38,0) (rank ~ 1e9 times cents ~
+    1e7 overflows int64 well below 100 TB), and the final ppm figure
+    is two exact integer divisions, bit-identical in both engines."""
+    from omop_etl_spark.operators.rank import ranked_running_sum
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("bigint").alias("v")
+    )
+    ranked = ranked_running_sum(
+        per_c,
+        [F.col("v").asc(), F.col("o_custkey").asc()],
+        "v",
+        rank_col="__rk",
+        cum_col="__cum",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("v").cast("bigint").alias("total_cents"),
+        F.sum(F.expr("CAST(__rk AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))")).alias(
+            "__s1"
+        ),
+    )
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * __s1) div "
+            "(CAST(n_customers AS DECIMAL(38,0)) * CAST(total_cents AS DECIMAL(38,0))) "
+            "- (CAST(1000000 AS DECIMAL(38,0)) * (n_customers + 1)) div "
+            "CAST(n_customers AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+ORACLE_ORDERS_GINI = """
+WITH per_c AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC, o_custkey ASC) AS rk
+  FROM per_c
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(v) AS s, SUM(CAST(rk AS HUGEINT) * v) AS s1
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS BIGINT) AS total_cents,
+       CAST((2000000 * s1) // (CAST(n AS HUGEINT) * s)
+            - (1000000 * (CAST(n AS HUGEINT) + 1)) // n AS BIGINT) AS gini_ppm
+FROM agg
+"""
+
+
+def _q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via KMV sketch MERGE
+    (operators/sketches.kmv_sliding_distinct): facts collapse once to
+    per-day sketches; the window unions SKETCHES (k-mins of a union =
+    k-mins of the k-mins), never facts — exact sliding COUNT(DISTINCT)
+    re-scans its whole window per day, the sketch path is
+    O(days * k * window). Same integral estimator as kmv_distinct, so
+    the DuckDB oracle replays everything bit-for-bit."""
+    from omop_etl_spark.operators.sketches import kmv_sliding_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_sliding_distinct(ev, "ts", "user_id", window_days=7, k=64)
+
+
+ORACLE_EVENTS_SLIDING_DISTINCT = """
+WITH day_hashes AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST(concat('0x', substr(md5(concat('kmv|', CAST(user_id AS VARCHAR))), 1, 8))
+              AS BIGINT) / 4294967296.0 AS h
+  FROM events
+),
+day_sketch AS (
+  SELECT day, h FROM (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM day_hashes
+  ) WHERE rn <= 64
+),
+fanned AS (
+  SELECT DISTINCT day + CAST(o AS INT) AS tday, h
+  FROM day_sketch, (SELECT unnest(range(0, 7)) AS o) t
+),
+active AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+windowed AS (
+  SELECT f.tday, f.h FROM fanned f JOIN active a ON f.tday = a.day
+),
+merged AS (
+  SELECT tday, COUNT(*) AS n_kept, MAX(h) AS h_k FROM (
+    SELECT tday, h, ROW_NUMBER() OVER (PARTITION BY tday ORDER BY h) AS rn
+    FROM windowed
+  ) WHERE rn <= 64
+  GROUP BY tday
+)
+SELECT tday AS day,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n_kept < 64 THEN n_kept
+                 ELSE floor(63.0 / greatest(h_k, 1.0 / 4294967296.0)) END
+            AS BIGINT) AS est_distinct
+FROM merged
+"""
+
+
+def _q_events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily volume smoothed with an exponential moving
+    average, alpha = 1/4 (operators/temporal.ema_smooth). The
+    order-sensitive recursion folds each aggregated series
+    LEFT-TO-RIGHT with the JVM `aggregate` higher-order function —
+    deterministic sequential IEEE-754 ops that the oracle's recursive
+    CTE replays bit-for-bit (the dyadic alpha keeps every multiply
+    exactly-rounded identically)."""
+    from omop_etl_spark.operators.temporal import ema_smooth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = ema_smooth(daily, ["event_type"], "day", "cnt")
+    return out.select(
+        "event_type", "day", F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("ema"), 6).alias("ema"),
+    )
+
+
+ORACLE_EVENTS_EMA = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+numbered AS (
+  SELECT event_type, day, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+ema AS (
+  SELECT event_type, day, cnt, rn, CAST(cnt AS DOUBLE) AS e
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.day, n.cnt, n.rn,
+         CAST(0.25 AS DOUBLE) * n.cnt + CAST(0.75 AS DOUBLE) * x.e
+  FROM numbered n JOIN ema x
+    ON n.event_type = x.event_type AND n.rn = x.rn + 1
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt, round(e, 6) AS ema
+FROM ema
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -8206,6 +8367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         "part_skyline": _q_part_skyline,
         "orders_bloom_probe": _q_orders_bloom_probe,
+        "orders_gini": _q_orders_gini,
+        "events_sliding_distinct": _q_events_sliding_distinct,
+        "events_ema": _q_events_ema,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -8504,6 +8668,9 @@ def oracle_sql() -> dict[str, str]:
         "cust_cohort_ltv": ORACLE_CUST_COHORT_LTV,
         "part_skyline": ORACLE_PART_SKYLINE,
         "orders_bloom_probe": ORACLE_ORDERS_BLOOM_PROBE,
+        "orders_gini": ORACLE_ORDERS_GINI,
+        "events_sliding_distinct": ORACLE_EVENTS_SLIDING_DISTINCT,
+        "events_ema": ORACLE_EVENTS_EMA,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -51,6 +51,7 @@ __all__ = [
     "hll_estimate",
     "bloom_build",
     "bloom_probe",
+    "kmv_sliding_distinct",
 ]
 
 
@@ -491,4 +492,74 @@ def bloom_probe(
         hit.groupBy("__v")
         .agg((F.count("__set") == k).alias("bloom_pass"))
         .select(F.col("__v").alias(value_col), "bloom_pass")
+    )
+
+
+def kmv_sliding_distinct(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    window_days: int = 7,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Estimated distinct ``value_col`` over a trailing ``window_days``
+    window per day — the sliding-cardinality report (trailing-7-day
+    active users) that exact ``COUNT(DISTINCT)`` makes quadratic at
+    scale (every day re-scans its whole window of facts).
+
+    The scale trick is the KMV MERGE property: the k smallest hashes of
+    ``A ∪ B`` are exactly the k smallest of ``k-min(A) ∪ k-min(B)`` —
+    any union-minimum is a minimum of its own set.  So facts collapse
+    ONCE to per-day sketches (``days * k`` rows), and the sliding
+    window unions sketches, never facts: each day's sketch fans out to
+    the ``window_days`` target days it participates in, hashes dedup
+    per target day (the same value may appear on several days), and the
+    per-target k-smallest cut re-sketches the union.  Everything after
+    the one fact-sized dedup is sketch-sized.
+
+    Output: one row per day with >= 1 event — ``n_kept``,
+    ``est_distinct`` (exact when the window's true distinct < k),
+    same estimator and determinism contract as :func:`kmv_distinct`.
+    """
+    if k < 2:
+        raise ValueError("kmv_sliding_distinct requires k >= 2")
+    if window_days < 1:
+        raise ValueError("kmv_sliding_distinct requires window_days >= 1")
+    h = unit_hash(value_col, salt)
+    day = F.to_date(F.col(time_col)).alias("day")
+    day_hashes = df.select(day, h.alias("h")).distinct()
+    w_day = Window.partitionBy("day").orderBy("h")
+    day_sketch = (
+        day_hashes.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    offsets = df.sparkSession.range(window_days).select(
+        F.col("id").cast("int").alias("o")
+    )
+    fanned = (
+        day_sketch.crossJoin(F.broadcast(offsets))
+        .select(F.expr("date_add(day, o)").alias("tday"), "h")
+        .distinct()
+    )
+    active = df.select(day).distinct()
+    windowed = fanned.join(active.withColumnRenamed("day", "tday"), "tday")
+    w_t = Window.partitionBy("tday").orderBy("h")
+    merged = (
+        windowed.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= k)
+        .groupBy("tday")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k"))
+    )
+    h_k_safe = F.greatest(F.col("h_k"), F.lit(1.0 / float(1 << 32)))
+    est = (
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.floor(F.lit(float(k - 1)) / h_k_safe))
+        .cast("bigint")
+    )
+    return merged.select(
+        F.col("tday").alias("day"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        est.alias("est_distinct"),
     )

@@ -44,6 +44,7 @@ __all__ = [
     "apply_cdc",
     "upsert",
     "cusum_changepoints",
+    "ema_smooth",
 ]
 
 
@@ -805,4 +806,68 @@ def cusum_changepoints(
             F.col("__n").alias("n_points"),
             F.col("__tot").alias("total_value"),
         )
+    )
+
+
+def ema_smooth(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Exponential moving average per group series:
+    ``ema_1 = x_1``, ``ema_t = a*x_t + (1-a)*ema_{t-1}`` with
+    ``a = alpha_num / alpha_den`` (a dyadic rational by default, so
+    every multiply is exact or correctly rounded identically in any
+    IEEE-754 engine).
+
+    The recursion is ORDER-SENSITIVE, so it cannot be a hash
+    aggregate; instead each group's series (already at an aggregated
+    grain — days, not facts) is collected into a sorted array and
+    folded LEFT-TO-RIGHT with the JVM-side ``aggregate`` higher-order
+    function — deterministic sequential float ops, which a recursive
+    SQL CTE replays bit-for-bit.  Per-group state is the series at the
+    aggregated grain; groups fold in parallel.  No Python, no UDF.
+
+    Output: the input rows plus ``out_col`` (double).
+    """
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError("ema_smooth requires 0 < alpha_num < alpha_den")
+    gcols = list(group_cols)
+    a = alpha_num / alpha_den  # dyadic when alpha_den is a power of 2
+    o_dtype = dict(df.dtypes)[order_col]
+    series = df.groupBy(*gcols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("bigint").alias("v"),
+                )
+            )
+        ).alias("__s")
+    )
+    step_val = f"(cast({a!r} as double) * x.v + cast({1 - a!r} as double) * st.last)"
+    first_val = "cast(x.v as double)"
+    ema_expr = f"if(st.started, {step_val}, {first_val})"
+    folded = series.select(
+        *gcols,
+        F.explode(
+            F.expr(
+                "aggregate(__s, "
+                f"struct(cast(array() as array<struct<o: {o_dtype}, v: bigint, ema: double>>) as acc, "
+                "       cast(0.0 as double) as last, false as started), "
+                f"(st, x) -> struct(concat(st.acc, array(struct(x.o as o, x.v as v, {ema_expr} as ema))), "
+                f"                  {ema_expr}, true), "
+                "st -> st.acc)"
+            )
+        ).alias("__e"),
+    )
+    return folded.select(
+        *gcols,
+        F.col("__e.o").alias(order_col),
+        F.col("__e.v").alias(value_col),
+        F.col("__e.ema").alias(out_col),
     )

@@ -288,3 +288,97 @@ def test_bloom_validates_params(spark):
         bloom_build(df, "v", m=1)
     with pytest.raises(ValueError):
         bloom_probe(df, df, "v", k=0)
+
+
+# --------------------------------------------- KMV sliding distinct
+def test_kmv_sliding_distinct_exact_below_k_and_tracks_exact(spark):
+    from datetime import date, datetime
+
+    from omop_etl_spark.operators.sketches import kmv_sliding_distinct
+
+    rng = random.Random(23)
+    rows = []
+    for d in range(1, 21):
+        for _ in range(rng.randint(5, 40)):
+            rows.append((datetime(2024, 1, d, 12, 0), rng.randrange(2000)))
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    got = {
+        r["day"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_sliding_distinct(df, "ts", "uid", window_days=7, k=64).collect()
+    }
+    for d in range(1, 21):
+        window = {
+            uid
+            for ts, uid in rows
+            if 0 <= (date(2024, 1, d) - ts.date()).days < 7
+        }
+        nk, est = got[date(2024, 1, d)]
+        if len(window) < 64:
+            # sketch is exact below k
+            assert est == len(window), (d, est, len(window))
+        else:
+            assert abs(est - len(window)) / len(window) < 0.5, (d, est, len(window))
+
+
+def test_kmv_sliding_rejects_bad_params(spark):
+    from omop_etl_spark.operators.sketches import kmv_sliding_distinct
+
+    df = spark.createDataFrame([], "ts timestamp, uid long")
+    with pytest.raises(ValueError):
+        kmv_sliding_distinct(df, "ts", "uid", k=1)
+    with pytest.raises(ValueError):
+        kmv_sliding_distinct(df, "ts", "uid", window_days=0)
+
+
+# ---------------------------------------------------------------- EMA
+def test_ema_matches_python_recursion_bitwise(spark):
+    from datetime import date
+
+    from omop_etl_spark.operators.temporal import ema_smooth
+
+    rng = random.Random(31)
+    rows = []
+    for g in ("a", "b"):
+        for d in range(1, 30):
+            rows.append((g, date(2024, 1, d), rng.randint(0, 500)))
+    df = spark.createDataFrame(rows, "g string, day date, cnt long")
+    got = {
+        (r["g"], r["day"]): r["ema"]
+        for r in ema_smooth(df, ["g"], "day", "cnt").collect()
+    }
+    for g in ("a", "b"):
+        series = sorted((d, v) for gg, d, v in rows if gg == g)
+        e = None
+        for d, v in series:
+            e = float(v) if e is None else 0.25 * v + 0.75 * e
+            assert got[(g, d)] == e, (g, d, got[(g, d)], e)  # BIT-exact
+
+
+def test_ema_validates_alpha(spark):
+    from omop_etl_spark.operators.temporal import ema_smooth
+
+    df = spark.createDataFrame([], "g string, day date, cnt long")
+    with pytest.raises(ValueError):
+        ema_smooth(df, ["g"], "day", "cnt", alpha_num=4, alpha_den=4)
+
+
+# --------------------------------------------------------------- Gini
+def test_gini_query_matches_integer_bruteforce(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["orders_gini"](spark, sf).collect()[0].asDict()
+    import duckdb
+
+    per_c = duckdb.sql(
+        f"""SELECT SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS v, o_custkey
+            FROM read_parquet('{sf}/orders.parquet') GROUP BY o_custkey"""
+    ).fetchall()
+    vs = sorted((v, ck) for v, ck in per_c)
+    n = len(vs)
+    s = sum(v for v, _ in vs)
+    s1 = sum(rk * v for rk, (v, _) in enumerate(vs, 1))
+    want = (2_000_000 * s1) // (n * s) - (1_000_000 * (n + 1)) // n
+    assert got["n_customers"] == n
+    assert got["total_cents"] == s
+    assert got["gini_ppm"] == want
