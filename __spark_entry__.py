@@ -8331,6 +8331,146 @@ FROM ema
 """
 
 
+
+def _q_corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: corpus token coverage (exact
+    integer ppm) of the top-k term types at k in {8 .. 16384} (operators/chunking.vocab_coverage). The ranked cumulative
+    sum over the SF-growing vocabulary rides ranked_running_sum — no
+    partition-less window over an unbounded frame."""
+    from omop_etl_spark.operators.chunking import vocab_coverage
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs)
+
+
+ORACLE_CORPUS_VOCAB_COVERAGE = """
+WITH terms AS (
+  SELECT lower(t) AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+cf AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS vocab_k,
+         SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cf
+),
+t AS (SELECT SUM(cnt) AS total FROM cf)
+SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CAST((cum * 1000000) // t.total AS BIGINT) AS coverage_ppm
+FROM ranked, t
+WHERE vocab_k IN (8, 16, 32, 64, 256, 1024, 4096, 16384)
+"""
+
+
+def _q_docs_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 positively distinctive terms per source by Dunning G2
+    keyness (operators/chunking.distinctive_terms) — "which words make
+    this source sound like itself": the mixture-design / contamination
+    triage contrast signal. Logs floor-scaled once per (source, term)
+    row; the over-representation filter runs in decimal(38,0)."""
+    from omop_etl_spark.operators.chunking import distinctive_terms
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return distinctive_terms(docs, "source", top_k=5)
+
+
+ORACLE_DOCS_DISTINCTIVE_TERMS = """
+WITH terms AS (
+  SELECT source, lower(t) AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+a_tab AS (SELECT source, term, COUNT(*) AS a FROM terms GROUP BY 1, 2),
+tt AS (SELECT term, SUM(a) AS tt FROM a_tab GROUP BY term),
+g AS (SELECT source, SUM(a) AS n1 FROM a_tab GROUP BY source),
+n AS (SELECT SUM(n1) AS nn FROM g),
+j AS (
+  SELECT a_tab.source, a_tab.term, a, tt.tt, g.n1,
+         tt.tt - a AS b, n.nn - g.n1 AS n2, n.nn
+  FROM a_tab JOIN tt ON a_tab.term = tt.term
+             JOIN g ON a_tab.source = g.source, n
+),
+scored AS (
+  SELECT source, term, a,
+         2 * (a * (CASE WHEN a > 0 THEN CAST(floor(ln((CAST(a AS DOUBLE) * CAST(nn AS DOUBLE))
+                                / (CAST(tt AS DOUBLE) * CAST(n1 AS DOUBLE))) * 1000000) AS BIGINT)
+                        ELSE 0 END)
+            + b * (CASE WHEN b > 0 THEN CAST(floor(ln((CAST(b AS DOUBLE) * CAST(nn AS DOUBLE))
+                                / (CAST(tt AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1000000) AS BIGINT)
+                        ELSE 0 END)) AS g2_micro
+  FROM j
+  WHERE CAST(a AS HUGEINT) * n2 > CAST(b AS HUGEINT) * n1
+),
+top AS (
+  SELECT source, term, a, g2_micro,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY g2_micro DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT source, term, CAST(a AS BIGINT) AS n_in_group, CAST(g2_micro AS BIGINT) AS g2_micro
+FROM top WHERE rn <= 5
+"""
+
+
+def _q_parts_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes of the part co-purchase graph after 3 rounds of
+    synchronous label propagation (operators/graph.label_propagation),
+    ties pinned to the smaller label — the determinism plain LPA lacks
+    and the oracle contract requires. Same >= 2-co-orders edge set as
+    the triangle gate; the oracle unrolls the 3 rounds as CTEs."""
+    from omop_etl_spark.operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    b = li.distinct()
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.p") < F.col("c.p")),
+        )
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = label_propagation(edges, rounds=3, src="u", dst="v")
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    ).select(F.col("label").cast("bigint").alias("label"), "n_members")
+
+
+def _oracle_parts_communities(rounds: int = 3) -> str:
+    step = """
+m{i} AS (SELECT e.v AS node, l.label, COUNT(*) AS c
+         FROM edges e JOIN l{p} l ON e.u = l.node GROUP BY 1, 2),
+p{i} AS (SELECT node, label FROM (
+           SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           FROM m{i}) WHERE rn = 1),
+l{i} AS (SELECT l.node, COALESCE(p.label, l.label) AS label
+         FROM l{p} l LEFT JOIN p{i} p ON l.node = p.node)"""
+    chain = ",".join(step.format(i=i + 1, p=i) for i in range(rounds))
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS u, c.p AS v
+  FROM li a JOIN li c ON a.ok = c.ok AND a.p < c.p
+  GROUP BY a.p, c.p HAVING COUNT(*) >= 2
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{chain}
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{rounds} GROUP BY label
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -8370,6 +8510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gini": _q_orders_gini,
         "events_sliding_distinct": _q_events_sliding_distinct,
         "events_ema": _q_events_ema,
+        "corpus_vocab_coverage": _q_corpus_vocab_coverage,
+        "docs_distinctive_terms": _q_docs_distinctive_terms,
+        "parts_communities": _q_parts_communities,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -8671,6 +8814,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_gini": ORACLE_ORDERS_GINI,
         "events_sliding_distinct": ORACLE_EVENTS_SLIDING_DISTINCT,
         "events_ema": ORACLE_EVENTS_EMA,
+        "corpus_vocab_coverage": ORACLE_CORPUS_VOCAB_COVERAGE,
+        "docs_distinctive_terms": ORACLE_DOCS_DISTINCTIVE_TERMS,
+        "parts_communities": _oracle_parts_communities(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,8 @@ __all__ = [
     "build_vocab",
     "encode_tokens",
     "bigram_surprisal_scores",
+    "distinctive_terms",
+    "vocab_coverage",
 ]
 
 
@@ -482,5 +486,133 @@ def bigram_surprisal_scores(
             F.round(
                 F.col("sum_lp_micro") / (F.col("n_bigrams") * 1_000_000.0), 6
             ).alias("mean_logprob"),
+        )
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``k`` POSITIVELY distinctive terms per group by
+    log-likelihood-ratio keyness (Dunning's G²) against the rest of
+    the corpus — "which words make this source sound like itself", the
+    standard corpus-linguistics contrast signal for mixture design and
+    contamination triage.
+
+    ``G² = 2·(a·ln(a/E1) + b·ln(b/E2))`` with ``a``/``b`` the term's
+    in-group/rest counts and ``E``s the homogeneity-expected counts.
+    Determinism contract: each log is computed once per (group, term)
+    row from exact integer inputs (double ops are correctly rounded
+    identically in any IEEE-754 engine) and floor-scaled to bigint
+    micro-units; the combination ``2*(a*lp1 + b*lp2)`` is then exact
+    int64 (headroom: a ~ 1e10 tokens times lp ~ 3e7 micro stays under
+    2^63).  The over-representation filter ``a·n2 > b·n1`` runs in
+    decimal(38,0) — the int64 cross-product wraps at corpus scale.
+
+    Shuffle profile: term-key and group-key hash aggregates, one join
+    on the term key, a per-group top-k (``WindowGroupLimit``).  The
+    (group, term) frame is vocabulary-bounded per group.
+    """
+    if top_k < 1:
+        raise ValueError("distinctive_terms requires top_k >= 1")
+    terms = spread(df).select(
+        F.col(group_col).alias("__g"), F.explode(_term_tokens(text_col)).alias("term")
+    )
+    a_tab = terms.groupBy("__g", "term").agg(F.count(F.lit(1)).alias("a"))
+    term_tot = a_tab.groupBy("term").agg(F.sum("a").alias("__tt"))
+    grp_tot = a_tab.groupBy("__g").agg(F.sum("a").alias("n1"))
+    total = grp_tot.agg(F.sum("n1").alias("__n"))
+    j = (
+        a_tab.join(term_tot, "term")
+        .join(grp_tot, "__g")
+        .crossJoin(F.broadcast(total))
+        .withColumn("b", F.col("__tt") - F.col("a"))
+        .withColumn("n2", F.col("__n") - F.col("n1"))
+    )
+    # a/E1 = a*N / ((a+b)*n1); b/E2 = b*N / ((a+b)*n2) — evaluated in
+    # double (exact-int inputs, correctly-rounded ops), logged, floored
+    # to micro-units ONCE per row.
+    lp1 = F.when(
+        F.col("a") > 0,
+        F.floor(
+            F.log(
+                (F.col("a").cast("double") * F.col("__n").cast("double"))
+                / (F.col("__tt").cast("double") * F.col("n1").cast("double"))
+            )
+            * 1_000_000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    lp2 = F.when(
+        F.col("b") > 0,
+        F.floor(
+            F.log(
+                (F.col("b").cast("double") * F.col("__n").cast("double"))
+                / (F.col("__tt").cast("double") * F.col("n2").cast("double"))
+            )
+            * 1_000_000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    scored = (
+        j.withColumn("g2_micro", 2 * (F.col("a") * lp1 + F.col("b") * lp2))
+        .filter(
+            F.expr(
+                "CAST(a AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)) > "
+                "CAST(b AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))"
+            )
+        )
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("g2_micro").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(
+            F.col("__g").alias(group_col),
+            "term",
+            F.col("a").cast("bigint").alias("n_in_group"),
+            F.col("g2_micro").cast("bigint").alias("g2_micro"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    checkpoints: Sequence[int] = (8, 16, 32, 64, 256, 1024, 4096, 16384),
+) -> DataFrame:
+    """Corpus coverage of the top-``k`` vocabulary for each checkpoint
+    ``k`` — the curve that sizes a tokenizer vocabulary ("how much of
+    the corpus do 16k types cover?").
+
+    The ranked cumulative sum over the (vocabulary-sized, but
+    SF-growing) term-count frame rides
+    :func:`~omop_etl_spark.operators.rank.ranked_running_sum` — no
+    partition-less window.  Coverage is exact integer ppm
+    (``cum * 1e6 div total``).
+    """
+    from .rank import ranked_running_sum
+
+    cps = sorted(set(int(c) for c in checkpoints))
+    if not cps or cps[0] < 1:
+        raise ValueError("vocab_coverage requires positive checkpoints")
+    terms = spread(df).select(F.explode(_term_tokens(text_col)).alias("term"))
+    cf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = ranked_running_sum(
+        cf,
+        [F.col("cnt").desc(), F.col("term").asc()],
+        "cnt",
+        rank_col="vocab_k",
+        cum_col="__cum",
+    )
+    total = cf.agg(F.sum("cnt").alias("__t"))
+    return (
+        ranked.filter(F.col("vocab_k").isin(cps))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_k",
+            F.col("__cum").cast("bigint").alias("cum_tokens"),
+            F.expr("(__cum * 1000000) div __t").cast("bigint").alias("coverage_ppm"),
         )
     )

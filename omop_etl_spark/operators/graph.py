@@ -16,10 +16,10 @@ localCheckpoint pattern as operators.cluster.connected_components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["out_degrees", "pagerank", "count_triangles"]
+__all__ = ["out_degrees", "pagerank", "count_triangles", "label_propagation", "kcore_peel"]
 
 
 def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -226,3 +226,61 @@ def kcore_peel(
         b.unpersist()
         b = nxt
     return b
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (LPA) community detection for a
+    FIXED number of rounds — the cheap modularity-free community
+    finder (Raghavan et al. 2007).  Every node starts labeled with
+    itself; each round it adopts the most frequent label among its
+    neighbors (ties break on the smaller label — the determinism LPA
+    famously lacks and an oracle-checkable operator must pin).  A
+    fixed round count keeps the result an exact function of the input,
+    same unrolled-iteration contract as :func:`pagerank` /
+    :func:`kcore_peel`.
+
+    Input must be symmetric for undirected semantics.  Per round: one
+    edge-label join + one (node, label) count + one per-node argmax
+    (``WindowGroupLimit``-bounded) — all hash-partitioned on node
+    keys, O(E) exchange per round, nothing quadratic.  Isolated nodes
+    (none, if edges are symmetric and self-free) keep their label via
+    the coalesce.
+
+    Returns ``(node, label)``.
+    """
+    if rounds < 1:
+        raise ValueError("label_propagation requires rounds >= 1")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    for _ in range(rounds):
+        msgs = (
+            e.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        picked = (
+            msgs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(picked, "node", "left")
+            .select("node", F.coalesce("__new", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -382,3 +382,89 @@ def test_gini_query_matches_integer_bruteforce(spark):
     assert got["n_customers"] == n
     assert got["total_cents"] == s
     assert got["gini_ppm"] == want
+
+
+# ------------------------------------------------- label propagation
+def test_label_propagation_matches_python_simulation(spark):
+    from omop_etl_spark.operators.graph import label_propagation
+
+    rng = random.Random(41)
+    nodes = list(range(30))
+    und = {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.12}
+    sym = list(und) + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, rounds=3).collect()}
+
+    # python reference: synchronous min-tiebreak LPA
+    lab = {n: n for n in {x for e in sym for x in e}}
+    for _ in range(3):
+        from collections import Counter
+
+        incoming = {}
+        for s, d in sym:
+            incoming.setdefault(d, []).append(lab[s])
+        new = {}
+        for n, l in lab.items():
+            if n in incoming:
+                # ties: highest count, then SMALLEST label
+                c = Counter(incoming[n])
+                bc = max(c.values())
+                new[n] = min(k for k, v in c.items() if v == bc)
+            else:
+                new[n] = l
+        lab = new
+    assert got == lab
+
+
+def test_label_propagation_two_cliques_find_two_communities(spark):
+    from omop_etl_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(5) for b in range(5) if a != b]
+    c2 = [(a, b) for a in range(10, 15) for b in range(10, 15) if a != b]
+    df = spark.createDataFrame(c1 + c2, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, rounds=3).collect()}
+    assert len({got[n] for n in range(5)}) == 1
+    assert len({got[n] for n in range(10, 15)}) == 1
+    assert got[0] != got[10]
+    with pytest.raises(ValueError):
+        label_propagation(df, rounds=0)
+
+
+# ------------------------------------------------- distinctive terms
+def test_distinctive_terms_finds_planted_keyword(spark):
+    from omop_etl_spark.operators.chunking import distinctive_terms
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "web", "the quick brown fox jumps over the dog"))
+    for i in range(40, 80):
+        rows.append((i, "legal", "the plaintiff hereby moves the court for relief"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {}
+    for r in distinctive_terms(df, "source", top_k=3).collect():
+        out.setdefault(r["source"], []).append(r["term"])
+    assert "plaintiff" in out["legal"] or "hereby" in out["legal"]
+    assert "fox" in out["web"] or "quick" in out["web"]
+    # a corpus-wide term is never "distinctive"
+    assert "the" not in out["web"] and "the" not in out["legal"]
+    with pytest.raises(ValueError):
+        distinctive_terms(df, "source", top_k=0)
+
+
+# ---------------------------------------------------- vocab coverage
+def test_vocab_coverage_monotone_and_exact(spark):
+    from omop_etl_spark.operators.chunking import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b b c c d"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = {r["vocab_k"]: r["coverage_ppm"] for r in
+           vocab_coverage(docs, checkpoints=(2, 4, 8)).collect()}
+    # corpus: a x5, b x4, c x3, d x2, e-h x1 -> 18 tokens
+    assert out[2] == (9 * 1_000_000) // 18
+    assert out[4] == (14 * 1_000_000) // 18
+    assert out[8] == 1_000_000
+    assert sorted(out) == [2, 4, 8] and out[2] <= out[4] <= out[8]
+    with pytest.raises(ValueError):
+        vocab_coverage(docs, checkpoints=())
