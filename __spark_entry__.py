@@ -8471,6 +8471,126 @@ FROM l{rounds} GROUP BY label
 """
 
 
+
+def _q_embed_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenvector (PCA direction) of the quantized embedding
+    covariance by 8 rounds of EXACT integer fixed-point power
+    iteration (operators/stats.power_iteration_top_eigen): matvec in
+    decimal(38,0), max-abs renormalization as one integer division per
+    component — a pure function of the data, replayed bit-for-bit by
+    the oracle's 8 unrolled CTE rounds (float power iteration is
+    engine-private sum order). The d x d matvec frames are bounded;
+    the SF-linear work is the upstream covariance (mapInPandas
+    partials, see embed_covariance)."""
+    from omop_etl_spark.operators.stats import (
+        power_iteration_top_eigen,
+        quantized_covariance,
+    )
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    cov = quantized_covariance(emb, "embedding", shift=14).select(
+        "i", "j", F.col("cov_scaled").alias("m")
+    )
+    full = cov.unionByName(
+        cov.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "m"
+        )
+    )
+    v = power_iteration_top_eigen(full, "i", "j", "m", rounds=8)
+    return v.select(F.col("i").cast("bigint").alias("i"), "v")
+
+
+def _oracle_embed_top_eigen(rounds: int = 8) -> str:
+    step = """
+w{i} AS (SELECT f.i, SUM(CAST(f.m AS HUGEINT) * v.v) AS w
+         FROM fm f JOIN v{p} v ON f.j = v.i GROUP BY f.i),
+mx{i} AS (SELECT MAX(abs(w)) AS mx FROM w{i}),
+v{i} AS (SELECT i, CAST((w * 1000000) // greatest(mx, 1) AS BIGINT) AS v
+         FROM w{i}, mx{i})"""
+    chain = ",".join(step.format(i=i + 1, p=i) for i in range(rounds))
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384.0) AS BIGINT) AS qv
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.idx AS i, b.idx AS j, a.qv AS qa, b.qv AS qb
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+),
+mm AS (
+  SELECT i, j, COUNT(*) AS n, SUM(qa) AS s_i, SUM(qb) AS s_j, SUM(qa * qb) AS s_ij
+  FROM pairs GROUP BY i, j
+),
+cov AS (
+  SELECT i, j,
+         CAST((n * s_ij - s_i * s_j
+               - ((((n * s_ij - s_i * s_j) % n) + n) % n)) // n AS BIGINT) AS m
+  FROM mm
+),
+fm AS (
+  SELECT i, j, m FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, m FROM cov WHERE i < j
+),
+v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM fm),
+{chain}
+SELECT CAST(i AS BIGINT) AS i, v FROM v{rounds}
+"""
+
+
+def _q_events_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral transition matrix
+    (operators/graph.markov_stationary): where the event-type flow
+    settles after 5 exact integer fixed-point power-iteration rounds —
+    one truncating division per edge, renormalize to 1e6 total. Same
+    lead()-per-user edge extraction as the transition-matrix gate; the
+    loop itself touches only state/edge-bounded frames."""
+    from omop_etl_spark.operators.graph import markov_stationary
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    out = markov_stationary(counts, rounds=5)
+    return out.select(
+        F.col("state").alias("event_type"), "stationary_scaled"
+    )
+
+
+def _oracle_events_stationary(rounds: int = 5) -> str:
+    step = """
+f{i} AS (SELECT s.__s, COALESCE(x.raw, 0) AS raw FROM states s LEFT JOIN (
+           SELECT e.dst AS __s,
+                  SUM(CAST((CAST(v.v AS HUGEINT) * e.n) // e.deg AS BIGINT)) AS raw
+           FROM e JOIN v{p} v ON e.src = v.__s GROUP BY e.dst) x
+         ON s.__s = x.__s),
+t{i} AS (SELECT greatest(SUM(raw), 1) AS tt FROM f{i}),
+v{i} AS (SELECT __s, CAST((CAST(raw AS HUGEINT) * 1000000) // tt AS BIGINT) AS v
+         FROM f{i}, t{i})"""
+    chain = ",".join(step.format(i=i + 1, p=i) for i in range(rounds))
+    return f"""
+WITH ordered AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM ordered WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+deg AS (SELECT src, SUM(n) AS deg FROM counts GROUP BY src),
+e AS (SELECT c.src, c.dst, c.n, d.deg FROM counts c JOIN deg d ON c.src = d.src),
+states AS (SELECT DISTINCT src AS __s FROM counts),
+v0 AS (SELECT __s, CAST(1000000 AS BIGINT) AS v FROM states),
+{chain}
+SELECT __s AS event_type, v AS stationary_scaled FROM v{rounds}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -8513,6 +8633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_coverage": _q_corpus_vocab_coverage,
         "docs_distinctive_terms": _q_docs_distinctive_terms,
         "parts_communities": _q_parts_communities,
+        "embed_top_eigen": _q_embed_top_eigen,
+        "events_stationary": _q_events_stationary,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -8817,6 +8939,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocab_coverage": ORACLE_CORPUS_VOCAB_COVERAGE,
         "docs_distinctive_terms": ORACLE_DOCS_DISTINCTIVE_TERMS,
         "parts_communities": _oracle_parts_communities(),
+        "embed_top_eigen": _oracle_embed_top_eigen(),
+        "events_stationary": _oracle_events_stationary(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["out_degrees", "pagerank", "count_triangles", "label_propagation", "kcore_peel"]
+__all__ = ["out_degrees", "pagerank", "count_triangles", "label_propagation", "kcore_peel", "markov_stationary"]
 
 
 def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -284,3 +284,67 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+    rounds: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stationary distribution of an observed transition-count matrix
+    by fixed-``rounds`` power iteration in exact integer fixed-point —
+    "where does the behavior flow settle", the steady-state companion
+    of the transition-matrix report.
+
+    Per round, each state's mass flows along its outgoing counts with
+    a single truncating division per edge
+    (``v(u) * n(u,w) div deg(u)``), then the vector renormalizes back
+    to ``scale`` total (two more exact integer divisions).  Everything
+    is a pure function of the counts — an unrolled SQL CTE replays it
+    bit-for-bit; float stochastic-matrix iteration would depend on
+    engine-private sum order.
+
+    States are the sources of the count frame (a state with no
+    outgoing edges would absorb mass; observed event streams have
+    none, and the renormalization keeps the total at ``scale``
+    regardless).  All frames are state/edge-bounded — at 100 TB the
+    SF-linear work is the upstream count aggregate, not this loop.
+
+    Returns ``(state, stationary_scaled)``.
+    """
+    if rounds < 1:
+        raise ValueError("markov_stationary requires rounds >= 1")
+    edges = transitions.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__w"),
+        F.col(weight).cast("bigint").alias("__n"),
+    )
+    deg = edges.groupBy("__u").agg(F.sum("__n").alias("__deg"))
+    e = edges.join(F.broadcast(deg), "__u")
+    states = edges.select(F.col("__u").alias("__s")).distinct()
+    v = states.select("__s", F.lit(scale).cast("bigint").alias("__v"))
+    for _ in range(rounds):
+        flowed = (
+            e.join(F.broadcast(v.withColumnRenamed("__s", "__u")), "__u")
+            .select(
+                F.col("__w").alias("__s"),
+                F.expr(
+                    "CAST((CAST(__v AS DECIMAL(38,0)) * __n) div __deg AS BIGINT)"
+                ).alias("__c"),
+            )
+            .groupBy("__s")
+            .agg(F.sum("__c").alias("__raw"))
+        )
+        # keep the state space fixed to the sources (mass entering a
+        # sink state would otherwise grow the frame)
+        flowed = states.join(flowed, "__s", "left").fillna(0, subset=["__raw"])
+        tot = flowed.agg(F.greatest(F.sum("__raw"), F.lit(1)).alias("__t"))
+        v = flowed.crossJoin(F.broadcast(tot)).select(
+            "__s", F.expr(f"(__raw * {scale}) div __t").cast("bigint").alias("__v")
+        )
+        # state-count-bounded iterate; checkpoint kills exponential
+        # join-lineage replanning (same pattern as kcore_peel).
+        v = v.localCheckpoint(eager=False)
+    return v.select(F.col("__s").alias("state"), F.col("__v").alias("stationary_scaled"))

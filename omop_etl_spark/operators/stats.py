@@ -28,7 +28,12 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantized_comoments", "quantized_covariance", "exact_quantile_cuts"]
+__all__ = [
+    "quantized_comoments",
+    "quantized_covariance",
+    "exact_quantile_cuts",
+    "power_iteration_top_eigen",
+]
 
 _PARTIAL_SCHEMA = "i int, j int, n bigint, s_i bigint, s_j bigint, s_ij bigint"
 
@@ -198,3 +203,71 @@ def exact_quantile_cuts(
             ).alias(f"q_{label}")
         )
     return j.groupBy(*gcols).agg(*aggs)
+
+
+def power_iteration_top_eigen(
+    matrix: DataFrame,
+    i_col: str = "i",
+    j_col: str = "j",
+    val_col: str = "m",
+    rounds: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Dominant eigenvector of a (full, symmetric) integer matrix frame
+    by power iteration in EXACT integer fixed-point — the PCA direction
+    of an embedding covariance without ever leaving engine-replayable
+    arithmetic.
+
+    Each round: one matvec (join matrix rows to the broadcast current
+    vector on the column index, sum per row index — accumulated in
+    decimal(38,0): ``d * |m| * scale`` wraps int64 at corpus-scale
+    covariances) and one max-abs renormalization back to ``scale``
+    fixed-point (single exact integer division per component).  The
+    iterate is therefore a pure function of the input — an unrolled
+    SQL CTE replays it bit-for-bit — unlike float power iteration,
+    whose sum order is engine-private.
+
+    The vector frame is d rows and every matvec input is the d^2
+    matrix frame: bounded, broadcastable at any corpus scale (the
+    SF-linear work happened upstream in the covariance).  Start vector
+    is uniform ``scale``; for PSD matrices (covariances) the iterate
+    converges to the top eigenvector up to sign.
+
+    Returns ``(i_col, v)`` with ``v`` in ``[-scale, scale]`` bigint.
+    """
+    if rounds < 1:
+        raise ValueError("power_iteration_top_eigen requires rounds >= 1")
+    v = (
+        matrix.select(F.col(i_col).alias("__vi"))
+        .distinct()
+        .select("__vi", F.lit(scale).cast("bigint").alias("__v"))
+    )
+    m = matrix.select(
+        F.col(i_col).alias("__mi"), F.col(j_col).alias("__mj"),
+        F.col(val_col).alias("__m"),
+    )
+    for _ in range(rounds):
+        w = (
+            m.join(F.broadcast(v.withColumnRenamed("__vi", "__mj")), "__mj")
+            .groupBy("__mi")
+            .agg(
+                F.sum(
+                    F.expr("CAST(__m AS DECIMAL(38,0)) * CAST(__v AS DECIMAL(38,0))")
+                ).alias("__w")
+            )
+        )
+        mx = w.agg(F.max(F.abs(F.col("__w"))).alias("__mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("__mi").alias("__vi"),
+                F.expr(
+                    f"CAST((__w * {scale}) div greatest(__mx, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+                ).alias("__v"),
+            )
+        )
+        # d-row iterate; checkpoint kills the exponential join-lineage
+        # replanning that otherwise dominates past a handful of rounds
+        # (same pattern as graph.kcore_peel / label_propagation).
+        v = v.localCheckpoint(eager=False)
+    return v.select(F.col("__vi").alias(i_col), F.col("__v").alias("v"))

@@ -468,3 +468,53 @@ def test_vocab_coverage_monotone_and_exact(spark):
     assert sorted(out) == [2, 4, 8] and out[2] <= out[4] <= out[8]
     with pytest.raises(ValueError):
         vocab_coverage(docs, checkpoints=())
+
+
+# ------------------------------------------------- power iteration
+def test_power_iteration_finds_numpy_top_eigenvector(spark):
+    import numpy as np
+
+    from omop_etl_spark.operators.stats import power_iteration_top_eigen
+
+    rng = np.random.default_rng(7)
+    A = rng.integers(-50, 50, size=(6, 6))
+    M = (A @ A.T)  # symmetric PSD, integer
+    rows = [(i, j, int(M[i, j])) for i in range(6) for j in range(6)]
+    df = spark.createDataFrame(rows, "i int, j int, m long")
+    got = power_iteration_top_eigen(df, rounds=20).collect()
+    v = np.zeros(6)
+    for r in got:
+        v[r["i"]] = r["v"] / 1e6
+    w, vecs = np.linalg.eigh(M)
+    top = vecs[:, np.argmax(w)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    with pytest.raises(ValueError):
+        power_iteration_top_eigen(df, rounds=0)
+
+
+# ------------------------------------------------ markov stationary
+def test_markov_stationary_matches_numpy(spark):
+    import numpy as np
+
+    from omop_etl_spark.operators.graph import markov_stationary
+
+    # 3-state chain with known structure
+    counts = [
+        ("a", "a", 8), ("a", "b", 2),
+        ("b", "a", 3), ("b", "c", 7),
+        ("c", "a", 5), ("c", "b", 5),
+    ]
+    df = spark.createDataFrame(counts, "src string, dst string, n long")
+    got = {r["state"]: r["stationary_scaled"] for r in
+           markov_stationary(df, rounds=40).collect()}
+    P = np.array([[0.8, 0.2, 0.0], [0.3, 0.0, 0.7], [0.5, 0.5, 0.0]])
+    v = np.ones(3) / 3
+    for _ in range(200):
+        v = v @ P
+    for i, st in enumerate(("a", "b", "c")):
+        assert abs(got[st] / 1e6 - v[i]) < 1e-3, (st, got[st], v[i])
+    # mass conservation up to per-state truncation
+    assert 1_000_000 - 10 <= sum(got.values()) <= 1_000_000
+    with pytest.raises(ValueError):
+        markov_stationary(df, rounds=0)
