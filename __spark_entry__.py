@@ -8591,6 +8591,155 @@ SELECT __s AS event_type, v AS stationary_scaled FROM v{rounds}
 """
 
 
+_CDC_W, _CDC_B, _CDC_M, _CDC_D = 8, 31, 1_048_573, 64
+
+
+def _q_docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report
+    (operators/chunking.content_defined_chunks): split every document
+    at Rabin-style rolling-hash boundaries (shift-resistant — identical
+    passages chunk identically at any byte offset, unlike fixed
+    windows), then per source count chunks, distinct chunks, the exact
+    duplicate-chunk ppm, and mean chunk length. Boundary detection is
+    map-only higher-order-function work inside codegen; the only
+    shuffle is the final source-bounded aggregate. The oracle replays
+    the identical int64 polynomial hash per position."""
+    from omop_etl_spark.operators.chunking import content_defined_chunks
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    ch = content_defined_chunks(
+        docs, window=_CDC_W, base=_CDC_B, modulus=_CDC_M, divisor=_CDC_D,
+        keep_cols=("source",),
+    )
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_text").alias("n_distinct_chunks"),
+            F.sum("n_chars").alias("__chars"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct_chunks",
+            F.expr("((n_chunks - n_distinct_chunks) * 1000000) div n_chunks")
+            .cast("bigint")
+            .alias("dup_chunk_ppm"),
+            F.expr("__chars div n_chunks").cast("bigint").alias("avg_chunk_chars"),
+        )
+    )
+
+
+def _oracle_docs_cdc_chunks() -> str:
+    hash_terms = " + ".join(
+        f"unicode(substring(d.text, p.t - {j}, 1)) * {pow(_CDC_B, j, _CDC_M)}"
+        for j in range(_CDC_W)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+pos AS (SELECT doc_id, unnest(generate_series({_CDC_W}, n)) AS t FROM d),
+bnd AS (
+  SELECT p.doc_id, p.t
+  FROM pos p JOIN d ON p.doc_id = d.doc_id
+  WHERE (({hash_terms}) % {_CDC_M}) % {_CDC_D} = 0
+),
+starts AS (
+  SELECT doc_id, 0 AS s FROM d
+  UNION ALL
+  SELECT doc_id, t AS s FROM bnd
+),
+chunks AS (
+  SELECT d.source,
+         substring(d.text, st.s + 1,
+                   COALESCE(LEAD(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+                            d.n) - st.s) AS chunk_text
+  FROM starts st JOIN d ON st.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT chunk_text) AS n_distinct_chunks,
+       CAST(((COUNT(*) - COUNT(DISTINCT chunk_text)) * 1000000) // COUNT(*)
+            AS BIGINT) AS dup_chunk_ppm,
+       CAST(SUM(length(chunk_text)) // COUNT(*) AS BIGINT) AS avg_chunk_chars
+FROM chunks WHERE chunk_text <> '' GROUP BY source
+"""
+
+
+_PROFILE_ORDERS_COLS = (
+    ("o_orderkey", False), ("o_custkey", False), ("o_orderstatus", False),
+    ("o_totalprice", True), ("o_orderdate", False), ("o_orderpriority", False),
+)
+
+
+def _q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile (operators/profile.profile_table):
+    one pass over orders emitting a tall per-column frame of null
+    count, exact distinct count, and min/max rendered as strings
+    (floating columns report NULL min/max — cross-engine float
+    rendering is engine-private, consistent with the repo's
+    integer-exact oracle discipline). Single wide aggregate (Spark
+    expands the multi-distinct into one Expand + Aggregate — the
+    standard distributed ANALYZE shape), then a constant-width stack;
+    no per-column rescans."""
+    from omop_etl_spark.operators.profile import profile_table
+
+    orders = _spread_read(spark, f"{sf_dir}/orders.parquet")
+    return profile_table(orders, [c for c, _ in _PROFILE_ORDERS_COLS])
+
+
+def _oracle_orders_profile() -> str:
+    parts = []
+    for c, is_float in _PROFILE_ORDERS_COLS:
+        mn = "CAST(NULL AS VARCHAR)" if is_float else f"CAST(MIN({c}) AS VARCHAR)"
+        mx = "CAST(NULL AS VARCHAR)" if is_float else f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS column_name, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_value, {mx} AS max_value FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: event volume per ISO
+    weekday scaled against a uniform week in exact integer ppm
+    (``count * 7e6 div total`` — 1e6 means "an average day"). Two
+    group-bys on bounded keys (type x 7, then type); the totals frame
+    is type-bounded, so its broadcast back is scale-safe."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    per = ev.groupBy(
+        "event_type", F.expr("weekday(ts) + 1").cast("int").alias("isodow")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "isodow",
+            "n_events",
+            F.expr("(n_events * 7000000) div __tot").cast("bigint").alias("season_ppm"),
+        )
+    )
+
+
+ORACLE_EVENTS_SEASONALITY = """
+WITH per AS (
+  SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n_events) AS tot FROM per GROUP BY 1)
+SELECT p.event_type, p.isodow, p.n_events,
+       CAST((p.n_events * 7000000) // t.tot AS BIGINT) AS season_ppm
+FROM per p JOIN tot t ON p.event_type = t.event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -8635,6 +8784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_communities": _q_parts_communities,
         "embed_top_eigen": _q_embed_top_eigen,
         "events_stationary": _q_events_stationary,
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
+        "orders_profile": _q_orders_profile,
+        "events_seasonality": _q_events_seasonality,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -8941,6 +9093,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_communities": _oracle_parts_communities(),
         "embed_top_eigen": _oracle_embed_top_eigen(),
         "events_stationary": _oracle_events_stationary(),
+        "docs_cdc_chunks": _oracle_docs_cdc_chunks(),
+        "orders_profile": _oracle_orders_profile(),
+        "events_seasonality": ORACLE_EVENTS_SEASONALITY,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -40,6 +40,7 @@ __all__ = [
     "bigram_surprisal_scores",
     "distinctive_terms",
     "vocab_coverage",
+    "content_defined_chunks",
 ]
 
 
@@ -616,3 +617,76 @@ def vocab_coverage(
             F.expr("(__cum * 1000000) div __t").cast("bigint").alias("coverage_ppm"),
         )
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    base: int = 31,
+    modulus: int = 1_048_573,
+    divisor: int = 64,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunking: split each document at Rabin-style
+    rolling-hash boundaries so that identical passages land in
+    identical chunks REGARDLESS of their byte offset — the property
+    fixed-window chunking lacks and the backbone of shift-resistant
+    dedup (storage dedup, near-identical web page detection, corpus
+    diff).
+
+    A boundary falls after character position ``t`` (1-based) iff the
+    polynomial hash of the trailing ``window`` codepoints satisfies
+    ``(sum_j cp(t-j)*base^j mod modulus) mod divisor == 0`` — expected
+    chunk length ≈ ``divisor`` chars. The rule is position-local, so
+    both the boundary scan and the oracle replay are pure
+    (engine-identical int64 arithmetic: max codepoint 0x10FFFF times
+    ``modulus`` ≈ 2^40, summed over ``window`` terms ≪ 2^63).
+
+    MAP-ONLY and UDF-free: the boundary positions come from one
+    ``filter(sequence(...))`` higher-order expression per document
+    (O(window) multiplies per character, inside whole-stage codegen),
+    chunks from one ``posexplode`` — output rows ≈ chars/divisor, no
+    shuffle anywhere. At 100 TB this scans linearly and feeds the
+    chunk-hash dedup join downstream.
+
+    Output: ``(id_col, *keep_cols, chunk_id, chunk_text, n_chars)``
+    with ``chunk_id`` the 0-based chunk index within the document.
+    Null/empty documents produce no rows.
+    """
+    if window < 1 or base < 2 or modulus < 2 or divisor < 2:
+        raise ValueError("content_defined_chunks: bad hash parameters")
+    t = f"`{text_col}`"
+    hash_terms = " + ".join(
+        f"CAST(ascii(substring({t}, __t - {j}, 1)) AS BIGINT) * {pow(base, j, modulus)}"
+        for j in range(window)
+    )
+    bnds = F.expr(
+        f"CASE WHEN length({t}) >= {window} THEN "
+        f"filter(sequence({window}, length({t})), "
+        f"__t -> (({hash_terms}) % {modulus}) % {divisor} = 0) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+    with_edges = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col(text_col).alias("__txt"),
+        F.concat(F.array(F.lit(0)), bnds).alias("__starts"),
+        F.concat(bnds, F.array(F.length(text_col))).alias("__ends"),
+    )
+    chunks = F.filter(
+        F.expr(
+            "transform(sequence(1, size(__starts)), __i -> "
+            "substring(__txt, element_at(__starts, __i) + 1, "
+            "element_at(__ends, __i) - element_at(__starts, __i)))"
+        ),
+        lambda s: s != "",
+    )
+    return with_edges.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).withColumn("n_chars", F.length("chunk_text"))

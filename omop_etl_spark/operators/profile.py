@@ -1,0 +1,81 @@
+"""ANALYZE-style table profiling: one distributed pass producing a
+tall per-column statistics frame.
+
+Reference parity: the reference engine (clinical-ai/omop-etl) exposes
+no profiling surface; this belongs to the engine-completeness
+extension (a user running ETL at 100 TB needs column stats to size
+joins, pick bucketing keys, and sanity-check loads — the same numbers
+``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` feeds Catalyst).
+
+Scale notes:
+
+* ONE job: every column's metrics ride a single wide ``agg``. Spark
+  plans the multi-column ``COUNT(DISTINCT ...)`` set as one Expand +
+  two-phase Aggregate — input rows duplicate x columns inside the
+  exchange, which is the canonical distributed exact-ANALYZE cost.
+  For a cheaper approximate profile at extreme widths, swap the exact
+  distinct for ``approx_count_distinct`` (HLL) — see
+  ``operators/sketches.py`` for the repo's sketch surface.
+* The result is columns-bounded (one row per profiled column) — safe
+  to collect, broadcast, or feed a planner at any SF.
+* Floating-point min/max are reported as NULL strings by default:
+  float-to-string rendering is engine-private (shortest-roundtrip vs
+  printf), and the repo's oracle discipline only claims cross-engine
+  bit-identity for integer/date/string families.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+_FLOAT_FAMILIES = ("float", "double")
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    float_minmax: bool = False,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df`` in one pass.
+
+    Returns a tall frame ``(column_name, n_nulls, n_distinct,
+    min_value, max_value)`` — min/max cast to string after the native-
+    type extreme is taken (so ``'1995-03-15'``, not epoch math), and
+    NULL for float/double columns unless ``float_minmax=True``.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table requires at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__nn_{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"__nd_{i}"))
+        if dtypes[c] in _FLOAT_FAMILIES and not float_minmax:
+            aggs.append(F.lit(None).cast("string").alias(f"__mn_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__mx_{i}"))
+        else:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{i}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{i}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}" for i, c in enumerate(cols)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

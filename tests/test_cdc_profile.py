@@ -1,0 +1,109 @@
+"""content_defined_chunks + profile_table unit tests."""
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop_etl_spark.operators.chunking import content_defined_chunks
+from omop_etl_spark.operators.profile import profile_table
+
+W, B, M, D = 8, 31, 1_048_573, 64
+
+
+def _ref_chunks(t):
+    if not t:
+        return []
+    n = len(t)
+    b = [0]
+    for pos in range(W, n + 1):
+        h = sum(ord(t[pos - 1 - j]) * pow(B, j, M) for j in range(W)) % M
+        if h % D == 0:
+            b.append(pos)
+    b.append(n)
+    return [c for c in (t[b[i]:b[i + 1]] for i in range(len(b) - 1)) if c]
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    rng = random.Random(99)
+    alphabet = string.ascii_letters + string.digits + " .,\né✓"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 300)))
+        for _ in range(25)
+    ] + ["", "tiny", "x" * 7, "x" * 8]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chars"])
+        for r in content_defined_chunks(df).collect()
+    }
+    exp = {}
+    for i, t in enumerate(texts):
+        for ci, c in enumerate(_ref_chunks(t)):
+            exp[(i, ci)] = (c, len(c))
+    assert got == exp
+    # chunks reassemble the document exactly
+    for i, t in enumerate(texts):
+        joined = "".join(
+            exp[(i, ci)][0] for ci in range(sum(1 for k in exp if k[0] == i))
+        )
+        assert joined == t
+
+
+def test_cdc_chunks_shift_invariant_interior(spark):
+    """The CDC property: prepending a prefix only perturbs chunks near
+    the front — interior chunk identity survives the offset shift."""
+    rng = random.Random(7)
+    body = "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(2000))
+    shifted = "ZQX-PREFIX-9 " * 3 + body
+    df = spark.createDataFrame([(0, body), (1, shifted)], "doc_id long, text string")
+    rows = content_defined_chunks(df).collect()
+    a = {r["chunk_text"] for r in rows if r["doc_id"] == 0}
+    b = {r["chunk_text"] for r in rows if r["doc_id"] == 1}
+    assert len(a & b) >= len(a) - 2, (len(a), len(a & b))
+
+
+def test_cdc_chunks_bad_params(spark):
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        content_defined_chunks(df, window=0)
+    with pytest.raises(ValueError):
+        content_defined_chunks(df, divisor=1)
+
+
+def test_profile_table_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "b", 2.5, None),
+            (2, None, 1.5, None),
+            (2, "a", None, None),
+        ],
+        "k long, s string, f double, z string",
+    )
+    out = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 2
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+    # float min/max suppressed by default, reported when opted in
+    assert out["f"]["min_value"] is None and out["f"]["max_value"] is None
+    assert out["f"]["n_nulls"] == 1 and out["f"]["n_distinct"] == 2
+    opt = {r["column_name"]: r for r in profile_table(df, float_minmax=True).collect()}
+    assert opt["f"]["min_value"] == "1.5"
+    assert out["z"]["n_distinct"] == 0 and out["z"]["n_nulls"] == 3
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError):
+        profile_table(df.select(F.col("k")).limit(0), [])
+
+
+def test_profile_table_single_job(spark):
+    """The whole profile rides one wide aggregate — no per-column jobs."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m"), F.col("id").cast("string").alias("s")
+    )
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    # one scan of the input, not one per column
+    assert plan.count("Range (0, 100") == 1, plan
