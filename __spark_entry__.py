@@ -8740,6 +8740,119 @@ FROM per p JOIN tot t ON p.event_type = t.event_type
 """
 
 
+_UNI_LMAX, _UNI_WMAX, _UNI_MINCNT = 4, 16, 5
+
+
+def _q_docs_encode_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword segmentation report
+    (operators/chunking.unigram_segment_words): build a deterministic
+    piece vocabulary from the corpus (all char 1-grams plus 2-4-grams
+    with weighted count >= 5; integer cost = 4*(48 - bits(count)) +
+    len — monotone-decreasing in frequency), Viterbi-segment each
+    DISTINCT word type once (dictionary encoding — the 100 TB play:
+    the DP runs on the type frame, instances join back), then report
+    per-source token counts, piece counts, exact fertility ppm, and
+    total path cost. The DP minimizes (cost, n_pieces)
+    lexicographically packed into one int64, so the oracle's unrolled
+    16-position DP replays it bit-for-bit."""
+    from omop_etl_spark.operators.chunking import (
+        _term_tokens,
+        unigram_segment_words,
+    )
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(_term_tokens("text")).alias("word")
+    ).filter(F.length("word") <= _UNI_WMAX)
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    grams_expr = (
+        "flatten(transform(sequence(1, length(word)), s -> "
+        f"filter(transform(sequence(1, {_UNI_LMAX}), l -> "
+        "CASE WHEN s + l - 1 <= length(word) THEN substring(word, s, l) END), "
+        "x -> x IS NOT NULL)))"
+    )
+    gcnt = (
+        wc.select(F.explode(F.expr(grams_expr)).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("gcnt"))
+    )
+    pieces = gcnt.filter(
+        (F.length("piece") == 1) | (F.col("gcnt") >= _UNI_MINCNT)
+    ).select(
+        "piece",
+        F.expr("(48 - length(bin(gcnt))) * 4 + length(piece)").alias("cost"),
+    )
+    enc = unigram_segment_words(
+        wc.select("word"), pieces,
+        max_piece_len=_UNI_LMAX, max_word_len=_UNI_WMAX,
+    )
+    return (
+        toks.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("seg_cost").cast("bigint").alias("total_cost"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr("(n_pieces * 1000000) div n_words").cast("bigint"),
+        )
+    )
+
+
+def _oracle_docs_encode_unigram() -> str:
+    lmax, wmax, mincnt = _UNI_LMAX, _UNI_WMAX, _UNI_MINCNT
+    dps = []
+    for i in range(1, wmax + 1):
+        branches = []
+        for j in range(max(0, i - lmax), i):
+            branches.append(
+                f"SELECT d.word, d.comb + (p.cost * 1024 + 1) AS comb "
+                f"FROM dp{j} d JOIN pieces p "
+                f"ON p.piece = substring(d.word, {j + 1}, {i - j}) "
+                f"WHERE length(d.word) >= {i}"
+            )
+        dps.append(
+            f"dp{i} AS MATERIALIZED (SELECT word, MIN(comb) AS comb FROM (\n"
+            + "\nUNION ALL\n".join(branches)
+            + f"\n) GROUP BY word)"
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT word, comb FROM dp{i} WHERE length(word) = {i}"
+        for i in range(1, wmax + 1)
+    )
+    return f"""
+WITH dw AS MATERIALIZED (
+  SELECT source, t AS word
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' AND length(t) <= {wmax}
+),
+wc AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM dw GROUP BY word),
+grams AS (
+  SELECT substring(w.word, s.s, l.l) AS piece, SUM(w.cnt) AS gcnt
+  FROM wc w
+  JOIN (SELECT unnest(generate_series(1, {wmax})) AS s) s ON s.s <= length(w.word)
+  JOIN (VALUES (1), (2), (3), (4)) l(l) ON s.s + l.l - 1 <= length(w.word)
+  GROUP BY 1
+),
+pieces AS MATERIALIZED (
+  SELECT piece, (48 - length(bin(gcnt))) * 4 + length(piece) AS cost
+  FROM grams WHERE length(piece) = 1 OR gcnt >= {mincnt}
+),
+dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS comb FROM wc),
+{",".join(dps)},
+enc AS ({finals})
+SELECT dw.source,
+       COUNT(*) AS n_words,
+       CAST(SUM(e.comb % 1024) AS BIGINT) AS n_pieces,
+       CAST(SUM(e.comb // 1024) AS BIGINT) AS total_cost,
+       CAST((SUM(e.comb % 1024) * 1000000) // COUNT(*) AS BIGINT) AS fertility_ppm
+FROM dw JOIN enc e ON dw.word = e.word
+GROUP BY dw.source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -8787,6 +8900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "orders_profile": _q_orders_profile,
         "events_seasonality": _q_events_seasonality,
+        "docs_encode_unigram": _q_docs_encode_unigram,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -9096,6 +9210,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cdc_chunks": _oracle_docs_cdc_chunks(),
         "orders_profile": _oracle_orders_profile(),
         "events_seasonality": ORACLE_EVENTS_SEASONALITY,
+        "docs_encode_unigram": _oracle_docs_encode_unigram(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

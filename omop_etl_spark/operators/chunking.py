@@ -41,6 +41,7 @@ __all__ = [
     "distinctive_terms",
     "vocab_coverage",
     "content_defined_chunks",
+    "unigram_segment_words",
 ]
 
 
@@ -690,3 +691,89 @@ def content_defined_chunks(
         *[F.col(c) for c in keep_cols],
         F.posexplode(chunks).alias("chunk_id", "chunk_text"),
     ).withColumn("n_chars", F.length("chunk_text"))
+
+
+def unigram_segment_words(
+    words: DataFrame,
+    pieces: DataFrame,
+    word_col: str = "word",
+    piece_col: str = "piece",
+    cost_col: str = "cost",
+    max_piece_len: int = 4,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation: split
+    each word into vocabulary pieces minimizing total integer cost —
+    the second of the two dominant subword tokenizer families (BPE is
+    greedy merge-order; unigram is global min-cost path).
+
+    The DP is EXACT and engine-replayable: per word it minimizes the
+    lexicographic pair (total cost, piece count), packed into one
+    int64 as ``cost*1024 + n_pieces`` (valid while per-word piece
+    count < 1024 — enforced by ``max_word_len``), so an unrolled SQL
+    DP reproduces it bit-for-bit. Ties beyond that pair don't affect
+    the output columns.
+
+    Scale shape: callers pass the DISTINCT word frame (dictionary
+    encoding — segment each type once, join back to token instances),
+    and the piece vocabulary is collected into ONE broadcast map row
+    (vocab-bounded by construction: a subword vocab is 10k-100k
+    entries at any corpus size). The DP itself is a single
+    higher-order ``aggregate`` expression per word — O(max_piece_len)
+    map probes per character, no UDF, no shuffle.
+
+    Words containing characters absent from the piece vocabulary are
+    unreachable and return NULL cost/pieces (guarantee reachability by
+    including all single characters in ``pieces``). Piece costs must
+    be non-negative and < 2^36 so ``max_word_len`` worst-case sums
+    stay below the internal unreachable sentinel (2^50).
+
+    Output: input columns + ``(seg_cost, n_pieces)``.
+    """
+    if not 1 <= max_piece_len <= 16:
+        raise ValueError("unigram_segment_words: max_piece_len must be in 1..16")
+    if not 1 <= max_word_len < 1024:
+        raise ValueError("unigram_segment_words: max_word_len must be in 1..1023")
+    pm = pieces.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col(piece_col), F.col(cost_col).cast("bigint"))
+            )
+        ).alias("__pm")
+    )
+    # Unreachable = a large finite sentinel, NOT NULL: the fold's
+    # accumulator element type is non-nullable (array<bigint> from the
+    # zero expression), and Spark coerces appended NULLs to 0 there —
+    # a silent wrong answer. Any path through >= 1 missing piece costs
+    # >= INF; clean paths stay far below it (max_word_len * max piece
+    # cost * 1024 << 2^50).
+    inf = 1 << 50
+    w = f"`{word_col}`"
+    dp = (
+        f"aggregate(sequence(1, length({w})), array(CAST(0 AS BIGINT)), "
+        f"(dp, i) -> concat(dp, array(array_min(transform("
+        f"sequence(greatest(1, i - {max_piece_len - 1}), i), "
+        f"j -> element_at(dp, j) + "
+        f"coalesce(element_at(__pm, substring({w}, j, i - j + 1)) * 1024 + 1, "
+        f"{inf}))))))"
+    )
+    comb = f"element_at({dp}, length({w}) + 1)"
+    out = (
+        words.filter(
+            F.col(word_col).isNotNull()
+            & (F.length(word_col) > 0)
+            & (F.length(word_col) <= max_word_len)
+        )
+        .crossJoin(F.broadcast(pm))
+        .withColumn("__comb", F.expr(comb))
+        .select(
+            *[c for c in words.columns],
+            F.expr(f"CASE WHEN __comb < {inf} THEN __comb div 1024 END")
+            .cast("bigint")
+            .alias("seg_cost"),
+            F.expr(f"CASE WHEN __comb < {inf} THEN __comb % 1024 END")
+            .cast("bigint")
+            .alias("n_pieces"),
+        )
+    )
+    return out

@@ -107,3 +107,57 @@ def test_profile_table_single_job(spark):
     plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
     # one scan of the input, not one per column
     assert plan.count("Range (0, 100") == 1, plan
+
+
+def test_unigram_segment_matches_python_dp(spark):
+    from omop_etl_spark.operators.chunking import unigram_segment_words
+
+    rng = random.Random(5)
+    pieces = [(c, rng.randint(5, 40)) for c in string.ascii_lowercase]
+    seen = {p for p, _ in pieces}
+    for _ in range(150):
+        p = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 4)))
+        if p not in seen:
+            seen.add(p)
+            pieces.append((p, rng.randint(3, 60)))
+    pdf = spark.createDataFrame(pieces, "piece string, cost long")
+    words = {
+        "".join(rng.choice("abcdefghz") for _ in range(rng.randint(1, 16)))
+        for _ in range(150)
+    }
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (r["seg_cost"], r["n_pieces"])
+        for r in unigram_segment_words(wdf, pdf).collect()
+    }
+    cost = dict(pieces)
+
+    def ref(w):
+        inf = float("inf")
+        dp = [(0, 0)] + [(inf, 0)] * len(w)
+        for i in range(1, len(w) + 1):
+            best = (inf, 0)
+            for j in range(max(0, i - 4), i):
+                p = w[j:i]
+                if p in cost and dp[j][0] != inf:
+                    cand = (dp[j][0] + cost[p], dp[j][1] + 1)
+                    if cand < best:
+                        best = cand
+            dp[i] = best
+        return (None, None) if dp[len(w)][0] == float("inf") else dp[len(w)]
+
+    assert all(got[w] == ref(w) for w in words), [
+        (w, got[w], ref(w)) for w in words if got[w] != ref(w)
+    ][:5]
+    # unreachable word (char outside vocab) -> NULLs, never a bogus 0
+    r = unigram_segment_words(
+        spark.createDataFrame([("ab9",)], "word string"), pdf
+    ).collect()[0]
+    assert r["seg_cost"] is None and r["n_pieces"] is None
+    # over-long words are excluded, bad params raise
+    long_df = spark.createDataFrame([("a" * 40,)], "word string")
+    assert unigram_segment_words(long_df, pdf, max_word_len=16).count() == 0
+    with pytest.raises(ValueError):
+        unigram_segment_words(wdf, pdf, max_piece_len=0)
+    with pytest.raises(ValueError):
+        unigram_segment_words(wdf, pdf, max_word_len=2000)
