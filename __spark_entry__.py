@@ -8853,6 +8853,174 @@ GROUP BY dw.source
 """
 
 
+def _q_orders_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL — the dual of `orders_except_all`,
+    completing the bag set-op family: per customer, min(1996 orders,
+    1997 orders) copies survive. Spark plans intersectAll as a
+    count-min generate (one aggregate per side, no row_number over
+    the fact); the gate re-aggregates to per-customer match counts."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    yr = lambda y: (  # noqa: E731
+        o.filter(F.year("o_orderdate") == y).select(
+            F.col("o_custkey").cast("bigint").alias("custkey")
+        )
+    )
+    return (
+        yr(1996)
+        .intersectAll(yr(1997))
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("matched"))
+        .orderBy("custkey")
+    )
+
+
+ORACLE_ORDERS_INTERSECT_ALL = """
+WITH a AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS ca FROM orders
+  WHERE year(o_orderdate) = 1996 GROUP BY 1
+),
+b AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS cb FROM orders
+  WHERE year(o_orderdate) = 1997 GROUP BY 1
+)
+SELECT CAST(a.custkey AS BIGINT) AS custkey,
+       CAST(least(a.ca, b.cb) AS BIGINT) AS matched
+FROM a JOIN b ON a.custkey = b.custkey
+ORDER BY custkey
+"""
+
+
+def _q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series per type
+    ("is today's volume predicted by yesterday's?") from exact integer
+    sufficient statistics: pair each observed day with the previous
+    observed day (one lag window over the day-bounded daily frame, not
+    the facts), then emit the covariance numerator, both variance
+    numerators, and a signed r^2 in ppm — sqrt is engine-private float,
+    so the gate reports sign(num)*num^2*1e6 div (var_a*var_b), exact
+    in decimal(38) while |num| < ~3e15 (num^2 * 1e6 must fit 38
+    digits; daily counts beyond ~1e6/day need a pre-scale)."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.col("n").alias("cur"),
+        F.lag("n").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("cur").alias("sa"),
+        F.sum("prev").alias("sb"),
+        F.sum(F.col("cur") * F.col("prev")).alias("sab"),
+        F.sum(F.col("cur") * F.col("cur")).alias("saa"),
+        F.sum(F.col("prev") * F.col("prev")).alias("sbb"),
+    )
+    num = "(CAST(m AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb)"
+    va = "(CAST(m AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa)"
+    vb = "(CAST(m AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb)"
+    return agg.select(
+        "event_type",
+        F.col("m").cast("bigint").alias("m"),
+        F.expr(f"CAST({num} AS BIGINT)").alias("cov_num"),
+        F.expr(f"CAST({va} AS BIGINT)").alias("var_cur"),
+        F.expr(f"CAST({vb} AS BIGINT)").alias("var_prev"),
+        F.expr(
+            f"CAST(CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+            f"(CASE WHEN {num} < 0 THEN -1 ELSE 1 END) * "
+            f"(({num} * {num}) * 1000000 div ({va} * {vb})) END AS BIGINT)"
+        ).alias("r2_signed_ppm"),
+    )
+
+
+ORACLE_EVENTS_AUTOCORR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type, n AS cur,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM daily
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS m,
+         SUM(cur) AS sa, SUM(prev) AS sb, SUM(cur * prev) AS sab,
+         SUM(cur * cur) AS saa, SUM(prev * prev) AS sbb
+  FROM pairs WHERE prev IS NOT NULL GROUP BY 1
+)
+SELECT event_type, CAST(m AS BIGINT) AS m,
+       CAST(m * sab - sa * sb AS BIGINT) AS cov_num,
+       CAST(m * saa - sa * sa AS BIGINT) AS var_cur,
+       CAST(m * sbb - sb * sb AS BIGINT) AS var_prev,
+       CAST(CASE WHEN (m * saa - sa * sa) > 0 AND (m * sbb - sb * sb) > 0 THEN
+         (CASE WHEN (m * sab - sa * sb) < 0 THEN -1 ELSE 1 END) *
+         (((m * sab - sa * sb) * (m * sab - sa * sb)) * 1000000 //
+          ((m * saa - sa * sa) * (m * sbb - sb * sb))) END AS BIGINT)
+         AS r2_signed_ppm
+FROM agg
+"""
+
+
+_BENFORD_EXP_PPM = {
+    d: __import__("math").floor(__import__("math").log10(1 + 1 / d) * 1_000_000)
+    for d in range(1, 10)
+}
+
+
+def _q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on order totals — the
+    classic fraud/data-quality scan: observed leading-digit shares of
+    o_totalprice (in exact cents) vs the Benford expectation, both in
+    ppm. The expected ppm are Python-precomputed integer literals
+    shared verbatim by both engines (log10 at query time would be
+    engine-private float). One aggregate over a digit-bounded key."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (
+        o.filter(cents > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("__t"))
+    exp_map = ", ".join(f"{d}, {p}" for d, p in _BENFORD_EXP_PPM.items())
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) div __t").cast("bigint").alias("obs_ppm"),
+            F.expr(f"element_at(map({exp_map}), digit)")
+            .cast("bigint")
+            .alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", (F.col("obs_ppm") - F.col("exp_ppm")).cast("bigint"))
+    )
+
+
+def _oracle_orders_benford() -> str:
+    exp_rows = ", ".join(f"({d}, {p})" for d, p in _BENFORD_EXP_PPM.items())
+    return f"""
+WITH c AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0
+),
+per AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM per),
+exp_t(digit, exp_ppm) AS (VALUES {exp_rows})
+SELECT p.digit, CAST(p.n AS BIGINT) AS n,
+       CAST((p.n * 1000000) // t.t AS BIGINT) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST((p.n * 1000000) // t.t - e.exp_ppm AS BIGINT) AS dev_ppm
+FROM per p, tot t JOIN exp_t e ON p.digit = e.digit
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -8901,6 +9069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": _q_orders_profile,
         "events_seasonality": _q_events_seasonality,
         "docs_encode_unigram": _q_docs_encode_unigram,
+        "orders_intersect_all": _q_orders_intersect_all,
+        "events_autocorr": _q_events_autocorr,
+        "orders_benford": _q_orders_benford,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -9211,6 +9382,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_profile": _oracle_orders_profile(),
         "events_seasonality": ORACLE_EVENTS_SEASONALITY,
         "docs_encode_unigram": _oracle_docs_encode_unigram(),
+        "orders_intersect_all": ORACLE_ORDERS_INTERSECT_ALL,
+        "events_autocorr": ORACLE_EVENTS_AUTOCORR,
+        "orders_benford": _oracle_orders_benford(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
