@@ -9021,6 +9021,86 @@ FROM per p, tot t JOIN exp_t e ON p.digit = e.digit
 """
 
 
+_FD_PAIRS = (
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderdate", "o_orderpriority"),
+)
+
+
+def _q_orders_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery
+    (operators/profile.functional_dependencies): for each candidate
+    det->dep pair, does every determinant value map to one dependent
+    value? o_orderkey->* holds (it's the key); the behavioral pairs
+    don't. One group-collapse aggregate per pair, pairs-bounded
+    output."""
+    from omop_etl_spark.operators.profile import functional_dependencies
+
+    orders = _spread_read(spark, f"{sf_dir}/orders.parquet")
+    return functional_dependencies(orders, _FD_PAIRS)
+
+
+def _oracle_orders_fd_profile() -> str:
+    parts = []
+    for det, dep in _FD_PAIRS:
+        parts.append(f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM orders GROUP BY {det})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness per day — the product-
+    analytics engagement ratio. The sliding distinct-user window is
+    NOT a per-day rescan: each (user, day) pair explodes into its <= 7
+    contribution days map-side, then ONE hash aggregate counts
+    distinct users per contribution day (shuffle volume = 7x the
+    user-day frame, independent of raw event count). Days outside the
+    observed spine drop via the inner join back to the DAU frame."""
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    ud = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.expr("(dau * 1000000) div wau").cast("bigint").alias("stickiness_ppm"),
+        )
+    )
+
+
+ORACLE_EVENTS_STICKINESS = """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+contrib AS (
+  SELECT day + CAST(i.i AS INTEGER) AS day, user_id
+  FROM ud, (SELECT unnest(generate_series(0, 6)) AS i) i
+),
+wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -9072,6 +9152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_intersect_all": _q_orders_intersect_all,
         "events_autocorr": _q_events_autocorr,
         "orders_benford": _q_orders_benford,
+        "orders_fd_profile": _q_orders_fd_profile,
+        "events_stickiness": _q_events_stickiness,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -9385,6 +9467,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_intersect_all": ORACLE_ORDERS_INTERSECT_ALL,
         "events_autocorr": ORACLE_EVENTS_AUTOCORR,
         "orders_benford": _oracle_orders_benford(),
+        "orders_fd_profile": _oracle_orders_fd_profile(),
+        "events_stickiness": ORACLE_EVENTS_STICKINESS,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "functional_dependencies"]
 
 _FLOAT_FAMILIES = ("float", "double")
 
@@ -79,3 +79,50 @@ def profile_table(
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def functional_dependencies(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Check candidate functional dependencies ``det -> dep``: does
+    every determinant value map to at most one (non-null) dependent
+    value? The schema-profiling primitive behind key discovery,
+    denormalization checks, and "is this join 1:1?" questions.
+
+    One hash aggregate per candidate pair (grouping keys differ, so
+    they can't share a shuffle; the pair list is caller-bounded), each
+    collapsing to a single row — the union output is pairs-bounded.
+    NULL dependents are ignored (SQL COUNT(DISTINCT) semantics): a
+    determinant group whose only dependents are NULL does not violate.
+
+    Returns ``(determinant, dependent, n_groups, n_violations,
+    holds)`` — ``holds`` iff no determinant group has >= 2 distinct
+    dependent values.
+    """
+    if not pairs:
+        raise ValueError("functional_dependencies requires candidate pairs")
+    for det, dep in pairs:
+        if det not in df.columns or dep not in df.columns:
+            raise ValueError(f"functional_dependencies: unknown column in {det}->{dep}")
+    outs = []
+    for det, dep in pairs:
+        g = df.groupBy(det).agg(F.countDistinct(F.col(dep)).alias("__nd"))
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violations"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups",
+                "n_violations",
+                (F.col("n_violations") == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -161,3 +161,33 @@ def test_unigram_segment_matches_python_dp(spark):
         unigram_segment_words(wdf, pdf, max_piece_len=0)
     with pytest.raises(ValueError):
         unigram_segment_words(wdf, pdf, max_word_len=2000)
+
+
+def test_functional_dependencies(spark):
+    from omop_etl_spark.operators.profile import functional_dependencies
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "a", 11),
+            (2, "b", 10),
+            (2, "c", 10),
+            (3, None, 10),
+        ],
+        "k long, v string, w long",
+    )
+    out = {
+        (r["determinant"], r["dependent"]): r
+        for r in functional_dependencies(df, [("k", "v"), ("k", "w"), ("v", "k")]).collect()
+    }
+    # k->v: group 2 maps to {b,c} -> violated; NULL-only group 3 ok
+    r = out[("k", "v")]
+    assert r["n_groups"] == 3 and r["n_violations"] == 1 and not r["holds"]
+    # k->w: group 1 maps to {10,11} -> violated
+    assert not out[("k", "w")]["holds"]
+    # v->k holds (a->1, b->2, c->2; NULL determinant groups too)
+    assert out[("v", "k")]["holds"]
+    with pytest.raises(ValueError):
+        functional_dependencies(df, [])
+    with pytest.raises(ValueError):
+        functional_dependencies(df, [("k", "nope")])
