@@ -7989,7 +7989,7 @@ tiled AS (
 SELECT CAST(o_custkey AS BIGINT) AS custkey,
        CAST(recency_days AS BIGINT) AS recency_days,
        CAST(n_orders AS BIGINT) AS n_orders,
-       monetary_cents,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents,
        CAST(r_tile AS INT) AS r_tile,
        CAST(f_tile AS INT) AS f_tile,
        CAST(m_tile AS INT) AS m_tile,
@@ -8047,7 +8047,7 @@ SELECT cohort_month,
        CAST(age_months AS INT) AS age_months,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       SUM(cents) AS revenue_cents
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
 FROM j GROUP BY 1, 2
 """
 

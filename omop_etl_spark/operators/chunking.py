@@ -725,8 +725,13 @@ def unigram_segment_words(
     Words containing characters absent from the piece vocabulary are
     unreachable and return NULL cost/pieces (guarantee reachability by
     including all single characters in ``pieces``). Piece costs must
-    be non-negative and < 2^36 so ``max_word_len`` worst-case sums
-    stay below the internal unreachable sentinel (2^50).
+    be non-negative and < ``2^50 / (1024 * max_word_len)`` so the
+    worst-case CLEAN path (``max_word_len`` pieces of maximum cost)
+    stays strictly below the internal unreachable sentinel (2^50) —
+    the bound is VALIDATED here with one aggregate over the
+    vocab-bounded piece frame (ADVICE r8: the previously documented
+    2^36 bound was loose — a legitimately segmentable word with large
+    costs would have been misreported as unreachable).
 
     Output: input columns + ``(seg_cost, n_pieces)``.
     """
@@ -734,6 +739,19 @@ def unigram_segment_words(
         raise ValueError("unigram_segment_words: max_piece_len must be in 1..16")
     if not 1 <= max_word_len < 1024:
         raise ValueError("unigram_segment_words: max_word_len must be in 1..1023")
+    cost_bound = (1 << 50) // (1024 * max_word_len)
+    lo, hi = pieces.agg(
+        F.min(F.col(cost_col).cast("bigint")),
+        F.max(F.col(cost_col).cast("bigint")),
+    ).first()
+    if lo is not None and lo < 0:
+        raise ValueError("unigram_segment_words: piece costs must be non-negative")
+    if hi is not None and hi >= cost_bound:
+        raise ValueError(
+            f"unigram_segment_words: max piece cost {hi} >= {cost_bound} "
+            f"(= 2^50 / (1024 * max_word_len)); a clean path could reach "
+            "the unreachable sentinel — rescale costs or lower max_word_len"
+        )
     pm = pieces.agg(
         F.map_from_entries(
             F.collect_list(

@@ -223,7 +223,12 @@ def kcore_peel(
         nxt = b.join(keep, src, "left_semi").join(
             keep.withColumnRenamed(src, dst), dst, "left_semi"
         ).localCheckpoint()
-        b.unpersist()
+        # No explicit unpersist: DataFrame.unpersist() does not
+        # release localCheckpoint RDD blocks (it's a no-op here —
+        # ADVICE r8). Superseded rounds' blocks are reclaimed by the
+        # ContextCleaner once the RDD is GC'd; each round's survivor
+        # set only shrinks, so peak residency is bounded by the input
+        # edge frame, not by rounds.
         b = nxt
     return b
 
@@ -317,13 +322,26 @@ def markov_stationary(
     """
     if rounds < 1:
         raise ValueError("markov_stationary requires rounds >= 1")
+    # The edge-count frame is loop-invariant but derives from the
+    # caller's SF-linear input (e.g. a lead() window over all
+    # events): without persisting it, every round re-derives that
+    # upstream plus the per-round states left-join (VERDICT r8 #3:
+    # measured 9.6 s -> 3.2 s at sf0.1).  The frame is edge-bounded —
+    # checkpointing it once up front means the upstream executes
+    # exactly once and `deg`/`e`/`states` all derive from the
+    # checkpoint (the same pattern label_propagation applies to its
+    # nodes+edges).
     edges = transitions.select(
         F.col(src).alias("__u"), F.col(dst).alias("__w"),
         F.col(weight).cast("bigint").alias("__n"),
-    )
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy("__u").agg(F.sum("__n").alias("__deg"))
-    e = edges.join(F.broadcast(deg), "__u")
-    states = edges.select(F.col("__u").alias("__s")).distinct()
+    e = edges.join(F.broadcast(deg), "__u").localCheckpoint(eager=True)
+    states = (
+        edges.select(F.col("__u").alias("__s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     v = states.select("__s", F.lit(scale).cast("bigint").alias("__v"))
     for _ in range(rounds):
         flowed = (

@@ -59,6 +59,16 @@ def ranked_running_sum(
     Both output columns are bigint; ``value_col`` must be integral
     (the running sum is exact int64 — callers needing wider headroom
     cast to decimal downstream).
+
+    The distributed path persists the range-partitioned frame
+    (load-bearing — see the inline comment) and does NOT unpersist
+    it: the result is returned lazily, so the operator can't know
+    when the caller has materialized it.  Callers chaining many
+    invocations in one session own cleanup
+    (``spark.catalog.clearCache()`` or ``df.unpersist()`` on the
+    input after collect) — the same contract as
+    ``dedup.containment_pairs``; MEMORY_AND_DISK evicts under
+    pressure, so the leak is bounded-cost, never a correctness risk.
     """
     from pyspark import StorageLevel
 

@@ -237,14 +237,25 @@ def power_iteration_top_eigen(
     """
     if rounds < 1:
         raise ValueError("power_iteration_top_eigen requires rounds >= 1")
-    v = (
-        matrix.select(F.col(i_col).alias("__vi"))
-        .distinct()
-        .select("__vi", F.lit(scale).cast("bigint").alias("__v"))
-    )
     m = matrix.select(
         F.col(i_col).alias("__mi"), F.col(j_col).alias("__mj"),
         F.col(val_col).alias("__m"),
+    )
+    # The bounded iterate is checkpointed below, but the matrix frame
+    # is loop-INVARIANT and typically derives from an SF-linear
+    # upstream (e.g. an embedding covariance): without persisting it
+    # here, every round — and both the `mx` and `v` branches within a
+    # round — re-executes that upstream, a ~2*rounds-fold waste of the
+    # dominant cost (VERDICT r8 #2: measured 14.8 s -> 3.6 s at
+    # sf0.1).  The frame itself is d^2 rows — checkpointing is free,
+    # and deriving the start vector FROM the checkpoint means the
+    # upstream executes exactly once.  Done inside the operator so
+    # every caller inherits it.
+    m = m.localCheckpoint(eager=True)
+    v = (
+        m.select(F.col("__mi").alias("__vi"))
+        .distinct()
+        .select("__vi", F.lit(scale).cast("bigint").alias("__v"))
     )
     for _ in range(rounds):
         w = (

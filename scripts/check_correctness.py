@@ -118,6 +118,22 @@ def main() -> int:
                 (c.lower(), norm_dtype(t))
                 for c, t in zip(rel.columns, rel.types)
             )
+            # Guard against the third hash-only protocol trap (VERDICT r8
+            # #1): the driver's value hash renders DuckDB HUGEINT/UHUGEINT
+            # differently from BIGINT even though schema canonicalization
+            # maps both to "int" — an uncast SUM(BIGINT) in the final
+            # projection passes locally but fails hash_match at the driver.
+            wide = [
+                c for c, t in zip(rel.columns, rel.types)
+                if str(t).strip().lower() in ("hugeint", "uhugeint")
+            ]
+            if wide:
+                failures.append((name, f"oracle final projection has HUGEINT columns: {wide}"))
+                print(
+                    f"FAIL {name}: oracle final projection returns HUGEINT "
+                    f"{wide} — wrap in CAST(... AS BIGINT) (driver hash trap)"
+                )
+                continue
             d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
