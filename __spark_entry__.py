@@ -9101,6 +9101,88 @@ FROM dau d JOIN wau w ON d.day = w.day
 """
 
 
+LEARN_BPE_K = 32
+
+
+def _q_docs_learn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table TRAINING over the corpus (VERDICT
+    r8 #4 — the step the fixed-table encode path presupposed):
+    k rounds of exact weighted pair-count argmax with lexicographic
+    tie-break, applied left-to-right non-overlapping per round
+    (operators/bpe.learn_merges; single-node semantics pinned to
+    py_learn_merges by tests/test_bpe.py).
+
+    Scale shape: the loop state is the DISTINCT-word symbol frame
+    (dictionary encoding), checkpointed each round; per round one
+    map-side-combined pair aggregate + a 1-row TakeOrdered collect +
+    one JVM fold — no UDF. The oracle unrolls all k rounds in DuckDB
+    over DOUBLE-delimited symbol strings ('||a||b||'), where a single
+    replace('|a||b|' -> '|ab|') is exactly the symbol-level
+    left-to-right non-overlapping pass (each boundary owns two bars,
+    so back-to-back matches never share characters — unlike the
+    single-bar encoding, which needs iterated replace)."""
+    from omop_etl_spark.operators.bpe import learn_merges
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    wc = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    learned = learn_merges(wc, "word", "n", k=LEARN_BPE_K)
+    return spark.createDataFrame(
+        [(r, a, b, c) for r, (a, b, c) in enumerate(learned)],
+        "rank int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _oracle_docs_learn_bpe(k: int = LEARN_BPE_K) -> str:
+    """Unrolled k-round replay: same pair counting (every adjacent
+    position, weighted by word count), same (count DESC, left, right)
+    argmax, same one-replace-per-round apply via double delimiters."""
+    rounds = []
+    for r in range(k):
+        rounds.append(f"""
+p{r} AS (
+  SELECT t.sy[u.i] AS a, t.sy[u.i + 1] AS b, CAST(SUM(t.n) AS BIGINT) AS cnt
+  FROM (SELECT n, string_split(trim(s, '|'), '||') AS sy FROM w{r}) t,
+       (SELECT unnest(generate_series(1, len(t.sy) - 1)) AS i) u
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+w{r + 1} AS MATERIALIZED (
+  SELECT w.word, w.n,
+         replace(w.s, '|' || m.a || '||' || m.b || '|', '|' || m.a || m.b || '|') AS s
+  FROM w{r} w, m{r} m
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m{r}"
+        for r in range(k)
+    )
+    return f"""
+WITH
+words AS (
+  SELECT t.w AS word
+  FROM documents,
+       (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w) t
+  WHERE t.w <> ''
+),
+wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT word, n,
+         '||' || array_to_string(string_split(word, ''), '||') || '||' AS s
+  FROM wc
+),{",".join(rounds)}
+SELECT CAST(rank AS INT) AS rank, left_sym, right_sym, pair_count
+FROM ({finals})
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1): the
@@ -9154,6 +9236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford": _q_orders_benford,
         "orders_fd_profile": _q_orders_fd_profile,
         "events_stickiness": _q_events_stickiness,
+        "docs_learn_bpe": _q_docs_learn_bpe,
         # -- backfill: driver-green r07 --
         "nation_revenue_share": _q_nation_revenue_share,
         "docs_char_classes": _q_docs_char_classes,
@@ -9469,6 +9552,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_benford": _oracle_orders_benford(),
         "orders_fd_profile": _oracle_orders_fd_profile(),
         "events_stickiness": ORACLE_EVENTS_STICKINESS,
+        "docs_learn_bpe": _oracle_docs_learn_bpe(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -136,3 +136,61 @@ def test_large_merge_table_matches_rank_scan(spark):
         r.word: list(r.token_ids) for r in encode_words(df, merges=merges).collect()
     }
     assert got == {w: naive(w) for w in set(words)}
+
+
+def test_learn_merges_matches_python(spark):
+    """Distributed learner == single-node trainer on a corpus with the
+    tricky shapes: overlapping repeats (aaa -> two (a,a) counts, one
+    merged pair), back-to-back pair occurrences (inin), merges whose
+    operands are earlier merge outputs, and count ties broken
+    lexicographically."""
+    from omop_etl_spark.operators.bpe import learn_merges, py_learn_merges
+
+    wc = [
+        ("the", 50), ("there", 10), ("then", 20), ("inin", 7),
+        ("aaa", 5), ("banana", 3), ("a", 9), ("zz", 4), ("yy", 4),
+    ]
+    df = spark.createDataFrame(wc, "word string, n long")
+    got = learn_merges(df, k=16)
+    want = py_learn_merges(wc, 16)
+    assert got == want
+    # ties: (z,z) and (y,y) both count 4 -> (y,y) must rank first
+    yz = [m[:2] for m in want if m[:2] in {("y", "y"), ("z", "z")}]
+    assert yz == [("y", "y"), ("z", "z")]
+
+
+def test_learn_merges_stops_when_dry(spark):
+    """k is a cap, not a promise: single-character words have no
+    adjacent pairs after (a,a) merges exhaust."""
+    from omop_etl_spark.operators.bpe import learn_merges
+
+    df = spark.createDataFrame([("aa", 3), ("b", 5)], "word string, n long")
+    got = learn_merges(df, k=10)
+    assert got == [("a", "a", 3)]
+
+
+def test_learned_merges_feed_encode(spark):
+    """End-to-end: train on a corpus, encode with the learned table —
+    high-frequency words must collapse to one token."""
+    from omop_etl_spark.operators.bpe import (
+        bpe_vocab,
+        encode_words,
+        learn_merges,
+        py_encode_word,
+    )
+
+    wc = [("the", 100), ("them", 30), ("theme", 10), ("cat", 5)]
+    df = spark.createDataFrame(wc, "word string, n long")
+    learned = [(a, b) for a, b, _ in learn_merges(df, k=8)]
+    vocab = bpe_vocab(learned)
+    assert "the" in vocab  # two merges reach 'the'
+    enc = {
+        r.word: list(r.token_ids)
+        for r in encode_words(
+            spark.createDataFrame([(w,) for w, _ in wc], "word string"),
+            merges=learned,
+        ).collect()
+    }
+    for w, _ in wc:
+        assert enc[w] == py_encode_word(w, learned, vocab)
+    assert enc["the"] == [vocab["the"]]
