@@ -8678,9 +8678,9 @@ def _q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profile (operators/profile.profile_table):
     one pass over orders emitting a tall per-column frame of null
     count, exact distinct count, and min/max rendered as strings
-    (floating columns report NULL min/max — cross-engine float
-    rendering is engine-private, consistent with the repo's
-    integer-exact oracle discipline). Single wide aggregate (Spark
+    (floating columns report floor(x*100) integer cents — exact
+    cross-engine, closing the r8 NULL-min/max gap without
+    engine-private float rendering). Single wide aggregate (Spark
     expands the multi-distinct into one Expand + Aggregate — the
     standard distributed ANALYZE shape), then a constant-width stack;
     no per-column rescans."""
@@ -8693,8 +8693,16 @@ def _q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_orders_profile() -> str:
     parts = []
     for c, is_float in _PROFILE_ORDERS_COLS:
-        mn = "CAST(NULL AS VARCHAR)" if is_float else f"CAST(MIN({c}) AS VARCHAR)"
-        mx = "CAST(NULL AS VARCHAR)" if is_float else f"CAST(MAX({c}) AS VARCHAR)"
+        mn = (
+            f"CAST(CAST(floor(MIN({c}) * 100) AS BIGINT) AS VARCHAR)"
+            if is_float
+            else f"CAST(MIN({c}) AS VARCHAR)"
+        )
+        mx = (
+            f"CAST(CAST(floor(MAX({c}) * 100) AS BIGINT) AS VARCHAR)"
+            if is_float
+            else f"CAST(MAX({c}) AS VARCHAR)"
+        )
         parts.append(
             f"SELECT '{c}' AS column_name, "
             f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
@@ -9101,6 +9109,122 @@ FROM dau d JOIN wau w ON d.day = w.day
 """
 
 
+BM25_QUERY_TERMS = ("hash", "join", "spark", "vector")
+
+
+def _q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus
+    (operators/chunking.bm25_topk): the lexical scorer a RAG /
+    training-data search stack starts from. Per-(doc, term)
+    contributions are floored to integer micro-units under a FIXED
+    double expression tree (the bigram-surprisal determinism
+    contract), per-doc totals are exact integer sums, and the global
+    top-k rides orderBy+limit (TakeOrdered — per-partition top-k,
+    k-row driver merge; no partition-less window touches the
+    SF-linear frame). The token explode filters to the 4 query terms
+    map-side, so the shuffled tf frame is query-bounded per doc."""
+    from omop_etl_spark.operators.chunking import bm25_topk
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    out = bm25_topk(docs, list(BM25_QUERY_TERMS), k=20)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_terms_matched",
+        "score_micro",
+        "rank",
+    )
+
+
+def _oracle_docs_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH words AS (
+  SELECT doc_id, t.w AS term
+  FROM documents,
+       (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w) t
+  WHERE t.w <> ''
+),
+dl AS (
+  SELECT d.doc_id, COALESCE(c.c, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM words GROUP BY 1) c
+    ON d.doc_id = c.doc_id
+),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor((ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+           ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 *
+             (CAST(dl.dl * s.n AS DOUBLE) / s.t))))) * 1000000.0) AS BIGINT) AS c
+  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats s
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(SUM(c) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_terms_matched, score_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20
+"""
+
+
+def _q_orders_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order 90-day trailing spend per customer — the rolling
+    time-RANGE window (not row-count frame) every LTV / credit-risk
+    feature pipeline needs: for each order, the exact-cents sum of
+    the same customer's orders dated within the preceding 90 days
+    inclusive. One window, PARTITIONED by customer and ordered by
+    epoch-day with rangeBetween(-89, 0) — same-day peer orders fall
+    in both frames identically on both engines, and the sum is exact
+    int64, so the result is fully deterministic. Scale: hash
+    partition on custkey, no global window, no self-join (the naive
+    range self-join would shuffle orders x orders)."""
+    orders = _spread_read(spark, f"{sf_dir}/orders.parquet")
+    od = F.to_date("o_orderdate")
+    base = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        od.alias("order_date"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.datediff(od, F.lit("1970-01-01")).alias("__day"),
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("__day")
+        .rangeBetween(-89, 0)
+    )
+    return base.select(
+        "orderkey",
+        "custkey",
+        "order_date",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("trailing_cents"),
+    )
+
+
+ORACLE_ORDERS_TRAILING_SPEND = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+         CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(o_orderdate AS DATE) AS order_date,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+  FROM orders
+)
+SELECT orderkey, custkey, order_date, cents,
+       CAST(SUM(cents) OVER (
+         PARTITION BY custkey ORDER BY day
+         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cents
+FROM base
+"""
+
+
 LEARN_BPE_K = 32
 
 
@@ -9185,212 +9309,216 @@ FROM ({finals})
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordered by driver-verification need (VERDICT r7 #1): the
-        # driver's CORRECTNESS gate reads the FIRST 50 entries.
-        # r8 window head = (a) the only 2 queries with no driver-green
-        # row in any round, (b) the 3 ANN queries whose batch bounding
-        # changed in r7 after their r06 driver check, (c) queries whose
-        # FORM changed this round (supplier_pareto distributed rank,
-        # corpus_source_drift double-ppm) or that are NEW this round.
-        # The window tail backfills with r07-green rows; everything
-        # outside the window is covered by the committed LOCALCHECK
-        # artifact until rotation.
-        # -- (a) never driver-verified (2) --
-        "orders_except_all": _q_orders_except_all,
-        "events_latest_k": _q_events_latest_k,
-        # -- (b) changed in r7 after last driver check (3) --
-        "sim_topk": _q_sim_topk,
-        "sim_topk_lsh": _q_sim_topk_lsh,
-        "sim_topk_ivf": _q_sim_topk_ivf,
-        # -- (c) changed or new in r8 --
-        "supplier_pareto": _q_supplier_pareto,
-        "corpus_source_drift": _q_corpus_source_drift,
-        "docs_encode_bpe": _q_docs_encode_bpe,
-        "docs_bpe_fertility": _q_docs_bpe_fertility,
-        "events_value_quantiles": _q_events_value_quantiles,
-        "docs_pack_bpe": _q_docs_pack_bpe,
-        "events_reset_cumsum": _q_events_reset_cumsum,
-        "events_kcore": _q_events_kcore,
-        "events_attribution": _q_events_attribution,
-        "sketch_hll_users": _q_sketch_hll_users,
-        "docs_bigram_surprisal": _q_docs_bigram_surprisal,
-        "events_changepoint": _q_events_changepoint,
+        # Ordered by driver-verification need (VERDICT r7 #1 / r8 #7):
+        # the driver's CORRECTNESS gate reads the FIRST 50 entries.
+        # r9 window = (a) the 3 queries with no driver-green row in
+        # any round (the 2 repaired HUGEINT-oracle queries + the new
+        # BPE learner), (b) the 4 queries whose operator or oracle
+        # FORM changed this round (power-iteration persistence,
+        # profiler float min/max, unigram cost validation), then
+        # (c) 41 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 6 leftovers rotate in r10:
+        # text_langid, text_pii_scrub, text_quality, text_stats,
+        # text_token_counts, window_rank).
+        # Entries BELOW the window are sorted by last-green round so
+        # future rotations stay mechanical; see LOCALCHECK_r09.md for
+        # the per-entry last-green manifest.
+        # -- (a) never driver-verified (5: 2 repaired HUGEINT oracles
+        #    + 3 queries NEW in r9) --
+        "docs_learn_bpe": _q_docs_learn_bpe,
+        "docs_bm25_topk": _q_docs_bm25_topk,
+        "orders_trailing_spend": _q_orders_trailing_spend,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
-        "part_skyline": _q_part_skyline,
-        "orders_bloom_probe": _q_orders_bloom_probe,
-        "orders_gini": _q_orders_gini,
-        "events_sliding_distinct": _q_events_sliding_distinct,
-        "events_ema": _q_events_ema,
-        "corpus_vocab_coverage": _q_corpus_vocab_coverage,
-        "docs_distinctive_terms": _q_docs_distinctive_terms,
-        "parts_communities": _q_parts_communities,
+        # -- (b) operator/oracle form changed in r9 (4) --
         "embed_top_eigen": _q_embed_top_eigen,
         "events_stationary": _q_events_stationary,
-        "docs_cdc_chunks": _q_docs_cdc_chunks,
         "orders_profile": _q_orders_profile,
-        "events_seasonality": _q_events_seasonality,
         "docs_encode_unigram": _q_docs_encode_unigram,
-        "orders_intersect_all": _q_orders_intersect_all,
-        "events_autocorr": _q_events_autocorr,
-        "orders_benford": _q_orders_benford,
-        "orders_fd_profile": _q_orders_fd_profile,
-        "events_stickiness": _q_events_stickiness,
-        "docs_learn_bpe": _q_docs_learn_bpe,
-        # -- backfill: driver-green r07 --
-        "nation_revenue_share": _q_nation_revenue_share,
-        "docs_char_classes": _q_docs_char_classes,
-        "agg_volume_shipping": _q_volume_shipping,
-        "agg_market_share": _q_market_share,
-        "agg_cust_distribution": _q_cust_distribution,
-        "agg_small_qty_revenue": _q_small_qty_revenue,
-        "agg_disjunctive_pred": _q_disjunctive_revenue,
-        "agg_shipped_last": _q_shipped_last,
-        "docs_curate_full": _q_docs_curate_full,
-        "docs_dedup_lines": _q_docs_dedup_lines,
-        "docs_cross_dup": _q_docs_cross_dup,
-        "corpus_source_overlap": _q_corpus_source_overlap,
-        "docs_mixture_sample": _q_docs_mixture_sample,
-        "docs_quality_gate": _q_docs_quality_gate,
-        "embed_project": _q_embed_project,
-        "embed_kmeans": _q_embed_kmeans,
-        "agg_shipping_priority": _q_shipping_priority,
-        "agg_order_priority": _q_order_priority,
-        "agg_filter_revenue": _q_filter_revenue,
-        "agg_returned_items": _q_returned_items,
-        "agg_promo_share": _q_promo_revenue_share,
-        "events_anomaly_zscore": _q_events_anomaly,
-        "docs_source_stats": _q_docs_source_stats,
-        "docs_incremental_dedup": _q_docs_incremental_dedup,
-        "events_user_pagerank": _q_events_pagerank,
-        "docs_unigram_logprob": _q_docs_unigram_logprob,
-        "docs_rare_tokens": _q_docs_rare_tokens,
-        "events_retention": _q_events_retention,
-        "docs_curate_incremental": _q_docs_curate_incremental,
-        "docs_dup_spans": _q_docs_dup_spans,
-        "events_rolling_3d": _q_events_rolling,
-        "docs_length_deciles": _q_docs_length_deciles,
-        # -- (a2) new in r07, also never driver-verified (6) --
-        "part_min_cost_supplier": _q_part_min_cost_supplier,
-        "part_value_concentration": _q_part_value_concentration,
-        "top_supplier_quarter": _q_top_supplier_quarter,
-        "orders_large_volume": _q_orders_large_volume,
-        "supplier_dominant_parts": _q_supplier_dominant_parts,
-        "cust_dormant_rich": _q_cust_dormant_rich,
-        "docs_containment_dup": _q_docs_containment_dup,
-        "docs_oov_rate": _q_docs_oov_rate,
-        "docs_quality_calibrated": _q_docs_quality_calibrated,
-        "parts_triangle_count": _q_parts_triangle_count,
-        "events_burst_dedup": _q_events_burst_dedup,
-        "docs_weighted_per_source": _q_docs_weighted_per_source,
-        "orders_cdc_apply": _q_orders_cdc_apply,
-        "cust_balance_upsert": _q_cust_balance_upsert,
-        "sketch_term_counts": _q_sketch_term_counts,
-        "docs_top_terms_per_source": _q_docs_top_terms_per_source,
-        # -- driver-green as of r06 --
-        "events_sessionize": _q_events_sessionize,
+        # -- (c) stalest driver greens (last green r05) --
+        "agg_multi_distinct": _q_agg_multi_distinct,
+        "agg_percentiles": _q_agg_percentiles,
+        "agg_pricing_summary": _q_agg_pricing,
+        "agg_rollup": _q_agg_rollup,
+        "agg_top_customers": _q_top_customers,
         "asof_join_events": _q_asof_join,
-        "range_join_events": _q_range_join,
-        "dedup_exact": _q_dedup_exact,
-        "text_stats": _q_text_stats,
-        "ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_near_clusters": _q_dedup_near_clusters,
+        "dedup_simhash": _q_dedup_simhash,
+        "doc_fingerprint": _q_doc_fingerprint,
         "docs_chunk": _q_docs_chunk,
         "docs_tfidf": _q_docs_tfidf,
-        "embed_dedup_clusters": _q_embed_dedup_clusters,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "text_quality": _q_text_quality,
-        "text_pii_scrub": _q_pii_scrub,
-        "fuzzy_part_match": _q_fuzzy_parts,
-        "events_funnel": _q_events_funnel,
-        "agg_cube": _q_agg_cube,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_repetition": _q_docs_repetition,
-        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
-        "corpus_vocab": _q_corpus_vocab,
-        "docs_curate": _q_docs_curate,
-        "docs_shuffle_order": _q_docs_shuffle_order,
-        "cust_no_orders": _q_cust_no_orders,
-        "orders_above_avg": _q_orders_above_avg,
-        "embed_norm_stats": _q_embed_norm_stats,
-        "orders_gaps": _q_orders_gaps,
-        "regional_supplier_volume": _q_regional_supplier_volume,
-        "embed_quantize": _q_embed_quantize,
-        "events_zorder": _q_events_zorder,
-        "events_top_users": _q_events_top_users,
-        "events_multigrain": _q_events_multigrain,
-        "sketch_distinct_users": _q_sketch_distinct_users,
-        "dq_checks": _q_dq_checks,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "events_concurrency": _q_events_concurrency,
-        "embed_covariance": _q_embed_covariance,
-        "docs_length_hist": _q_docs_length_hist,
-        "events_skew_agg": _q_events_skew_agg,
-        "events_hourly_distinct": _q_events_hourly_distinct,
-        "orders_checksum": _q_orders_checksum,
-        "orders_snapshot_diff": _q_orders_snapshot_diff,
-        "events_overlap_join": _q_events_overlap_join,
-        "events_salted_enrich": _q_events_salted_enrich,
-        "events_partition_checksums": _q_events_partition_checksums,
-        "docs_leakage_safe_split": _q_docs_leakage_safe_split,
-        "docs_cooccurrence": _q_docs_cooccurrence,
-        "events_trend": _q_events_trend,
-        "docs_token_budget": _q_docs_token_budget,
-        "docs_encode": _q_docs_encode,
-        "docs_soft_dedup_weights": _q_docs_soft_dedup_weights,
-        "docs_per_source_sample": _q_docs_per_source_sample,
-        "docs_training_export": _q_docs_training_export,
-        "events_scd2_lookup": _q_events_scd2_lookup,
-        "events_missing_hours": _q_events_missing_hours,
-        "events_winsorize": _q_events_winsorize,
-        "part_golden_records": _q_part_golden_records,
-        "orders_market_basket": _q_orders_market_basket,
-        "corpus_source_similarity": _q_corpus_source_similarity,
-        "events_anomaly_mad": _q_events_anomaly_mad,
-        "events_transitions": _q_events_transitions,
-        "docs_novelty": _q_docs_novelty,
-        "text_langid": _q_text_langid,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "dedup_simhash": _q_dedup_simhash,
-        "embed_neardup_pairs": _q_embed_neardup,
         "embed_centroids": _q_embed_centroids,
-        "text_token_counts": _q_text_tokens,
-        "multimodal_features": _q_multimodal,
-        "multimodal_frames": _q_multimodal_frames,
-        "split_assign": _q_split_assign,
-        "sample_stratified": _q_sample_stratified,
-        "pack_bins": _q_pack_bins,
-        "events_pivot": _q_events_pivot,
-        "events_resample": _q_events_resample,
-        "scd2_user_state": _q_scd2_user_state,
-        "events_json_agg": _q_events_json,
+        "embed_dedup_clusters": _q_embed_dedup_clusters,
+        "embed_neardup_pairs": _q_embed_neardup,
+        "etl_constant": lambda s, d: _run_etl(s, d, [ETL_CONSTANT], "nation_dim"),
         "etl_copy": lambda s, d: _run_etl(s, d, [ETL_COPY], "person_copy"),
-        "etl_merge_entities": lambda s, d: _run_etl(s, d, [ETL_MERGE], "entity_dim"),
         "etl_fk_remap": lambda s, d: _run_etl(
             s, d, [ETL_FK_PERSON, ETL_FK_ORDERS], "order_fact"
         ),
         "etl_lww": lambda s, d: _run_etl(s, d, [ETL_LWW], "order_prio"),
-        "etl_constant": lambda s, d: _run_etl(s, d, [ETL_CONSTANT], "nation_dim"),
+        "etl_merge_entities": lambda s, d: _run_etl(s, d, [ETL_MERGE], "entity_dim"),
         "etl_query_table": lambda s, d: _run_etl(
             s, d, [ETL_QUERY_TABLE], "cust_first_order"
         ),
-        "etl_temp_table": lambda s, d: _run_etl(s, d, [ETL_TEMP_TABLE], "nation_band"),
         "etl_required_filter": lambda s, d: _run_etl(
             s, d, [ETL_REQUIRED], "order_filtered",
             required={"order_filtered": {"cust_segment"}},
         ),
-        "sql_expr_surface": _sql_query(SQL_EXPR_SURFACE),
-        "sql_distinct_on": _sql_query(SQL_DISTINCT_ON),
-        "agg_pricing_summary": _q_agg_pricing,
-        "agg_top_customers": _q_top_customers,
-        "window_rank": _q_window_rank,
-        "agg_rollup": _q_agg_rollup,
-        "set_ops_customers": _q_set_ops,
-        "agg_percentiles": _q_agg_percentiles,
-        "agg_multi_distinct": _q_agg_multi_distinct,
+        "etl_temp_table": lambda s, d: _run_etl(s, d, [ETL_TEMP_TABLE], "nation_band"),
         "events_hourly": _q_events_hourly,
-    
+        "events_json_agg": _q_events_json,
+        "events_pivot": _q_events_pivot,
+        "events_resample": _q_events_resample,
+        "events_sessionize": _q_events_sessionize,
+        "multimodal_features": _q_multimodal,
+        "multimodal_frames": _q_multimodal_frames,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "pack_bins": _q_pack_bins,
+        "range_join_events": _q_range_join,
+        "sample_stratified": _q_sample_stratified,
+        "scd2_user_state": _q_scd2_user_state,
+        "set_ops_customers": _q_set_ops,
+        "split_assign": _q_split_assign,
+        "sql_distinct_on": _sql_query(SQL_DISTINCT_ON),
+        "sql_expr_surface": _sql_query(SQL_EXPR_SURFACE),
+        # -- below the driver window: sorted by last-green round --
+        "text_langid": _q_text_langid,
+        "text_pii_scrub": _q_pii_scrub,
+        "text_quality": _q_text_quality,
+        "text_stats": _q_text_stats,
+        "text_token_counts": _q_text_tokens,
+        "window_rank": _q_window_rank,
+        "agg_cube": _q_agg_cube,
+        "corpus_source_similarity": _q_corpus_source_similarity,
+        "corpus_vocab": _q_corpus_vocab,
+        "cust_no_orders": _q_cust_no_orders,
+        "docs_cooccurrence": _q_docs_cooccurrence,
+        "docs_curate": _q_docs_curate,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_encode": _q_docs_encode,
+        "docs_leakage_safe_split": _q_docs_leakage_safe_split,
+        "docs_length_hist": _q_docs_length_hist,
+        "docs_novelty": _q_docs_novelty,
+        "docs_per_source_sample": _q_docs_per_source_sample,
+        "docs_repetition": _q_docs_repetition,
+        "docs_shuffle_order": _q_docs_shuffle_order,
+        "docs_soft_dedup_weights": _q_docs_soft_dedup_weights,
+        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
+        "docs_token_budget": _q_docs_token_budget,
+        "docs_training_export": _q_docs_training_export,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "dq_checks": _q_dq_checks,
+        "embed_covariance": _q_embed_covariance,
+        "embed_norm_stats": _q_embed_norm_stats,
+        "embed_quantize": _q_embed_quantize,
+        "events_anomaly_mad": _q_events_anomaly_mad,
+        "events_concurrency": _q_events_concurrency,
+        "events_funnel": _q_events_funnel,
+        "events_hourly_distinct": _q_events_hourly_distinct,
+        "events_missing_hours": _q_events_missing_hours,
+        "events_multigrain": _q_events_multigrain,
+        "events_overlap_join": _q_events_overlap_join,
+        "events_partition_checksums": _q_events_partition_checksums,
+        "events_salted_enrich": _q_events_salted_enrich,
+        "events_scd2_lookup": _q_events_scd2_lookup,
+        "events_skew_agg": _q_events_skew_agg,
+        "events_top_users": _q_events_top_users,
+        "events_transitions": _q_events_transitions,
+        "events_trend": _q_events_trend,
+        "events_winsorize": _q_events_winsorize,
+        "events_zorder": _q_events_zorder,
+        "fuzzy_part_match": _q_fuzzy_parts,
+        "orders_above_avg": _q_orders_above_avg,
+        "orders_checksum": _q_orders_checksum,
+        "orders_gaps": _q_orders_gaps,
+        "orders_market_basket": _q_orders_market_basket,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
+        "part_golden_records": _q_part_golden_records,
+        "regional_supplier_volume": _q_regional_supplier_volume,
+        "sketch_distinct_users": _q_sketch_distinct_users,
+        "agg_filter_revenue": _q_filter_revenue,
+        "agg_order_priority": _q_order_priority,
+        "agg_promo_share": _q_promo_revenue_share,
+        "agg_returned_items": _q_returned_items,
+        "agg_shipping_priority": _q_shipping_priority,
+        "cust_balance_upsert": _q_cust_balance_upsert,
+        "cust_dormant_rich": _q_cust_dormant_rich,
+        "docs_containment_dup": _q_docs_containment_dup,
+        "docs_curate_incremental": _q_docs_curate_incremental,
+        "docs_dup_spans": _q_docs_dup_spans,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_length_deciles": _q_docs_length_deciles,
+        "docs_mixture_sample": _q_docs_mixture_sample,
+        "docs_oov_rate": _q_docs_oov_rate,
+        "docs_quality_calibrated": _q_docs_quality_calibrated,
+        "docs_quality_gate": _q_docs_quality_gate,
+        "docs_rare_tokens": _q_docs_rare_tokens,
+        "docs_source_stats": _q_docs_source_stats,
+        "docs_top_terms_per_source": _q_docs_top_terms_per_source,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_weighted_per_source": _q_docs_weighted_per_source,
+        "embed_kmeans": _q_embed_kmeans,
+        "embed_project": _q_embed_project,
+        "events_anomaly_zscore": _q_events_anomaly,
+        "events_burst_dedup": _q_events_burst_dedup,
+        "events_retention": _q_events_retention,
+        "events_rolling_3d": _q_events_rolling,
+        "events_user_pagerank": _q_events_pagerank,
+        "orders_cdc_apply": _q_orders_cdc_apply,
+        "orders_large_volume": _q_orders_large_volume,
+        "part_min_cost_supplier": _q_part_min_cost_supplier,
+        "part_value_concentration": _q_part_value_concentration,
+        "parts_triangle_count": _q_parts_triangle_count,
+        "sketch_term_counts": _q_sketch_term_counts,
+        "supplier_dominant_parts": _q_supplier_dominant_parts,
+        "top_supplier_quarter": _q_top_supplier_quarter,
+        "agg_cust_distribution": _q_cust_distribution,
+        "agg_disjunctive_pred": _q_disjunctive_revenue,
+        "agg_market_share": _q_market_share,
+        "agg_shipped_last": _q_shipped_last,
+        "agg_small_qty_revenue": _q_small_qty_revenue,
+        "agg_volume_shipping": _q_volume_shipping,
+        "corpus_source_drift": _q_corpus_source_drift,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        "corpus_vocab_coverage": _q_corpus_vocab_coverage,
+        "docs_bigram_surprisal": _q_docs_bigram_surprisal,
+        "docs_bpe_fertility": _q_docs_bpe_fertility,
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
+        "docs_char_classes": _q_docs_char_classes,
+        "docs_cross_dup": _q_docs_cross_dup,
+        "docs_curate_full": _q_docs_curate_full,
+        "docs_dedup_lines": _q_docs_dedup_lines,
+        "docs_distinctive_terms": _q_docs_distinctive_terms,
+        "docs_encode_bpe": _q_docs_encode_bpe,
+        "docs_pack_bpe": _q_docs_pack_bpe,
+        "events_attribution": _q_events_attribution,
+        "events_autocorr": _q_events_autocorr,
+        "events_changepoint": _q_events_changepoint,
+        "events_ema": _q_events_ema,
+        "events_kcore": _q_events_kcore,
+        "events_latest_k": _q_events_latest_k,
+        "events_reset_cumsum": _q_events_reset_cumsum,
+        "events_seasonality": _q_events_seasonality,
+        "events_sliding_distinct": _q_events_sliding_distinct,
+        "events_stickiness": _q_events_stickiness,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "nation_revenue_share": _q_nation_revenue_share,
+        "orders_benford": _q_orders_benford,
+        "orders_bloom_probe": _q_orders_bloom_probe,
+        "orders_except_all": _q_orders_except_all,
+        "orders_fd_profile": _q_orders_fd_profile,
+        "orders_gini": _q_orders_gini,
+        "orders_intersect_all": _q_orders_intersect_all,
+        "part_skyline": _q_part_skyline,
+        "parts_communities": _q_parts_communities,
+        "sim_topk": _q_sim_topk,
+        "sim_topk_ivf": _q_sim_topk_ivf,
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "sketch_hll_users": _q_sketch_hll_users,
+        "supplier_pareto": _q_supplier_pareto,
     }
 
 
@@ -9553,6 +9681,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_fd_profile": _oracle_orders_fd_profile(),
         "events_stickiness": ORACLE_EVENTS_STICKINESS,
         "docs_learn_bpe": _oracle_docs_learn_bpe(),
+        "docs_bm25_topk": _oracle_docs_bm25_topk(),
+        "orders_trailing_spend": ORACLE_ORDERS_TRAILING_SPEND,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -31,6 +31,7 @@ from .util import spread
 __all__ = [
     "chunk_documents",
     "tfidf_topk",
+    "bm25_topk",
     "corpus_ngram_counts",
     "unigram_logprob_scores",
     "rare_token_stats",
@@ -148,6 +149,90 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a keyword query by BM25 — the lexical
+    retrieval scorer every RAG / training-data search stack starts
+    from (Robertson-Sparck Jones; the Lucene ``+1`` IDF smoothing so
+    scores stay positive at any df).
+
+    Determinism contract (same as :func:`bigram_surprisal_scores`):
+    the per-(doc, term) contribution
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` is computed
+    once as IEEE doubles with a FIXED expression tree (identical on
+    both engines), floor-scaled to bigint micro-units, and per-doc
+    accumulation is an exact integer sum; ties break on the doc key.
+
+    Scale shape: tokens explode map-side and immediately filter to
+    the query-term set (query-bounded), so the shuffled tf frame is
+    ``|query| x docs-matching`` — never the corpus token stream. The
+    df frame is query-bounded (broadcast); doc lengths ride one
+    corpus-level aggregate per doc; the final top-k is a TakeOrdered
+    (no global sort materialization).
+
+    Returns ``(id_col, n_terms_matched, score_micro, rank)``.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    qt = sorted(set(query_terms))
+    toks = df.select(F.col(id_col), _term_tokens(text_col).alias("__toks"))
+    dl = toks.select(id_col, F.size("__toks").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__t")
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(qt))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            # fixed expression tree, mirrored verbatim by the oracle:
+            # dl/avgdl as (dl * N) / T keeps the only non-literal
+            # division a single int-exact-to-double step.
+            F.floor(
+                F.expr(
+                    f"(ln((__n - df + 0.5) / (df + 0.5) + 1.0) * "
+                    f"((tf * {k1 + 1.0}) / "
+                    f"(tf + {k1} * ({1.0 - b} + {b} * "
+                    f"(CAST(__dl * __n AS DOUBLE) / __t))))) * 1000000.0"
+                )
+            )
+            .cast("bigint")
+            .alias("__c"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        F.sum("__c").cast("bigint").alias("score_micro"),
+    )
+    # top-k via orderBy+limit compiles to TakeOrdered (per-partition
+    # top-k, driver merge of k rows) — no partition-less Window ever
+    # sees the SF-linear frame; the rank window below runs over the
+    # k-bounded limit output only.
+    topk = scored.orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc(id_col))
+    return topk.select(
+        id_col,
+        "n_terms_matched",
+        "score_micro",
+        F.row_number().over(w).cast("bigint").alias("rank"),
     )
 
 

@@ -59,11 +59,25 @@ PROBE = {
     "events_reset_cumsum": "linear (per-user partitioned windows)",
     "events_attribution": "linear (per-user carry-forward window)",
     "events_kcore": "linear-ish (3 rounds of degree agg + semi-joins)",
+    # round-9 additions (VERDICT r8 #5): the heavies that landed after
+    # the r8 probe, plus the two post-persistence-fix iterators
+    "embed_top_eigen": "linear (one covariance pass; loop is d^2-bounded)",
+    "events_stationary": "linear (one lead() pass; loop is state-bounded)",
+    "parts_communities": "linear-ish (per-order pair fan-out bounded; 3 LPA rounds)",
+    "docs_cdc_chunks": "linear (map-only rolling hash)",
+    "docs_encode_unigram": "linear (distinct-word DP, vocab broadcast)",
+    "orders_profile": "linear (one Expand+Aggregate pass)",
+    "docs_learn_bpe": "linear (32 rounds over the distinct-word frame)",
 }
 
 
 def main() -> None:
+    """Probe all PROBE queries, or only those named on the command
+    line (``scale_probe.py out.json name ...``) — named runs MERGE
+    into the existing out_json so incremental re-probes don't drop
+    prior rows."""
     out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALEPROBE.json"
+    only = set(sys.argv[2:])
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from omop_etl_spark.conf import apply_recommended
 
@@ -98,6 +112,8 @@ def main() -> None:
 
     rows = []
     for name, note in PROBE.items():
+        if only and name not in only:
+            continue
         try:
             t01 = timed(qs[name], SF01)
             t1 = timed(qs[name], SF1)
@@ -116,6 +132,10 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = -1.0
+    if only and Path(out_json).exists():
+        prev = json.loads(Path(out_json).read_text())
+        kept = [r for r in prev.get("rows", []) if r.get("query") not in only]
+        rows = kept + rows
     doc = {"cpus": int(cpus), "runs_best_of": runs, "load1_at_end": load1,
            "sf1_dir": SF1, "rows": rows}
     Path(out_json).write_text(json.dumps(doc, indent=1) + "\n")

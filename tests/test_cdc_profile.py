@@ -87,8 +87,9 @@ def test_profile_table_exact(spark):
     assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
-    # float min/max suppressed by default, reported when opted in
-    assert out["f"]["min_value"] is None and out["f"]["max_value"] is None
+    # float min/max render floor(x*100) cents by default (exact
+    # cross-engine); raw engine rendering only when opted in
+    assert out["f"]["min_value"] == "150" and out["f"]["max_value"] == "250"
     assert out["f"]["n_nulls"] == 1 and out["f"]["n_distinct"] == 2
     opt = {r["column_name"]: r for r in profile_table(df, float_minmax=True).collect()}
     assert opt["f"]["min_value"] == "1.5"

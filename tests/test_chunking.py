@@ -185,3 +185,49 @@ def test_encode_tokens_preserves_order_and_oov(spark):
     for i, t in corp:
         toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
         assert got[i] == [vmap.get(w, 0) for w in toks], (i, got[i])
+
+
+def test_bm25_topk_matches_reference(spark):
+    """bm25_topk == a plain-Python BM25 (same micro-unit floor) on a
+    fixture with repeated terms, multi-term matches, an empty doc
+    (counts toward N and avgdl), and score ties broken by doc id."""
+    import math
+
+    from omop_etl_spark.operators.chunking import bm25_topk
+
+    rows = [
+        (1, "hash join hash join hash"),
+        (2, "join vector"),
+        (3, "spark spark spark vector hash"),
+        (4, ""),
+        (5, "nothing relevant here"),
+        (6, "join vector"),  # identical to doc 2 -> tie, id ascends
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = ["hash", "join", "vector"]
+    got = [tuple(r) for r in bm25_topk(df, qt, k=4).collect()]
+
+    docs = {i: [w for w in t.lower().split() if w] for i, t in rows}
+    n = len(docs)
+    t = sum(len(v) for v in docs.values())
+    dfreq = {q: sum(1 for v in docs.values() if q in v) for q in qt}
+    scores = {}
+    for i, v in docs.items():
+        s, m = 0, 0
+        for q in qt:
+            tf = v.count(q)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((len(v) * n) / t)))
+            s += math.floor(idf * tfn * 1_000_000.0)
+        if m:
+            scores[i] = (m, s)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:4]
+    assert got == [
+        (i, m, s, r + 1) for r, (i, (m, s)) in enumerate(want)
+    ]
+    # the tie pair (docs 2 and 6) must both appear, id order
+    tie = [g for g in got if g[0] in (2, 6)]
+    assert [g[0] for g in tie] == [2, 6] and tie[0][2] == tie[1][2]
