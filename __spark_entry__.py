@@ -9109,6 +9109,209 @@ FROM dau d JOIN wau w ON d.day = w.day
 """
 
 
+def _q_events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-event-type value statistics
+    (operators/stats.robust_group_stats): winsorized sum/mean with
+    values clipped to the exact [p05, p95] group cuts, and MAD from
+    the exact lower median — all on the cents-quantized value via the
+    distinct-value histogram decomposition (no per-group row sort;
+    every window PARTITIONED by group; floor division via pmod so
+    negative sums floor identically on both engines)."""
+    from omop_etl_spark.operators.stats import robust_group_stats
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    vals = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return robust_group_stats(vals, ["event_type"], "cents", 0.05, 0.95)
+
+
+ORACLE_EVENTS_ROBUST_STATS = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+),
+c AS (SELECT event_type, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+cum AS (
+  SELECT event_type, cents, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+),
+cuts AS (
+  SELECT cum.event_type, MAX(n.n) AS n,
+         MIN(CASE WHEN cum >= floor((n.n - 1) * 0.05) + 1 THEN cents END) AS lo_cut,
+         MIN(CASE WHEN cum >= floor((n.n - 1) * 0.5) + 1 THEN cents END) AS median,
+         MIN(CASE WHEN cum >= floor((n.n - 1) * 0.95) + 1 THEN cents END) AS hi_cut
+  FROM cum JOIN n ON cum.event_type = n.event_type
+  GROUP BY 1
+),
+win AS (
+  SELECT c.event_type,
+         CAST(SUM(GREATEST(LEAST(c.cents, k.hi_cut), k.lo_cut) * c.c) AS BIGINT)
+           AS winsorized_sum
+  FROM c JOIN cuts k ON c.event_type = k.event_type
+  GROUP BY 1
+),
+dev AS (
+  SELECT c.event_type, ABS(c.cents - k.median) AS d, SUM(c.c) AS dc
+  FROM c JOIN cuts k ON c.event_type = k.event_type
+  GROUP BY 1, 2
+),
+devcum AS (
+  SELECT event_type, d,
+         SUM(dc) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dev
+),
+mad AS (
+  SELECT devcum.event_type,
+         CAST(MIN(CASE WHEN cum >= floor((n.n - 1) * 0.5) + 1 THEN d END) AS BIGINT)
+           AS mad
+  FROM devcum JOIN n ON devcum.event_type = n.event_type
+  GROUP BY 1
+)
+SELECT k.event_type, k.n,
+       CAST(k.lo_cut AS BIGINT) AS lo_cut,
+       CAST(k.median AS BIGINT) AS median,
+       CAST(k.hi_cut AS BIGINT) AS hi_cut,
+       w.winsorized_sum,
+       CAST((w.winsorized_sum -
+             ((w.winsorized_sum % k.n + k.n) % k.n)) // k.n AS BIGINT)
+         AS winsorized_mean,
+       m.mad
+FROM cuts k
+JOIN win w ON k.event_type = w.event_type
+JOIN mad m ON k.event_type = m.event_type
+"""
+
+
+def _q_parts_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the order co-purchase
+    baskets (operators/graph.cooccurrence_topk_similar): top-5 most
+    similar parts per part by co-occurrence cosine, in deterministic
+    ppm — IEEE sqrt is correctly rounded (bit-exact by the standard,
+    unlike ln), so floor(c12 * 1e6 / sqrt(c1*c2)) replays identically
+    in DuckDB. Pair fan-out is per-order-bounded (the triangle /
+    community contract); totals join back on the part hash; the
+    per-item top-k is a PARTITIONED window (WindowGroupLimit)."""
+    from omop_etl_spark.operators.graph import cooccurrence_topk_similar
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    out = cooccurrence_topk_similar(li, "basket", "item", k=5, min_pairs=2)
+    return out.select(
+        F.col("item").cast("bigint").alias("item"),
+        F.col("other").cast("bigint").alias("other"),
+        "n_both",
+        "cos_ppm",
+        "rank",
+    )
+
+
+ORACLE_PARTS_ITEM_SIM = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+tot AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+pairs AS (
+  SELECT x.it AS a, y.it AS b2, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT a, b2, n_both FROM pairs
+  UNION ALL
+  SELECT b2 AS a, a AS b2, n_both FROM pairs
+),
+scored AS (
+  SELECT s.a AS item, s.b2 AS other, s.n_both,
+         CAST(floor(s.n_both * 1000000.0 /
+                    sqrt(CAST(ta.c1 * tb.c1 AS DOUBLE))) AS BIGINT) AS cos_ppm
+  FROM sym s JOIN tot ta ON s.a = ta.it JOIN tot tb ON s.b2 = tb.it
+)
+SELECT CAST(item AS BIGINT) AS item, CAST(other AS BIGINT) AS other,
+       n_both, cos_ppm, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY item ORDER BY cos_ppm DESC, other) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+def _q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily spend series regularized onto each user's own
+    day span with LINEAR interpolation across interior gaps in exact
+    int64 (operators/temporal.resample_interp — the trend-preserving
+    companion to resample_ffill): missing day t between observations
+    (t0,v0),(t1,v1) gets floor((v0*(t1-t) + v1*(t-t0))/(t1-t0)) via
+    pure integer floor-division (pmod construction — `/` on bigints
+    is a double divide, `div` truncates on negatives), so both
+    engines replay it bit-for-bit. Edge days carry the boundary value.
+    One sequence-explode grid per user + two running windows on the
+    user hash partitioning — no self-join, no global window."""
+    from omop_etl_spark.operators.temporal import resample_interp
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    daily = ev.groupBy(
+        F.col("user_id"), F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return resample_interp(daily, ["user_id"], "day", "cents", "interp_cents")
+
+
+ORACLE_EVENTS_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+grid AS (
+  SELECT s.user_id, CAST(g.d AS DATE) AS day
+  FROM span s, (SELECT unnest(generate_series(s.lo, s.hi, INTERVAL 1 DAY)) AS d) g
+),
+j AS (
+  SELECT g.user_id, g.day, d.cents
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+),
+br AS (
+  SELECT user_id, day, cents,
+    LAST_VALUE(cents IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    FIRST_VALUE(cents IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+),
+calc AS (
+  SELECT user_id, day, cents, pv, nv,
+         pv * (nd - day) + nv * (day - pd) AS num,
+         nd - pd AS den
+  FROM br
+)
+SELECT user_id, day, cents IS NOT NULL AS observed,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE (num - ((num % den + den) % den)) // den
+            END AS BIGINT) AS interp_cents
+FROM calc
+"""
+
+
 BM25_QUERY_TERMS = ("hash", "join", "spark", "vector")
 
 
@@ -9316,10 +9519,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 41 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 6 leftovers rotate in r10:
-        # text_langid, text_pii_scrub, text_quality, text_stats,
-        # text_token_counts, window_rank).
+        # (c) 38 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 9 leftovers rotate in r10:
+        # split_assign, sql_distinct_on, sql_expr_surface, text_langid,
+        # text_pii_scrub, text_quality, text_stats, text_token_counts,
+        # window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -9328,6 +9532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_learn_bpe": _q_docs_learn_bpe,
         "docs_bm25_topk": _q_docs_bm25_topk,
         "orders_trailing_spend": _q_orders_trailing_spend,
+        "events_gap_fill": _q_events_gap_fill,
+        "parts_item_sim": _q_parts_item_sim,
+        "events_robust_stats": _q_events_robust_stats,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -9381,10 +9588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "scd2_user_state": _q_scd2_user_state,
         "set_ops_customers": _q_set_ops,
+        # -- below the driver window: sorted by last-green round --
         "split_assign": _q_split_assign,
         "sql_distinct_on": _sql_query(SQL_DISTINCT_ON),
         "sql_expr_surface": _sql_query(SQL_EXPR_SURFACE),
-        # -- below the driver window: sorted by last-green round --
         "text_langid": _q_text_langid,
         "text_pii_scrub": _q_pii_scrub,
         "text_quality": _q_text_quality,
@@ -9683,6 +9890,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_learn_bpe": _oracle_docs_learn_bpe(),
         "docs_bm25_topk": _oracle_docs_bm25_topk(),
         "orders_trailing_spend": ORACLE_ORDERS_TRAILING_SPEND,
+        "events_gap_fill": ORACLE_EVENTS_GAP_FILL,
+        "parts_item_sim": ORACLE_PARTS_ITEM_SIM,
+        "events_robust_stats": ORACLE_EVENTS_ROBUST_STATS,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["out_degrees", "pagerank", "count_triangles", "label_propagation", "kcore_peel", "markov_stationary"]
+__all__ = [
+    "out_degrees",
+    "pagerank",
+    "count_triangles",
+    "label_propagation",
+    "kcore_peel",
+    "markov_stationary",
+    "cooccurrence_topk_similar",
+]
 
 
 def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -366,3 +374,87 @@ def markov_stationary(
         # join-lineage replanning (same pattern as kcore_peel).
         v = v.localCheckpoint(eager=False)
     return v.select(F.col("__s").alias("state"), F.col("__v").alias("stationary_scaled"))
+
+
+def cooccurrence_topk_similar(
+    baskets: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    k: int = 5,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Top-``k`` most-similar items per item by co-occurrence cosine —
+    the item-item collaborative-filtering primitive ("customers who
+    bought X also bought"): ``cos(a, b) = c(a,b) / sqrt(c(a) * c(b))``
+    over basket co-membership counts, rendered as exact-deterministic
+    ppm (IEEE ``sqrt`` is correctly rounded — unlike ``ln`` it is
+    REQUIRED to be bit-exact by the standard — so
+    ``floor(c12 * 1e6 / sqrt(c1 * c2))`` replays identically on any
+    engine; valid while ``c12 < ~9e9``, far past any real basket
+    count).
+
+    Input: one row per (basket, item) — duplicates are collapsed.
+    Pairs with fewer than ``min_pairs`` shared baskets are pruned
+    BEFORE the similarity math (noise floor + output bound).
+
+    Scale: the pair frame is the per-basket self-join — fan-out
+    bounded by basket size squared, the same contract as the triangle
+    / community gates, never all-pairs over the catalog.  Per-item
+    totals join back by item hash (SF-linear frame — no broadcast
+    hint, the scale guard's rule).  The final top-k is a
+    per-item-PARTITIONED window, compiled to WindowGroupLimit.
+
+    Returns ``(item, other, n_both, cos_ppm, rank)`` with both
+    directions present (each edge appears under both endpoints).
+    """
+    if k < 1:
+        raise ValueError("cooccurrence_topk_similar requires k >= 1")
+    b = baskets.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    totals = b.groupBy(F.col("__it").alias("__t_it")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c1")
+    )
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.__bk") == F.col("y.__bk"))
+            & (F.col("x.__it") < F.col("y.__it")),
+        )
+        .groupBy(
+            F.col("x.__it").alias("__a"), F.col("y.__it").alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= min_pairs)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("__b").alias("__a"), F.col("__a").alias("__b"), "n_both"
+        )
+    )
+    scored = (
+        sym.join(totals.withColumnRenamed("__t_it", "__a"), "__a")
+        .withColumnRenamed("__c1", "__ca")
+        .join(totals.withColumnRenamed("__t_it", "__b"), "__b")
+        .withColumnRenamed("__c1", "__cb")
+        .select(
+            F.col("__a").alias("item"),
+            F.col("__b").alias("other"),
+            "n_both",
+            F.floor(
+                F.col("n_both")
+                * 1000000.0
+                / F.sqrt((F.col("__ca") * F.col("__cb")).cast("double"))
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cos_ppm"), F.asc("other")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "quantized_covariance",
     "exact_quantile_cuts",
     "power_iteration_top_eigen",
+    "robust_group_stats",
 ]
 
 _PARTIAL_SCHEMA = "i int, j int, n bigint, s_i bigint, s_j bigint, s_ij bigint"
@@ -282,3 +283,92 @@ def power_iteration_top_eigen(
         # (same pattern as graph.kcore_peel / label_propagation).
         v = v.localCheckpoint(eager=False)
     return v.select(F.col("__vi").alias(i_col), F.col("__v").alias("v"))
+
+
+def robust_group_stats(
+    df,
+    group_cols,
+    value_col,
+    lo: float = 0.05,
+    hi: float = 0.95,
+):
+    """Outlier-robust per-group statistics in exact integer
+    arithmetic: winsorized sum/mean (values clipped to the group's
+    exact [lo, hi] quantile cuts) and MAD (median absolute deviation
+    from the exact lower median) — the screening numbers a skewed or
+    dirty metric needs INSTEAD of plain mean/stddev, where one bad
+    sensor reading drags the whole group.
+
+    All quantiles use :func:`exact_quantile_cuts`'s lower-value rank
+    rule (smallest value whose running count reaches
+    ``floor((n-1)*q) + 1``) over the DISTINCT-value spine — exact,
+    interpolation-free, and engine-replayable; no group is ever
+    sorted row-wise.  The MAD pass reuses the same decomposition on
+    the ``|v - median|`` value spine.  ``value_col`` must be integral
+    (quantize floats upstream).
+
+    Scale: two scans of ``df`` (cut pass + count pass), then
+    everything runs on the per-(group, value) aggregate; windows are
+    all PARTITIONED by group.  The winsorized mean is exact integer
+    floor division (pmod construction — valid for negative sums).
+
+    Returns ``(group_cols..., n, lo_cut, median, hi_cut,
+    winsorized_sum, winsorized_mean, mad)``.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    cuts = exact_quantile_cuts(df, gcols, value_col, [lo, 0.5, hi])
+    lo_lab = f"q_{str(lo).replace('0.', 'p').replace('.', '_')}"
+    hi_lab = f"q_{str(hi).replace('0.', 'p').replace('.', '_')}"
+    cuts = cuts.select(
+        *gcols,
+        F.col("n").cast("bigint").alias("n"),
+        F.col(lo_lab).cast("bigint").alias("lo_cut"),
+        F.col("q_p5").cast("bigint").alias("median"),
+        F.col(hi_lab).cast("bigint").alias("hi_cut"),
+    )
+    counts = df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    j = counts.join(cuts, gcols)
+    clip = F.greatest(F.least(F.col(value_col), F.col("hi_cut")), F.col("lo_cut"))
+    win = j.groupBy(*gcols).agg(
+        F.sum(clip * F.col("__c")).cast("bigint").alias("winsorized_sum")
+    )
+    dev = j.select(
+        *gcols,
+        F.abs(F.col(value_col) - F.col("median")).cast("bigint").alias("__d"),
+        "__c",
+        "n",
+    ).groupBy(*gcols, "__d", "n").agg(F.sum("__c").alias("__dc"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mad = (
+        dev.withColumn("__cum", F.sum("__dc").over(w))
+        .groupBy(*gcols)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.floor((F.col("n") - 1) * F.lit(0.5)) + 1,
+                    F.col("__d"),
+                )
+            )
+            .cast("bigint")
+            .alias("mad")
+        )
+    )
+    out = cuts.join(win, gcols).join(mad, gcols)
+    return out.select(
+        *gcols,
+        "n",
+        "lo_cut",
+        "median",
+        "hi_cut",
+        "winsorized_sum",
+        F.expr(
+            "(winsorized_sum - pmod(winsorized_sum, n)) div n"
+        ).cast("bigint").alias("winsorized_mean"),
+        "mad",
+    )

@@ -396,6 +396,99 @@ def resample_ffill(
     return joined.select(*keys, F.col("__grid").alias(ts_col), *filled)
 
 
+def resample_interp(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    out_col: str = "interp_value",
+) -> DataFrame:
+    """Regularize a daily integer series onto the per-key day grid,
+    LINEARLY interpolating interior gaps in exact integer arithmetic —
+    the companion to :func:`resample_ffill` when "hold the last value"
+    misstates a trend (sensor readings, balances, rates).
+
+    For key ``k`` with observations at days ``t0 < t1`` and values
+    ``v0, v1``, a missing day ``t`` in between gets
+    ``floor((v0 * (t1 - t) + v1 * (t - t0)) / (t1 - t0))`` — exact
+    int64 (valid while ``|v| * gap_days`` fits int64, i.e. any real
+    series), so the result is engine-replayable bit-for-bit, unlike
+    float lerp. Days before the first / after the last observation
+    carry the edge value (no extrapolation). Grid spans each KEY's own
+    min..max day (not the frame-wide span — a key absent for the
+    first year shouldn't be back-filled into it).
+
+    Input must have at most one row per (key, day) — aggregate
+    upstream. ``day_col`` must be a date; ``value_col`` integral.
+
+    Scale: per-key grid via ``sequence`` + ``explode`` (O(span) rows
+    per key, no cross join); both the previous- and next-observation
+    brackets ride ONE running window each over the same per-key hash
+    partitioning — no self-join, no global window.
+    """
+    keys = [F.col(k) for k in key_cols]
+    obs = df.select(
+        *keys,
+        F.col(day_col).alias("__day"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    )
+    span = obs.groupBy(*key_cols).agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(F.expr("sequence(__lo, __hi, interval 1 day)")).alias("__day"),
+    ).select(*key_cols, F.col("__day").cast("date").alias("__day"))
+    j = grid.join(obs, [*key_cols, "__day"], "left")
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("__day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("__v", ignorenulls=True).over(wb)
+    prev_d = F.last(
+        F.when(F.col("__v").isNotNull(), F.col("__day")), ignorenulls=True
+    ).over(wb)
+    next_v = F.first("__v", ignorenulls=True).over(wf)
+    next_d = F.first(
+        F.when(F.col("__v").isNotNull(), F.col("__day")), ignorenulls=True
+    ).over(wf)
+    num = (
+        prev_v * F.datediff(next_d, F.col("__day")).cast("bigint")
+        + next_v * F.datediff(F.col("__day"), prev_d).cast("bigint")
+    )
+    den = F.datediff(next_d, prev_d).cast("bigint")
+    staged = j.select(
+        *key_cols,
+        "__day",
+        "__v",
+        prev_v.alias("__pv"),
+        next_v.alias("__nv"),
+        num.alias("__num"),
+        den.alias("__den"),
+    )
+    # exact int64 floor division (den > 0 by construction): `a / b`
+    # on bigints is a DOUBLE divide (precision loss past 2^53) and
+    # `div` truncates toward zero on negatives — (a - pmod(a, b)) div
+    # b is floor(a / b) in pure integer arithmetic for any sign of a.
+    interp = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+        F.when(F.col("__pv").isNull(), F.col("__nv"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .otherwise(F.expr("(__num - pmod(__num, __den)) div __den"))
+    )
+    return staged.select(
+        *key_cols,
+        F.col("__day").alias(day_col),
+        F.col("__v").isNotNull().alias("observed"),
+        interp.cast("bigint").alias(out_col),
+    )
+
+
 def scd2_from_changes(
     df: DataFrame,
     key_cols: Sequence[str],

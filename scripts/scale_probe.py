@@ -68,6 +68,8 @@ PROBE = {
     "docs_encode_unigram": "linear (distinct-word DP, vocab broadcast)",
     "orders_profile": "linear (one Expand+Aggregate pass)",
     "docs_learn_bpe": "linear (32 rounds over the distinct-word frame)",
+    "docs_bm25_topk": "linear (query-bounded tf frame; TakeOrdered top-k)",
+    "orders_trailing_spend": "linear (per-customer range window)",
 }
 
 

@@ -189,3 +189,33 @@ def test_kcore_peel_matches_python(spark):
     # the 3-core after enough rounds is exactly the clique
     final = {(r.src, r.dst) for r in kcore_peel(df, 3, 4).collect()}
     assert {a for a, _ in final} == {0, 1, 2, 3}
+
+
+def test_cooccurrence_topk_similar(spark):
+    """cos_ppm = floor(c12*1e6/sqrt(c1*c2)); per-item top-k both
+    directions; min_pairs prunes; duplicate basket rows collapse."""
+    import math
+
+    from omop_etl_spark.operators.graph import cooccurrence_topk_similar
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"), (3, "y"),  # dup collapses
+        (4, "x"), (4, "q"),
+        (5, "x"), (5, "q"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item"], r["other"]): (r["n_both"], r["cos_ppm"], r["rank"])
+        for r in cooccurrence_topk_similar(df, k=2, min_pairs=2).collect()
+    }
+    # totals: x=5, y=3, z=1, q=2; pairs>=2: (x,y)=3, (x,q)=2
+    exp_xy = math.floor(3 * 1_000_000.0 / math.sqrt(5 * 3))
+    exp_xq = math.floor(2 * 1_000_000.0 / math.sqrt(5 * 2))
+    assert got[("x", "y")] == (3, exp_xy, 1)
+    assert got[("y", "x")] == (3, exp_xy, 1)
+    assert got[("x", "q")] == (2, exp_xq, 2)
+    assert got[("q", "x")] == (2, exp_xq, 1)
+    # (x,z) and (y,z) pruned by min_pairs
+    assert ("x", "z") not in got and ("z", "x") not in got

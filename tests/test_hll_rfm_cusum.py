@@ -518,3 +518,25 @@ def test_markov_stationary_matches_numpy(spark):
     assert 1_000_000 - 10 <= sum(got.values()) <= 1_000_000
     with pytest.raises(ValueError):
         markov_stationary(df, rounds=0)
+
+
+def test_robust_group_stats_exact(spark):
+    """Winsorized sum/mean + MAD against hand-computed values: outlier
+    clipped to the p90 cut, negative mean floors toward -inf, MAD from
+    the lower median."""
+    from omop_etl_spark.operators.stats import robust_group_stats
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]] + [
+        ("b", v) for v in [-5, -5, 0, 10]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: tuple(r)[1:]
+        for r in robust_group_stats(df, ["g"], "v", 0.1, 0.9).collect()
+    }
+    # a: cuts 1/5/9; 1000 clips to 9 -> sum 54, mean 5; MAD of
+    # |v-5| = [4,3,2,1,0,1,2,3,4,995] -> rank 5 -> 2
+    assert got["a"] == (10, 1, 5, 9, 54, 5, 2)
+    # b: cuts -5/-5/0; clip [-5,0] -> sum -10, floor(-10/4) = -3
+    # (floor, not truncate); MAD of |v+5| = [0,0,5,15] -> rank 2 -> 0
+    assert got["b"] == (4, -5, -5, 0, -10, -3, 0)

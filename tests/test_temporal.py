@@ -580,3 +580,46 @@ def test_segmented_cumsum_matches_python(spark):
             cum += v
             want[(k, i)] = (seg, cum)
     assert got == want
+
+
+def test_resample_interp_exact(spark):
+    """Interior gaps lerp with exact integer floor (negatives floor
+    toward -inf, not zero); edges carry boundary values; per-key span."""
+    import datetime as dt
+
+    from omop_etl_spark.operators.temporal import resample_interp
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 100),
+        ("a", d(2024, 1, 4), 130),
+        ("a", d(2024, 1, 6), -7),
+        ("b", d(2024, 2, 10), 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v long")
+    got = [
+        tuple(r)
+        for r in resample_interp(df, ["k"], "day", "v").orderBy("k", "day").collect()
+    ]
+    assert got == [
+        ("a", d(2024, 1, 1), True, 100),
+        ("a", d(2024, 1, 2), False, 110),
+        ("a", d(2024, 1, 3), False, 120),
+        ("a", d(2024, 1, 4), True, 130),
+        # floor((130*1 + -7*1)/2) = floor(61.5) = 61
+        ("a", d(2024, 1, 5), False, 61),
+        ("a", d(2024, 1, 6), True, -7),
+        # key b never inherits key a's span
+        ("b", d(2024, 2, 10), True, 5),
+    ]
+    # negative-lerp floors toward -inf: 0 .. -7 over 3 days
+    df2 = spark.createDataFrame(
+        [("c", d(2024, 1, 1), 0), ("c", d(2024, 1, 4), -7)],
+        "k string, day date, v long",
+    )
+    vals = [
+        r["interp_value"]
+        for r in resample_interp(df2, ["k"], "day", "v").orderBy("day").collect()
+    ]
+    # floor(-7/3) = -3, floor(-14/3) = -5
+    assert vals == [0, -3, -5, -7]
