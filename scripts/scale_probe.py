@@ -70,6 +70,9 @@ PROBE = {
     "docs_learn_bpe": "linear (32 rounds over the distinct-word frame)",
     "docs_bm25_topk": "linear (query-bounded tf frame; TakeOrdered top-k)",
     "orders_trailing_spend": "linear (per-customer range window)",
+    "events_gap_fill": "linear (per-key grid + two running windows)",
+    "parts_item_sim": "linear-ish (per-order pair fan-out bounded)",
+    "events_robust_stats": "linear (distinct-value histogram decomposition)",
 }
 
 
