@@ -184,9 +184,18 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
+    from pyspark import StorageLevel
+
     qt = sorted(set(query_terms))
     toks = df.select(F.col(id_col), _term_tokens(text_col).alias("__toks"))
-    dl = toks.select(id_col, F.size("__toks").alias("__dl"))
+    # dl is SF-linear but NARROW (id + int); persisting it means the
+    # wide text column is scanned twice total (dl + tf) instead of
+    # four times (dl, stats, and the join would each rescan) — at
+    # 100 TB the text scan is the dominant IO. Same persist contract
+    # as dedup.containment_pairs (caller-owned cleanup, spill-safe).
+    dl = toks.select(id_col, F.size("__toks").alias("__dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__t")
     )

@@ -409,9 +409,19 @@ def cooccurrence_topk_similar(
     """
     if k < 1:
         raise ValueError("cooccurrence_topk_similar requires k >= 1")
-    b = baskets.select(
-        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
-    ).distinct()
+    from pyspark import StorageLevel
+
+    # the distinct basket-item frame feeds BOTH sides of the pair
+    # self-join and the totals aggregate — persist it so the distinct
+    # shuffle runs once, not three times (narrow two-column frame;
+    # same caller-owned-cleanup contract as dedup.containment_pairs)
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = b.groupBy(F.col("__it").alias("__t_it")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__c1")
     )

@@ -125,6 +125,7 @@ def exact_quantile_cuts(
     value_col,
     quantiles,
     bucket_width: int | None = None,
+    count_col: str | None = None,
 ):
     """Exact per-group quantile cut values, computed WITHOUT sorting
     the group's rows.
@@ -149,11 +150,23 @@ def exact_quantile_cuts(
     ``value_col`` should be integral (quantize floats first) so the
     cuts hash identically across engines.  Output: one row per group —
     ``n`` plus one ``q_<label>`` column per requested quantile.
+
+    Pass ``count_col`` when ``df`` is ALREADY the per-(group, value)
+    aggregate (one row per pair, weight in ``count_col``) — callers
+    like :func:`robust_group_stats` that need the counts frame for
+    their own math then shuffle the fact table once, not twice.
     """
     from pyspark.sql import Window
 
     gcols = list(group_cols)
-    counts = df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    if count_col is None:
+        counts = df.groupBy(*gcols, value_col).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+    else:
+        counts = df.groupBy(*gcols, value_col).agg(
+            F.sum(count_col).alias("__c")
+        )
     if bucket_width is None:
         w = (
             Window.partitionBy(*gcols)
@@ -307,10 +320,13 @@ def robust_group_stats(
     the ``|v - median|`` value spine.  ``value_col`` must be integral
     (quantize floats upstream).
 
-    Scale: two scans of ``df`` (cut pass + count pass), then
-    everything runs on the per-(group, value) aggregate; windows are
-    all PARTITIONED by group.  The winsorized mean is exact integer
-    floor division (pmod construction — valid for negative sums).
+    Scale: ONE scan+shuffle of ``df`` builds the per-(group, value)
+    aggregate, which is value-domain-bounded and eagerly checkpointed
+    — the cut pass (via ``exact_quantile_cuts``'s ``count_col``
+    path), the winsorize pass, and the MAD pass all run on it;
+    windows are all PARTITIONED by group.  The winsorized mean is
+    exact integer floor division (pmod construction — valid for
+    negative sums).
 
     Returns ``(group_cols..., n, lo_cut, median, hi_cut,
     winsorized_sum, winsorized_mean, mad)``.
@@ -318,7 +334,14 @@ def robust_group_stats(
     from pyspark.sql import Window
 
     gcols = list(group_cols)
-    cuts = exact_quantile_cuts(df, gcols, value_col, [lo, 0.5, hi])
+    counts = (
+        df.groupBy(*gcols, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    cuts = exact_quantile_cuts(
+        counts, gcols, value_col, [lo, 0.5, hi], count_col="__c"
+    )
     lo_lab = f"q_{str(lo).replace('0.', 'p').replace('.', '_')}"
     hi_lab = f"q_{str(hi).replace('0.', 'p').replace('.', '_')}"
     cuts = cuts.select(
@@ -328,7 +351,6 @@ def robust_group_stats(
         F.col("q_p5").cast("bigint").alias("median"),
         F.col(hi_lab).cast("bigint").alias("hi_cut"),
     )
-    counts = df.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("__c"))
     j = counts.join(cuts, gcols)
     clip = F.greatest(F.least(F.col(value_col), F.col("hi_cut")), F.col("lo_cut"))
     win = j.groupBy(*gcols).agg(
