@@ -9338,10 +9338,12 @@ def _q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_docs_bm25_topk() -> str:
+def _bm25_scored_ctes() -> str:
+    """The shared BM25 scoring pipeline (words -> dl -> stats -> tf ->
+    dfq -> contrib -> scored), used by both the plain top-k oracle and
+    the hybrid-RRF oracle so the two replay IDENTICAL scoring."""
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT doc_id, t.w AS term
   FROM documents,
        (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w) t
@@ -9370,10 +9372,98 @@ scored AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
          CAST(SUM(c) AS BIGINT) AS score_micro
   FROM contrib GROUP BY 1
-)
+)"""
+
+
+def _oracle_docs_bm25_topk() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()}
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_terms_matched, score_micro,
        CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
 FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20
+"""
+
+
+HYBRID_RRF_K_EACH = 100
+HYBRID_RRF_C = 60
+HYBRID_RRF_K = 20
+
+
+def _q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and embedding-cosine (dense)
+    rankers fused with reciprocal-rank fusion
+    (operators/similarity.rrf_fuse) — the standard two-tower search
+    stack. Each ranker contributes its top-100; the fusion is PURE
+    integer (1e9 div (60 + rank) summed per doc), so determinism
+    needs nothing beyond the two rankers' own contracts (BM25's
+    micro-unit floors; cosine's sequential-fold dot product + round-6
+    ranking, the sim_topk contract). The dense query is the corpus
+    vector vec_id=0 (embeddings and documents share the id space);
+    the fused frame is 2*100 rows regardless of corpus size."""
+    from omop_etl_spark.operators.chunking import bm25_topk
+    from omop_etl_spark.operators.similarity import cosine_topk, rrf_fuse
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    bm = bm25_topk(docs, list(BM25_QUERY_TERMS), k=HYBRID_RRF_K_EACH).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "rank"
+    )
+    # raw (unrounded) scores: the rank cut must agree bit-for-bit with
+    # the oracle, and the raw sequential-fold dot products are IEEE-
+    # identical across engines (the sim_topk contract); round-6 would
+    # collapse near-ties differently at the k boundary.
+    cos = cosine_topk(
+        emb.filter(F.col("vec_id") == 0),
+        emb,
+        k=HYBRID_RRF_K_EACH,
+        round_digits=None,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    cosr = (
+        cos.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(F.col("neighbor_id").cast("bigint").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(
+        [bm, cosr], "doc_id", "rank", k=HYBRID_RRF_K, c=HYBRID_RRF_C
+    )
+
+
+def _oracle_docs_hybrid_rrf() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+bmr AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS r
+  FROM (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+        FROM scored)
+  WHERE rn <= {HYBRID_RRF_K_EACH}
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cosx AS (
+  SELECT c.vec_id AS doc_id,
+         list_dot_product(q.qv, c.cv) /
+         (sqrt(list_dot_product(q.qv, q.qv)) *
+          sqrt(list_dot_product(c.cv, c.cv))) AS score
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c, q
+),
+cosr AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS r
+  FROM (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM cosx)
+  WHERE rn <= {HYBRID_RRF_K_EACH}
+),
+u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM cosr),
+fused AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rankers,
+         CAST(SUM(1000000000 // ({HYBRID_RRF_C} + r)) AS BIGINT) AS rrf_score
+  FROM u GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_rankers, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_RRF_K}
 """
 
 
@@ -9519,22 +9609,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 38 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 9 leftovers rotate in r10:
-        # split_assign, sql_distinct_on, sql_expr_surface, text_langid,
-        # text_pii_scrub, text_quality, text_stats, text_token_counts,
-        # window_rank).
+        # (c) 37 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 10 leftovers rotate in r10:
+        # set_ops_customers, split_assign, sql_distinct_on,
+        # sql_expr_surface, text_langid, text_pii_scrub, text_quality,
+        # text_stats, text_token_counts, window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
-        # -- (a) never driver-verified (5: 2 repaired HUGEINT oracles
-        #    + 3 queries NEW in r9) --
+        # -- (a) never driver-verified: 2 repaired HUGEINT oracles +
+        #    the queries NEW in r9 --
         "docs_learn_bpe": _q_docs_learn_bpe,
         "docs_bm25_topk": _q_docs_bm25_topk,
         "orders_trailing_spend": _q_orders_trailing_spend,
         "events_gap_fill": _q_events_gap_fill,
         "parts_item_sim": _q_parts_item_sim,
         "events_robust_stats": _q_events_robust_stats,
+        "docs_hybrid_rrf": _q_docs_hybrid_rrf,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -9587,8 +9678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _q_range_join,
         "sample_stratified": _q_sample_stratified,
         "scd2_user_state": _q_scd2_user_state,
-        "set_ops_customers": _q_set_ops,
         # -- below the driver window: sorted by last-green round --
+        "set_ops_customers": _q_set_ops,
         "split_assign": _q_split_assign,
         "sql_distinct_on": _sql_query(SQL_DISTINCT_ON),
         "sql_expr_surface": _sql_query(SQL_EXPR_SURFACE),
@@ -9893,6 +9984,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill": ORACLE_EVENTS_GAP_FILL,
         "parts_item_sim": ORACLE_PARTS_ITEM_SIM,
         "events_robust_stats": ORACLE_EVENTS_ROBUST_STATS,
+        "docs_hybrid_rrf": _oracle_docs_hybrid_rrf(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

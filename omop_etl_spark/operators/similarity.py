@@ -29,6 +29,7 @@ from .util import spread
 __all__ = [
     "cosine",
     "cosine_topk",
+    "rrf_fuse",
     "cosine_pairs",
     "simhash_buckets",
     "simhash_probe_buckets",
@@ -736,4 +737,60 @@ def quantize_embeddings(
         .withColumn(code_col, codes)
         .withColumn(err_col, err)
         .drop("__q_lo", "__q_hi")
+    )
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 20,
+    c: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankers — the standard hybrid-
+    retrieval combiner (Cormack et al. 2009; what every BM25 +
+    embedding search stack ships): each ranker contributes
+    ``scale // (c + rank)`` to a candidate's score, candidates
+    missing from a ranker contribute nothing, and the fused top-``k``
+    is returned.
+
+    All-INTEGER: the reciprocal is one int64 floor division per
+    (ranker, candidate) — no floats anywhere, so the fusion replays
+    bit-for-bit in any engine (the float ``1/(c+r)`` spelling would
+    depend on summation order).  Ties break on the id.
+
+    Scale shape: each input is already a top-k frame from its ranker
+    (k-bounded by construction — TakeOrdered/WindowGroupLimit
+    upstream), so the union + fuse aggregate runs on
+    ``N * k`` rows regardless of corpus size, and the final top-k is
+    an orderBy+limit TakeOrdered.
+
+    Returns ``(id_col, n_rankers, rrf_score, rank)``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    if k < 1 or c < 0:
+        raise ValueError("rrf_fuse: need k >= 1 and c >= 0")
+    parts = [
+        r.select(
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("bigint").alias("__r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rankers"),
+        F.sum(F.expr(f"{scale} div ({c} + __r)")).cast("bigint").alias("rrf_score"),
+    )
+    topk = fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return topk.select(
+        id_col,
+        "n_rankers",
+        "rrf_score",
+        F.row_number().over(w).cast("bigint").alias("rank"),
     )

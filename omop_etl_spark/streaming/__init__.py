@@ -3,6 +3,7 @@ from .events import (
     EVENTS_SCHEMA,
     enrich_stream,
     hourly_counts,
+    sliding_counts,
     read_events_stream,
     sessionize,
     sessionize_batch,
@@ -19,6 +20,7 @@ __all__ = [
     "enrich_stream",
     "flag_stream_neardups",
     "hourly_counts",
+    "sliding_counts",
     "read_docs_stream",
     "read_events_stream",
     "sessionize",

@@ -36,6 +36,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
     "hourly_counts",
+    "sliding_counts",
     "sessionize",
     "stream_dedup",
     "enrich_stream",
@@ -114,6 +115,43 @@ def hourly_counts(
             "event_type",
             "n_events",
             "n_users_approx",
+            "value_cents",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING event-time windows per event_type — the overlapping-
+    window shape tumbling ``hourly_counts`` can't express (each event
+    lands in ``window/slide`` windows; a 1h/15m slide gives the
+    4x-overlapped rolling rate every alerting dashboard wants).
+
+    Structured Streaming's ``window(ts, windowDuration, slide)``
+    assigns the overlapping windows MAP-SIDE (no self-join, no
+    re-scan per offset); watermarking bounds state exactly as in the
+    tumbling case — per-key state is ``window/slide`` concurrent
+    windows instead of 1, still constant.  The batch twin is the
+    same ``F.window`` expression on a static frame
+    (tests/test_streaming_multimodal.py pins stream == batch).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
             "value_cents",
         )
     )

@@ -231,3 +231,28 @@ def test_bm25_topk_matches_reference(spark):
     # the tie pair (docs 2 and 6) must both appear, id order
     tie = [g for g in got if g[0] in (2, 6)]
     assert [g[0] for g in tie] == [2, 6] and tie[0][2] == tie[1][2]
+
+
+def test_rrf_fuse_integer_exact(spark):
+    """RRF fusion: integer reciprocal contributions, missing-ranker
+    candidates score from one list only, ties break on id."""
+    from omop_etl_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    got = [
+        tuple(r) for r in rrf_fuse([a, b], k=10, c=60).orderBy("rank").collect()
+    ]
+    s = 1_000_000_000
+    exp = {
+        1: (1, s // 61),
+        2: (2, s // 62 + s // 61),
+        3: (1, s // 63),
+        4: (1, s // 62),
+    }
+    want = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    assert got == [
+        (i, n, sc, r + 1) for r, (i, (n, sc)) in enumerate(want)
+    ]
+    # doc 2 (in both lists) must rank first
+    assert got[0][0] == 2 and got[0][1] == 2
