@@ -9240,6 +9240,92 @@ WHERE rn <= 5
 """
 
 
+def _q_events_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the fair-split companion to
+    last-touch (`events_attribution`): every purchase's 1e6 ppm of
+    credit divides equally across the same user's touches
+    (click/view/signup) in the preceding 7 days, in EXACT integers —
+    ``base = 1e6 div n`` per touch and the remainder ``1e6 mod n``
+    goes to the most recent touch (tie order (ts, event_id), unique),
+    so every purchase's credits sum to exactly 1e6 and both engines
+    agree bit-for-bit (float 1/n splits would not).
+
+    Scale: one hash equi-join on user_id with the time predicate as a
+    join filter — per-user fan-out bounded by the 7-day activity
+    window (the events_attribution contract); the per-purchase n and
+    is-last flags ride ONE window PARTITIONED by purchase id."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    wn = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    cred = (
+        j.withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn("__rn", F.row_number().over(wr))
+        .select(
+            "channel",
+            (
+                F.expr("1000000 div __n")
+                + F.when(F.col("__rn") == 1, F.expr("1000000 % __n")).otherwise(0)
+            ).alias("__credit"),
+        )
+    )
+    return cred.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum("__credit").cast("bigint").alias("credit_ppm_total"),
+    )
+
+
+ORACLE_EVENTS_MULTITOUCH = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS t_id, user_id AS t_user, ts AS t_ts,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+),
+j AS (
+  SELECT p.p_id, t.channel, t.t_ts, t.t_id
+  FROM p JOIN t ON p.p_user = t.t_user
+   AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+),
+cred AS (
+  SELECT channel,
+         1000000 // n + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END AS credit
+  FROM (SELECT channel,
+               COUNT(*) OVER (PARTITION BY p_id) AS n,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                                  ORDER BY t_ts DESC, t_id DESC) AS rn
+        FROM j)
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(credit) AS BIGINT) AS credit_ppm_total
+FROM cred GROUP BY 1
+"""
+
+
 def _q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily spend series regularized onto each user's own
     day span with LINEAR interpolation across interior gaps in exact
@@ -9609,11 +9695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 37 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 10 leftovers rotate in r10:
-        # set_ops_customers, split_assign, sql_distinct_on,
-        # sql_expr_surface, text_langid, text_pii_scrub, text_quality,
-        # text_stats, text_token_counts, window_rank).
+        # (c) 36 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 11 leftovers rotate in r10:
+        # scd2_user_state, set_ops_customers, split_assign,
+        # sql_distinct_on, sql_expr_surface, text_langid,
+        # text_pii_scrub, text_quality, text_stats, text_token_counts,
+        # window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -9626,6 +9713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_item_sim": _q_parts_item_sim,
         "events_robust_stats": _q_events_robust_stats,
         "docs_hybrid_rrf": _q_docs_hybrid_rrf,
+        "events_multitouch": _q_events_multitouch,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -9677,8 +9765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": _q_pack_bins,
         "range_join_events": _q_range_join,
         "sample_stratified": _q_sample_stratified,
-        "scd2_user_state": _q_scd2_user_state,
         # -- below the driver window: sorted by last-green round --
+        "scd2_user_state": _q_scd2_user_state,
         "set_ops_customers": _q_set_ops,
         "split_assign": _q_split_assign,
         "sql_distinct_on": _sql_query(SQL_DISTINCT_ON),
@@ -9985,6 +10073,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_item_sim": ORACLE_PARTS_ITEM_SIM,
         "events_robust_stats": ORACLE_EVENTS_ROBUST_STATS,
         "docs_hybrid_rrf": _oracle_docs_hybrid_rrf(),
+        "events_multitouch": ORACLE_EVENTS_MULTITOUCH,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

@@ -73,6 +73,8 @@ PROBE = {
     "events_gap_fill": "linear (per-key grid + two running windows)",
     "parts_item_sim": "linear-ish (per-order pair fan-out bounded)",
     "events_robust_stats": "linear (distinct-value histogram decomposition)",
+    "docs_hybrid_rrf": "linear (two k-bounded rankers; k-row fusion)",
+    "events_multitouch": "linear-ish (7-day-bounded per-user join fan-out)",
 }
 
 
