@@ -140,6 +140,15 @@ def count_triangles(
 
     Input may contain duplicate or self edges; both are removed first
     (distinct on the normalized (lo, hi) pair, lo < hi).
+
+    The normalized edge frame fans out to FOUR consumers (degree
+    counting, orientation, the wedge-closing probe, and the edge
+    count), and the oriented frame to three more — so both are
+    eagerly localCheckpoint'd. Without this, an expensive upstream
+    edge derivation (e.g. a per-order basket self-join) re-executes
+    once per consumer: the bounded-iterate/unbounded-input trap of
+    SCALE.md §18 in fan-out form. Both frames are edge-bounded, so
+    the materialization cost is O(E), far below one upstream replay.
     """
     lo = F.least(F.col(src), F.col(dst))
     hi = F.greatest(F.col(src), F.col(dst))
@@ -147,6 +156,7 @@ def count_triangles(
         edges.select(lo.alias("u"), hi.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -165,7 +175,7 @@ def count_triangles(
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("ra"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("rb"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(
         F.col("a"), F.col("b").alias("w1"), F.col("rb").alias("r1")
     )
