@@ -9326,6 +9326,155 @@ FROM cred GROUP BY 1
 """
 
 
+def _q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type — the step-function
+    integral (TWAP) that plain AVG gets wrong when observations are
+    irregularly spaced: each reading holds until the user's next
+    event, so its weight is that holding duration. All arithmetic is
+    exact int64: timestamps enter as ``unix_micros``, the holding
+    duration is ``(next_us - us) div 1e6`` whole seconds (identical
+    floor in both engines), the value as floor-cents, and the final
+    TWAP is ONE integer division — no float ever touches the result.
+
+    int64 headroom: the weighted sum is bounded by
+    ``max_cents * total_holding_seconds`` per type; at 1e5 cents and
+    ~3e13 aggregate cent-seconds headroom stays >1e5x above the sf1
+    magnitude (documented, same contract as corpus_source_drift).
+
+    Scale: one window (partitioned by user+type — never global) and
+    one map-side-combinable hash aggregate; the last event of each
+    key is the only row dropped (no next reading to bound it)."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    seg = (
+        ev.withColumn("next_us", F.lead("us").over(w))
+        .filter(F.col("next_us").isNotNull())
+        .select(
+            "event_type",
+            "cents",
+            F.expr("(next_us - us) div 1000000").alias("dur_s"),
+        )
+    )
+    agg = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("dur_s").cast("bigint").alias("total_s"),
+        F.sum(F.col("cents") * F.col("dur_s")).cast("bigint").alias("__w"),
+    )
+    return agg.select(
+        "event_type",
+        "n_segments",
+        "total_s",
+        F.when(F.col("total_s") > 0, F.expr("__w div total_s"))
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("twap_cents"),
+    )
+
+
+ORACLE_EVENTS_TWAP = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT event_type, cents,
+         (LEAD(us) OVER (PARTITION BY user_id, event_type
+                         ORDER BY us, event_id) - us) // 1000000 AS dur_s
+  FROM ev
+  QUALIFY dur_s IS NOT NULL
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_segments,
+         SUM(dur_s) AS total_s,
+         SUM(cents * dur_s) AS w
+  FROM seg GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_segments AS BIGINT) AS n_segments,
+       CAST(total_s AS BIGINT) AS total_s,
+       CAST(CASE WHEN total_s > 0 THEN w // total_s END AS BIGINT) AS twap_cents
+FROM agg
+"""
+
+
+def _q_cust_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout on a DETERMINISTIC hash split: every
+    user lands in variant A or B as a pure function of
+    ``md5('ab|' || user_id)`` (append-stable, engine-portable — the
+    hash_split contract of `split_assign`), conversion is "fired at
+    least one purchase event", and the per-variant conversion rate is
+    floor-scaled ppm so both engines agree exactly.
+
+    Scale: ONE map-side-combinable aggregate collapses the event log
+    to a per-user conversion bit (no distinct + semi-join second
+    shuffle); the variant bucket is computed map-side from the hash,
+    so the whole query is two hash aggregates, the second over 2
+    rows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    tagged = per_user.select(
+        F.when(bucket == 0, F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+        "converted",
+    )
+    return (
+        tagged.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_users").alias("conv_ppm"),
+        )
+    )
+
+
+ORACLE_CUST_AB_LIFT = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+tagged AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5(concat('ab|', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         converted
+  FROM per_user
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT) AS conv_ppm
+FROM tagged GROUP BY 1
+"""
+
+
 def _q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily spend series regularized onto each user's own
     day span with LINEAR interpolation across interior gaps in exact
@@ -9695,12 +9844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 36 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 11 leftovers rotate in r10:
-        # scd2_user_state, set_ops_customers, split_assign,
-        # sql_distinct_on, sql_expr_surface, text_langid,
-        # text_pii_scrub, text_quality, text_stats, text_token_counts,
-        # window_rank).
+        # (c) 34 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 13 leftovers rotate in r10:
+        # range_join_events, sample_stratified, scd2_user_state,
+        # set_ops_customers, split_assign, sql_distinct_on,
+        # sql_expr_surface, text_langid, text_pii_scrub, text_quality,
+        # text_stats, text_token_counts, window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -9714,6 +9863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_robust_stats": _q_events_robust_stats,
         "docs_hybrid_rrf": _q_docs_hybrid_rrf,
         "events_multitouch": _q_events_multitouch,
+        "events_twap": _q_events_twap,
+        "cust_ab_lift": _q_cust_ab_lift,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -9763,9 +9914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "pack_bins": _q_pack_bins,
+        # -- below the driver window: sorted by last-green round --
         "range_join_events": _q_range_join,
         "sample_stratified": _q_sample_stratified,
-        # -- below the driver window: sorted by last-green round --
         "scd2_user_state": _q_scd2_user_state,
         "set_ops_customers": _q_set_ops,
         "split_assign": _q_split_assign,
@@ -10074,6 +10225,8 @@ def oracle_sql() -> dict[str, str]:
         "events_robust_stats": ORACLE_EVENTS_ROBUST_STATS,
         "docs_hybrid_rrf": _oracle_docs_hybrid_rrf(),
         "events_multitouch": ORACLE_EVENTS_MULTITOUCH,
+        "events_twap": ORACLE_EVENTS_TWAP,
+        "cust_ab_lift": ORACLE_CUST_AB_LIFT,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
