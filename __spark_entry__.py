@@ -9475,6 +9475,90 @@ FROM tagged GROUP BY 1
 """
 
 
+def _q_parts_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.bfs_hops) on
+    the part co-purchase graph: seeds are the graph's size-1 parts,
+    and the result is how much of the basket neighborhood each hop
+    ring reaches within 3 hops — the blast-radius question
+    (recall expansion / substitution candidates) asked of co-purchase
+    graphs. Level-synchronous frontier expansion: one equi-join + one
+    anti-join per hop over a checkpointed bidirectional edge frame;
+    the expensive basket self-join that builds the edges runs exactly
+    ONCE. Output is hop-ring counts with an exact partkey-sum
+    checksum pinning ring membership, not just size."""
+    from omop_etl_spark.operators.graph import bfs_hops
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    b = li.distinct()
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.p") < F.col("c.p")),
+        )
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") == 1
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("node"))), "node", "left_semi"
+    )
+    reached = bfs_hops(pairs, seeds, src="u", dst="v", max_hops=3)
+    return (
+        reached.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("node").cast("bigint").alias("partkey_sum"),
+        )
+        .select(F.col("hop").cast("int").alias("hop"), "n_parts", "partkey_sum")
+    )
+
+
+ORACLE_PARTS_BFS_HOPS = """
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS u, c.p AS v, COUNT(*) AS n
+  FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p
+  GROUP BY 1, 2
+),
+e AS (SELECT u, v FROM pairs WHERE n >= 2),
+ed AS (SELECT u AS a, v AS bb FROM e UNION SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT a AS node FROM ed),
+v0 AS (SELECT node FROM nodes
+       WHERE node IN (SELECT p_partkey FROM part WHERE p_size = 1)),
+h1 AS (SELECT DISTINCT ed.bb AS node FROM ed JOIN v0 ON ed.a = v0.node
+       WHERE ed.bb NOT IN (SELECT node FROM v0)),
+h2 AS (SELECT DISTINCT ed.bb AS node FROM ed JOIN h1 ON ed.a = h1.node
+       WHERE ed.bb NOT IN (SELECT node FROM v0)
+         AND ed.bb NOT IN (SELECT node FROM h1)),
+h3 AS (SELECT DISTINCT ed.bb AS node FROM ed JOIN h2 ON ed.a = h2.node
+       WHERE ed.bb NOT IN (SELECT node FROM v0)
+         AND ed.bb NOT IN (SELECT node FROM h1)
+         AND ed.bb NOT IN (SELECT node FROM h2)),
+lv AS (
+  SELECT node, 0 AS hop FROM v0
+  UNION ALL SELECT node, 1 FROM h1
+  UNION ALL SELECT node, 2 FROM h2
+  UNION ALL SELECT node, 3 FROM h3
+)
+SELECT CAST(hop AS INT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(node) AS BIGINT) AS partkey_sum
+FROM lv GROUP BY 1
+"""
+
+
 def _q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily spend series regularized onto each user's own
     day span with LINEAR interpolation across interior gaps in exact
@@ -9844,12 +9928,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 34 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 13 leftovers rotate in r10:
-        # range_join_events, sample_stratified, scd2_user_state,
-        # set_ops_customers, split_assign, sql_distinct_on,
-        # sql_expr_surface, text_langid, text_pii_scrub, text_quality,
-        # text_stats, text_token_counts, window_rank).
+        # (c) 33 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 14 leftovers rotate in r10:
+        # pack_bins, range_join_events, sample_stratified,
+        # scd2_user_state, set_ops_customers, split_assign,
+        # sql_distinct_on, sql_expr_surface, text_langid,
+        # text_pii_scrub, text_quality, text_stats, text_token_counts,
+        # window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -9865,6 +9950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multitouch": _q_events_multitouch,
         "events_twap": _q_events_twap,
         "cust_ab_lift": _q_cust_ab_lift,
+        "parts_bfs_hops": _q_parts_bfs_hops,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -9913,8 +9999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
-        "pack_bins": _q_pack_bins,
         # -- below the driver window: sorted by last-green round --
+        "pack_bins": _q_pack_bins,
         "range_join_events": _q_range_join,
         "sample_stratified": _q_sample_stratified,
         "scd2_user_state": _q_scd2_user_state,
@@ -10227,6 +10313,7 @@ def oracle_sql() -> dict[str, str]:
         "events_multitouch": ORACLE_EVENTS_MULTITOUCH,
         "events_twap": ORACLE_EVENTS_TWAP,
         "cust_ab_lift": ORACLE_CUST_AB_LIFT,
+        "parts_bfs_hops": ORACLE_PARTS_BFS_HOPS,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

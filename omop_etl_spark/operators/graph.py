@@ -23,6 +23,7 @@ __all__ = [
     "out_degrees",
     "pagerank",
     "count_triangles",
+    "bfs_hops",
     "label_propagation",
     "kcore_peel",
     "markov_stationary",
@@ -202,6 +203,68 @@ def count_triangles(
             F.col("t").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source breadth-first hop distances on an undirected
+    graph: ``(node, hop)`` for every node within ``max_hops`` of any
+    seed, where ``hop`` is the EXACT shortest hop count (level-
+    synchronous BFS visits each node on its first reachable level, so
+    no min-aggregation pass is needed).
+
+    Reference parity: none — graph traversal is part of the
+    large-scale analytics suite (same family as pagerank /
+    label_propagation above).
+
+    Scale design: each level is one equi-join of the current frontier
+    against the bidirectional edge frame plus one anti-join against
+    the visited set — the Pregel expansion step expressed
+    relationally, shuffling only (node) keys. The edge frame is the
+    loop-invariant input and is eagerly localCheckpoint'd once
+    (SCALE.md §18 — without it every level would re-derive the
+    caller's edge pipeline); each level's NEW frontier is
+    checkpointed so level ``h+1`` never replays level ``h``'s joins.
+    The visited set stays a lazy union of checkpointed level frames —
+    node-bounded, never recomputed. Frontier exhaustion short-circuits
+    the loop (``isEmpty`` on an already-materialized frame is free).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bidir = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(bidir, frontier["node"] == bidir["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        visited = visited.unionAll(new)
+        frontier = new.select("node")
+    return visited
 
 
 def kcore_peel(

@@ -219,3 +219,51 @@ def test_cooccurrence_topk_similar(spark):
     assert got[("q", "x")] == (2, exp_xq, 1)
     # (x,z) and (y,z) pruned by min_pairs
     assert ("x", "z") not in got and ("z", "x") not in got
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path a-b-c-d-e plus isolated pair f-g: hops from seed {a} are
+    exact shortest distances; f/g unreachable within max_hops."""
+    from omop_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {
+        (r["node"], r["hop"])
+        for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert out == {("a", 0), ("b", 1), ("c", 2), ("d", 3)}
+
+
+def test_bfs_hops_multi_source_min_hop(spark):
+    """Two seeds on a cycle: every node gets the MIN hop over seeds,
+    and the frontier-exhaustion break stops early without error."""
+    from omop_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    out = {
+        (r["node"], r["hop"])
+        for r in bfs_hops(edges, seeds, max_hops=5).collect()
+    }
+    assert out == {("a", 0), ("c", 0), ("b", 1), ("d", 1)}
+
+
+def test_bfs_hops_directionless(spark):
+    """Edges are treated as undirected: seed at the sink still reaches
+    the source."""
+    from omop_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([("u", "v")], "src string, dst string")
+    seeds = spark.createDataFrame([("v",)], "node string")
+    out = {
+        (r["node"], r["hop"])
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert out == {("v", 0), ("u", 1)}
