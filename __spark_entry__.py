@@ -9559,6 +9559,160 @@ FROM lv GROUP BY 1
 """
 
 
+def _q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA — the property that makes HyperLogLog the
+    100 TB distinct-count workhorse: registers of a union are the
+    element-wise MAX of the parts' registers, so |A∪B| needs no
+    re-scan of the data, and |A∩B| follows by inclusion-exclusion —
+    all from two already-built 4096-row sketches. Estimates ride
+    operators/sketches.hll_estimate's exact-integer pipeline
+    (est_micro, floor-scaled once), so both engines agree
+    bit-for-bit; exact one-pass calibration columns sit alongside to
+    pin the sketch against truth in the same row.
+
+    Scale: the sketch path scans events once into O(2^b)-row
+    register state (map-side MAX partials); the MAX-merge and the
+    estimates run on register-bounded frames, checkpointed because
+    the register frame fans out to the per-set and union consumers.
+    The exact path is one map-side-combinable per-user aggregate —
+    present only as calibration, and the first thing to drop at
+    100 TB."""
+    from omop_etl_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+    )
+    regs = hll_registers(ev, ["event_type"], "user_id").localCheckpoint(eager=True)
+    named = regs.select(
+        F.col("event_type").alias("set_name"), "bucket", "register"
+    )
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .select(F.lit("union").alias("set_name"), "bucket", "register")
+    )
+    est = hll_estimate(named.unionAll(union_regs), ["set_name"])
+
+    def pick(s: str, c: str):
+        return F.max(F.when(F.col("set_name") == s, F.col(c))).cast("bigint")
+
+    sk = (
+        est.agg(
+            pick("click", "reg_sum").alias("reg_sum_click"),
+            pick("purchase", "reg_sum").alias("reg_sum_purchase"),
+            pick("union", "reg_sum").alias("reg_sum_union"),
+            pick("click", "est_micro").alias("est_click_micro"),
+            pick("purchase", "est_micro").alias("est_purchase_micro"),
+            pick("union", "est_micro").alias("est_union_micro"),
+        )
+        .withColumn(
+            "est_intersect_micro",
+            (
+                F.col("est_click_micro")
+                + F.col("est_purchase_micro")
+                - F.col("est_union_micro")
+            ).cast("bigint"),
+        )
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    exact = flags.agg(
+        F.sum("c").cast("bigint").alias("exact_click"),
+        F.sum("p").cast("bigint").alias("exact_purchase"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.col("c") * F.col("p")).cast("bigint").alias("exact_intersect"),
+    )
+    return sk.crossJoin(exact)
+
+
+_HLL_EST_MICRO = """
+CASE WHEN (4096 - n_present) > 0 AND est_raw * 2 <= 5 * 4096
+     THEN 4096 * CAST(floor(ln(4096.0 / (4096 - n_present)) * 1000000) AS BIGINT)
+     ELSE est_raw * 1000000 END"""
+
+ORACLE_SKETCH_HLL_UNION = f"""
+WITH h AS (
+  SELECT event_type, md5(concat('hll|', CAST(user_id AS VARCHAR))) AS hx,
+         user_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+parts AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(hx, 1, 3)) AS BIGINT) AS bucket,
+         regexp_replace(substr(hx, 4, 15), '^0+', '') AS stripped
+  FROM h
+),
+rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN stripped = '' THEN 61
+              ELSE (15 - length(stripped)) * 4
+                   + CASE WHEN substr(stripped, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                          WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 1
+                          WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+                          ELSE 3 END + 1 END AS rho
+  FROM parts
+),
+regs AS (SELECT event_type, bucket, MAX(rho) AS register FROM rho GROUP BY 1, 2),
+allregs AS (
+  SELECT event_type AS set_name, bucket, register FROM regs
+  UNION ALL
+  SELECT 'union', bucket, MAX(register) FROM regs GROUP BY 1, 2
+),
+agg AS (
+  SELECT set_name,
+         COUNT(*) AS n_present,
+         SUM(register) AS reg_sum,
+         SUM(CAST((CAST(1 AS BIGINT) << (61 - register)) AS HUGEINT)) AS ssum
+  FROM allregs GROUP BY 1
+),
+est AS (
+  SELECT set_name,
+         n_present,
+         CAST(reg_sum AS BIGINT) AS reg_sum,
+         CAST(CAST('{_HLL_NUM}' AS HUGEINT) //
+              ({_HLL_DEN_ALPHA} * (ssum + (4096 - n_present) * CAST('{1 << 61}' AS HUGEINT)))
+              AS BIGINT) AS est_raw
+  FROM agg
+),
+em AS (
+  SELECT set_name, reg_sum, CAST({_HLL_EST_MICRO} AS BIGINT) AS est_micro
+  FROM est
+),
+sk AS (
+  SELECT
+    CAST(MAX(CASE WHEN set_name = 'click' THEN reg_sum END) AS BIGINT) AS reg_sum_click,
+    CAST(MAX(CASE WHEN set_name = 'purchase' THEN reg_sum END) AS BIGINT) AS reg_sum_purchase,
+    CAST(MAX(CASE WHEN set_name = 'union' THEN reg_sum END) AS BIGINT) AS reg_sum_union,
+    CAST(MAX(CASE WHEN set_name = 'click' THEN est_micro END) AS BIGINT) AS est_click_micro,
+    CAST(MAX(CASE WHEN set_name = 'purchase' THEN est_micro END) AS BIGINT) AS est_purchase_micro,
+    CAST(MAX(CASE WHEN set_name = 'union' THEN est_micro END) AS BIGINT) AS est_union_micro
+  FROM em
+),
+flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+),
+exact AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS exact_click,
+         CAST(SUM(p) AS BIGINT) AS exact_purchase,
+         CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(c * p) AS BIGINT) AS exact_intersect
+  FROM flags
+)
+SELECT sk.*,
+       CAST(est_click_micro + est_purchase_micro - est_union_micro AS BIGINT)
+         AS est_intersect_micro,
+       exact.*
+FROM sk, exact
+"""
+
+
 def _q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily spend series regularized onto each user's own
     day span with LINEAR interpolation across interior gaps in exact
@@ -9928,13 +10082,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 33 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 14 leftovers rotate in r10:
-        # pack_bins, range_join_events, sample_stratified,
-        # scd2_user_state, set_ops_customers, split_assign,
-        # sql_distinct_on, sql_expr_surface, text_langid,
-        # text_pii_scrub, text_quality, text_stats, text_token_counts,
-        # window_rank).
+        # (c) 32 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 15 leftovers rotate in r10:
+        # ngram_jaccard_pairs, pack_bins, range_join_events,
+        # sample_stratified, scd2_user_state, set_ops_customers,
+        # split_assign, sql_distinct_on, sql_expr_surface,
+        # text_langid, text_pii_scrub, text_quality, text_stats,
+        # text_token_counts, window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -9951,6 +10105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": _q_events_twap,
         "cust_ab_lift": _q_cust_ab_lift,
         "parts_bfs_hops": _q_parts_bfs_hops,
+        "sketch_hll_union": _q_sketch_hll_union,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -9998,8 +10153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
-        "ngram_jaccard_pairs": _q_jaccard_pairs,
         # -- below the driver window: sorted by last-green round --
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
         "pack_bins": _q_pack_bins,
         "range_join_events": _q_range_join,
         "sample_stratified": _q_sample_stratified,
@@ -10314,6 +10469,7 @@ def oracle_sql() -> dict[str, str]:
         "events_twap": ORACLE_EVENTS_TWAP,
         "cust_ab_lift": ORACLE_CUST_AB_LIFT,
         "parts_bfs_hops": ORACLE_PARTS_BFS_HOPS,
+        "sketch_hll_union": ORACLE_SKETCH_HLL_UNION,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
