@@ -9511,8 +9511,11 @@ def _q_parts_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("v").alias("node")))
         .distinct()
     )
+    # NO broadcast hint: the p_size=1 part slice is SF-linear (a fixed
+    # fraction of an SF-linear table), so the join side choice belongs
+    # to AQE's runtime stats, not a construction-time promise
     seeds = nodes.join(
-        F.broadcast(part.select(F.col("p_partkey").alias("node"))), "node", "left_semi"
+        part.select(F.col("p_partkey").alias("node")), "node", "left_semi"
     )
     reached = bfs_hops(pairs, seeds, src="u", dst="v", max_hops=3)
     return (
@@ -9713,6 +9716,107 @@ FROM sk, exact
 """
 
 
+def _q_embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk,
+    Jégou et al. 2011): 4 subspaces x 8 codes learned by one exact
+    fixed-point Lloyd round, every vector encoded as 4 one-byte
+    codes, and the smallest-id query answered by ASYMMETRIC DISTANCE
+    — 4 broadcast-table lookups per corpus vector, never touching
+    the vectors at search time (a ~99% scan reduction at dim 64; the
+    memory-bandwidth trick behind billion-scale FAISS indexes). The
+    exact re-ranked distance rides alongside so quantization error
+    is observable. Fully integer arithmetic end-to-end — the oracle
+    replays train, encode, and search bit-for-bit."""
+    from omop_etl_spark.operators.similarity import pq_topk
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, dim=64, m=4, k=8, train_iters=1, topk=10)
+
+
+def _oracle_embed_pq_topk() -> str:
+    m, w, k, topk = 4, 16, 8, 10
+    dist = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " t -> (t[1] - t[2]) * (t[1] - t[2]))) AS BIGINT)"
+    )
+    subs = "\n  UNION ALL\n".join(
+        f"  SELECT vid, {s} AS s, xq[{s * w + 1}:{s * w + w}] AS sxq FROM q"
+        for s in range(m)
+    )
+    seed_subs = "\n  UNION ALL\n".join(
+        f"  SELECT cid, {s} AS s, xq[{s * w + 1}:{s * w + w}] AS cq FROM seedrows"
+        for s in range(m)
+    )
+    q_subs = "\n  UNION ALL\n".join(
+        f"  SELECT qid, {s} AS s, xq[{s * w + 1}:{s * w + w}] AS qsq FROM qrow"
+        for s in range(m)
+    )
+    assign = """
+a{t} AS (
+  SELECT vid, s, sxq, cid, dist,
+         row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn
+  FROM (SELECT sub.vid, sub.s, sub.sxq, c.cid, {d} AS dist
+        FROM sub JOIN {c} c ON sub.s = c.s)
+)"""
+    return (
+        f"""
+WITH q AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+  FROM embeddings
+),
+sub AS (
+{subs}
+),
+seedrows AS (
+  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cid, xq
+  FROM q ORDER BY vid LIMIT {k}
+),
+cents0 AS (
+{seed_subs}
+),"""
+        + assign.format(t=1, c="cents0", d=dist.format(a="sub.sxq", b="c.cq"))
+        + """,
+w1 AS (SELECT vid, s, sxq, cid FROM a1 WHERE rn = 1),
+mm AS (SELECT s, cid, generate_subscripts(sxq, 1) AS pos, unnest(sxq) AS x FROM w1),
+cm AS (SELECT s, cid, pos, CAST(floor(AVG(x)) AS BIGINT) AS mx FROM mm GROUP BY 1, 2, 3),
+cents1 AS (SELECT s, cid, list(mx ORDER BY pos) AS cq FROM cm GROUP BY 1, 2),"""
+        + assign.format(t=2, c="cents1", d=dist.format(a="sub.sxq", b="c.cq"))
+        + f""",
+codes AS (SELECT vid, s, cid AS code FROM a2 WHERE rn = 1),
+qrow AS (SELECT vid AS qid, xq FROM q ORDER BY vid LIMIT 1),
+qsub AS (
+{q_subs}
+),
+lut AS (
+  SELECT qsub.qid, c.s, c.cid,
+         {dist.format(a="qsub.qsq", b="c.cq")} AS qdist
+  FROM qsub JOIN cents1 c ON qsub.s = c.s
+),
+approx AS (
+  SELECT codes.vid, lut.qid, SUM(lut.qdist) AS approx_dist_sq
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.cid
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT vid, qid, approx_dist_sq FROM approx
+  WHERE vid <> qid ORDER BY approx_dist_sq, vid LIMIT {topk}
+),
+ex AS (
+  SELECT t.vid, t.approx_dist_sq,
+         {dist.format(a="q.xq", b="qrow.xq")} AS exact_dist_sq
+  FROM top t JOIN q ON t.vid = q.vid CROSS JOIN qrow
+)
+SELECT CAST(row_number() OVER (ORDER BY approx_dist_sq, vid) AS INT) AS rank,
+       CAST(vid AS BIGINT) AS vec_id,
+       CAST(approx_dist_sq AS BIGINT) AS approx_dist_sq,
+       CAST(exact_dist_sq AS BIGINT) AS exact_dist_sq
+FROM ex
+"""
+    )
+
+
 def _q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily spend series regularized onto each user's own
     day span with LINEAR interpolation across interior gaps in exact
@@ -9885,8 +9989,12 @@ def _q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle, and the raw sequential-fold dot products are IEEE-
     # identical across engines (the sim_topk contract); round-6 would
     # collapse near-ties differently at the k boundary.
+    # limit(1) after the pk filter: exactly one row matches, and the
+    # explicit Limit is the row-collapsing node that PROVES the
+    # cosine_topk broadcast is bounded (the plan-walking hint guard
+    # accepts it structurally instead of via the exemption list)
     cos = cosine_topk(
-        emb.filter(F.col("vec_id") == 0),
+        emb.filter(F.col("vec_id") == 0).limit(1),
         emb,
         k=HYBRID_RRF_K_EACH,
         round_digits=None,
@@ -10082,13 +10190,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 32 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 15 leftovers rotate in r10:
-        # ngram_jaccard_pairs, pack_bins, range_join_events,
-        # sample_stratified, scd2_user_state, set_ops_customers,
-        # split_assign, sql_distinct_on, sql_expr_surface,
-        # text_langid, text_pii_scrub, text_quality, text_stats,
-        # text_token_counts, window_rank).
+        # (c) 31 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 16 leftovers rotate in r10:
+        # multimodal_frames, ngram_jaccard_pairs, pack_bins,
+        # range_join_events, sample_stratified, scd2_user_state,
+        # set_ops_customers, split_assign, sql_distinct_on,
+        # sql_expr_surface, text_langid, text_pii_scrub, text_quality,
+        # text_stats, text_token_counts, window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -10106,6 +10214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_ab_lift": _q_cust_ab_lift,
         "parts_bfs_hops": _q_parts_bfs_hops,
         "sketch_hll_union": _q_sketch_hll_union,
+        "embed_pq_topk": _q_embed_pq_topk,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -10152,8 +10261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": _q_events_resample,
         "events_sessionize": _q_events_sessionize,
         "multimodal_features": _q_multimodal,
-        "multimodal_frames": _q_multimodal_frames,
         # -- below the driver window: sorted by last-green round --
+        "multimodal_frames": _q_multimodal_frames,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "pack_bins": _q_pack_bins,
         "range_join_events": _q_range_join,
@@ -10470,6 +10579,7 @@ def oracle_sql() -> dict[str, str]:
         "cust_ab_lift": ORACLE_CUST_AB_LIFT,
         "parts_bfs_hops": ORACLE_PARTS_BFS_HOPS,
         "sketch_hll_union": ORACLE_SKETCH_HLL_UNION,
+        "embed_pq_topk": _oracle_embed_pq_topk(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

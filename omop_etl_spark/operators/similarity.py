@@ -37,6 +37,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk_probe",
     "ivf_topk",
+    "pq_topk",
     "label_centroids",
     "quantize_embeddings",
     "random_projection",
@@ -154,6 +155,181 @@ def cosine_topk(
     if round_digits is not None:
         score = F.round(score, round_digits)
     return out.select("query_id", "neighbor_id", score.alias("score"))
+
+
+def _pq_sq_dist(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 between two quantized bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    train_iters: int = 1,
+    scale: int = 1_000_000,
+    topk: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) in exact
+    fixed-point: split each vector into ``m`` subspaces of
+    ``dim/m`` components, learn a ``k``-centroid codebook per
+    subspace with Lloyd iterations (deterministic seeding: the ``k``
+    smallest-id vectors, sliced — the kmeans_assign contract), encode
+    every vector as ``m`` one-byte codes, then answer a nearest-
+    neighbor query by ASYMMETRIC DISTANCE: the query is compared to
+    the ``m*k`` centroids once (the lookup table), and each corpus
+    vector's approximate distance is the SUM of ``m`` table lookups —
+    no corpus vector is ever touched at query time. The query vector
+    is the corpus row with the smallest id (deterministic); output is
+    the approximate top-``topk`` with the exact re-ranked distance
+    alongside, so the quantization error is visible in the result.
+
+    Everything is exact int64 (floor-quantized components, integer
+    squared distances, integer-floor centroid means, ties to the
+    lowest code/id), so the full train+encode+search pipeline is a
+    pure function of the input, replayable by an ANSI-SQL oracle.
+
+    Scale design (the reason PQ exists): corpus vectors are read ONCE
+    to train (map-side against a broadcast m*k-row codebook) and once
+    to encode; the search scans only the (id, m-codes) frame — a
+    ~99% size reduction at dim=64/m=4 — and the per-vector work is m
+    integer adds against a broadcast m*k lookup table. The quantized
+    corpus is persisted (consumed by every train iteration + encode);
+    codebook frames never exceed m*k rows.
+    """
+    from pyspark import StorageLevel
+
+    if dim % m != 0:
+        raise ValueError("pq_topk requires dim % m == 0")
+    w = dim // m
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * F.lit(float(scale))),
+        ).alias("xq"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def explode_subs(frame: DataFrame, out_vec: str) -> DataFrame:
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.slice("xq", s * w + 1, w).alias(out_vec),
+                )
+                for s in range(m)
+            ]
+        )
+        return frame.select(
+            "*", F.explode(subs).alias("__sub")
+        ).select(
+            *[c for c in frame.columns if c != "xq"],
+            F.col("__sub.s").alias("s"),
+            F.col(f"__sub.{out_vec}").alias(out_vec),
+        )
+
+    sub = explode_subs(q, "sxq")
+
+    # deterministic seeding: the k smallest-id vectors, sliced per
+    # subspace — a k-row TakeOrdered, never a corpus-wide window
+    rn = F.row_number().over(Window.orderBy("vid"))
+    seed_rows = (
+        q.orderBy("vid").limit(k).select((rn - 1).alias("cid"), "xq")
+    )
+    cents = explode_subs(
+        seed_rows.withColumnRenamed("cid", "__cid"), "cq"
+    ).select(F.col("__cid").alias("cid"), "s", "cq")
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        scored = sub.join(F.broadcast(codebook), "s").select(
+            "vid",
+            "s",
+            "sxq",
+            F.struct(
+                _pq_sq_dist(F.col("sxq"), F.col("cq")).alias("dist_sq"),
+                F.col("cid"),
+            ).alias("__cand"),
+        )
+        return scored.groupBy("vid", "s").agg(
+            F.min("__cand").alias("__win"),
+            F.first("sxq").alias("sxq"),
+        )
+
+    for _ in range(train_iters):
+        assigned = assign(cents)
+        means = (
+            assigned.select(
+                "s",
+                F.col("__win.cid").alias("cid"),
+                F.posexplode("sxq").alias("pos", "x"),
+            )
+            .groupBy("s", "cid", "pos")
+            .agg(F.floor(F.avg("x")).alias("mx"))
+        )
+        cents = means.groupBy("s", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda st: st["mx"],
+            ).alias("cq")
+        )
+    cents = cents.localCheckpoint(eager=True)
+
+    codes = assign(cents).select(
+        "vid", "s", F.col("__win.cid").alias("code")
+    )
+
+    qrow = q.orderBy("vid").limit(1).localCheckpoint(eager=True)
+    qsub = explode_subs(qrow.select(F.col("vid").alias("qid"), "xq"), "qsq")
+    lut = (
+        qsub.join(F.broadcast(cents), "s")
+        .select(
+            "qid",
+            "s",
+            "cid",
+            _pq_sq_dist(F.col("qsq"), F.col("cq")).alias("qdist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    approx = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"]) & (codes["code"] == lut["cid"]),
+        )
+        .groupBy("vid", "qid")
+        .agg(F.sum("qdist").alias("approx_dist_sq"))
+    )
+    top = (
+        approx.filter(F.col("vid") != F.col("qid"))
+        .orderBy(F.asc("approx_dist_sq"), F.asc("vid"))
+        .limit(topk)
+    )
+    exact = (
+        top.join(q, "vid")
+        .crossJoin(
+            F.broadcast(qrow.select(F.col("xq").alias("__qxq")))
+        )
+        .select(
+            "vid",
+            "approx_dist_sq",
+            _pq_sq_dist(F.col("xq"), F.col("__qxq")).alias("exact_dist_sq"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.asc("approx_dist_sq"), F.asc("vid"))
+    )
+    return exact.select(
+        rank.cast("int").alias("rank"),
+        F.col("vid").cast("bigint").alias("vec_id"),
+        F.col("approx_dist_sq").cast("bigint").alias("approx_dist_sq"),
+        F.col("exact_dist_sq").cast("bigint").alias("exact_dist_sq"),
+    )
 
 
 def cosine_pairs(

@@ -75,6 +75,10 @@ PROBE = {
     "events_robust_stats": "linear (distinct-value histogram decomposition)",
     "docs_hybrid_rrf": "linear (two k-bounded rankers; k-row fusion)",
     "events_multitouch": "linear-ish (7-day-bounded per-user join fan-out)",
+    "events_twap": "linear (one partitioned window + one hash agg)",
+    "parts_bfs_hops": "linear-ish (per-level frontier joins on checkpointed edges)",
+    "embed_pq_topk": "linear (broadcast codebooks; search scans codes only)",
+    "parts_triangle_count": "E^1.5 bound (degree-ordered wedges; frames checkpointed)",
 }
 
 

@@ -116,3 +116,37 @@ def test_kmeans_bench_scale(spark):
     assert n == emb.count()
     sizes = [r["count"] for r in out.groupBy("cluster_id").count().collect()]
     assert len(sizes) >= 2
+
+
+def test_pq_topk_exact_on_cluster_copies(spark):
+    """Corpus of exact copies of two prototype vectors: after one
+    Lloyd round each subspace codebook contains the prototypes
+    exactly, so asymmetric distance equals the true distance — approx
+    == exact for every returned neighbor, copies of the query rank
+    first with distance 0, and ranks are contiguous from 1."""
+    from omop_etl_spark.operators.similarity import pq_topk
+
+    a = [0.0] * 8
+    b = [1.0] * 8
+    rows = [(i, a if i % 2 == 0 else b) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(df, dim=8, m=2, k=2, train_iters=1, topk=6).collect()
+    assert [r["rank"] for r in out] == list(range(1, 7))
+    for r in out:
+        assert r["approx_dist_sq"] == r["exact_dist_sq"]
+    # the 5 other copies of the query prototype come first, at 0
+    zeros = [r for r in out if r["approx_dist_sq"] == 0]
+    assert {r["vec_id"] for r in zeros} == {2, 4, 6, 8, 10}
+
+
+def test_pq_topk_orders_by_approx_distance(spark):
+    """Distinct vectors along one axis: approximate ordering must be
+    monotone in approx_dist_sq and deterministic on ties (vec_id)."""
+    from omop_etl_spark.operators.similarity import pq_topk
+
+    rows = [(i, [float(i)] * 8) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(df, dim=8, m=4, k=4, train_iters=2, topk=9).collect()
+    dists = [r["approx_dist_sq"] for r in out]
+    assert dists == sorted(dists)
+    assert len(out) == 9 and 0 not in [r["vec_id"] for r in out]
