@@ -9817,6 +9817,96 @@ FROM ex
     )
 
 
+def _q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream PATH MINING: the top-10 most common session-opening
+    event sequences (first 3 event types of each session, in order) —
+    the product-analytics question "how do sessions start?". Sessions
+    are the islands contract of `events_sessionize` (30-min gap,
+    (ts, event_id) order); the path is an ordered in-group collect of
+    the first 3 types joined with '>'; the final top-10 has a full
+    deterministic tiebreak (count DESC, path ASC).
+
+    Scale: all three windows and the path aggregate share ONE
+    user-keyed hash shuffle (same-partitioning reuse); the path-count
+    aggregate is map-side combinable over a bounded key domain
+    (|event_types|^3) and the top-10 compiles to TakeOrdered — no
+    global sort of paths."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = ev.withColumn("__brk", brk).withColumn(
+        "__sess",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wp = Window.partitionBy("user_id", "__sess").orderBy("ts", "event_id")
+    first3 = sess.withColumn("__rn", F.row_number().over(wp)).filter(
+        F.col("__rn") <= 3
+    )
+    paths = first3.groupBy("user_id", "__sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+ORACLE_EVENTS_TOP_PATHS = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+),
+r AS (
+  SELECT user_id, sess, event_type,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 10
+"""
+
+
 def _q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily spend series regularized onto each user's own
     day span with LINEAR interpolation across interior gaps in exact
@@ -10190,13 +10280,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 31 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 16 leftovers rotate in r10:
-        # multimodal_frames, ngram_jaccard_pairs, pack_bins,
-        # range_join_events, sample_stratified, scd2_user_state,
-        # set_ops_customers, split_assign, sql_distinct_on,
-        # sql_expr_surface, text_langid, text_pii_scrub, text_quality,
-        # text_stats, text_token_counts, window_rank).
+        # (c) 30 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 17 leftovers rotate in r10:
+        # multimodal_features, multimodal_frames, ngram_jaccard_pairs,
+        # pack_bins, range_join_events, sample_stratified,
+        # scd2_user_state, set_ops_customers, split_assign,
+        # sql_distinct_on, sql_expr_surface, text_langid,
+        # text_pii_scrub, text_quality, text_stats, text_token_counts,
+        # window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -10215,6 +10306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_bfs_hops": _q_parts_bfs_hops,
         "sketch_hll_union": _q_sketch_hll_union,
         "embed_pq_topk": _q_embed_pq_topk,
+        "events_top_paths": _q_events_top_paths,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -10260,8 +10352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "events_resample": _q_events_resample,
         "events_sessionize": _q_events_sessionize,
-        "multimodal_features": _q_multimodal,
         # -- below the driver window: sorted by last-green round --
+        "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "pack_bins": _q_pack_bins,
@@ -10580,6 +10672,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_bfs_hops": ORACLE_PARTS_BFS_HOPS,
         "sketch_hll_union": ORACLE_SKETCH_HLL_UNION,
         "embed_pq_topk": _oracle_embed_pq_topk(),
+        "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
