@@ -285,17 +285,17 @@ def pq_topk(
         "vid", "s", F.col("__win.cid").alias("code")
     )
 
-    qrow = q.orderBy("vid").limit(1).localCheckpoint(eager=True)
+    # qrow/lut stay lazy: both re-derive from the persisted corpus and
+    # the checkpointed codebook in one TakeOrdered + m*k-row join —
+    # cheaper than the extra materialization jobs eager checkpoints
+    # would spend on them
+    qrow = q.orderBy("vid").limit(1)
     qsub = explode_subs(qrow.select(F.col("vid").alias("qid"), "xq"), "qsq")
-    lut = (
-        qsub.join(F.broadcast(cents), "s")
-        .select(
-            "qid",
-            "s",
-            "cid",
-            _pq_sq_dist(F.col("qsq"), F.col("cq")).alias("qdist"),
-        )
-        .localCheckpoint(eager=True)
+    lut = qsub.join(F.broadcast(cents), "s").select(
+        "qid",
+        "s",
+        "cid",
+        _pq_sq_dist(F.col("qsq"), F.col("cq")).alias("qdist"),
     )
     approx = (
         codes.join(
