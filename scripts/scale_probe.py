@@ -79,6 +79,8 @@ PROBE = {
     "parts_bfs_hops": "linear-ish (per-level frontier joins on checkpointed edges)",
     "embed_pq_topk": "linear (broadcast codebooks; search scans codes only)",
     "parts_triangle_count": "E^1.5 bound (degree-ordered wedges; frames checkpointed)",
+    "embed_semdedup": "n^2/k contract (cluster-scoped exact cosine)",
+    "events_top_paths": "linear (shared user-keyed shuffle; bounded path domain)",
 }
 
 

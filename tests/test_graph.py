@@ -267,3 +267,33 @@ def test_bfs_hops_directionless(spark):
         for r in bfs_hops(edges, seeds, max_hops=2).collect()
     }
     assert out == {("v", 0), ("u", 1)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bfs_hops_matches_python_reference(spark, seed):
+    """Random sparse graphs vs a pure-Python level BFS: identical
+    (node, min-hop) sets within max_hops."""
+    import random as _random
+
+    from omop_etl_spark.operators.graph import bfs_hops
+
+    rng = _random.Random(seed)
+    n = 30
+    edges = list({tuple(sorted(rng.sample(range(n), 2))) for _ in range(50)})
+    seeds = sorted(rng.sample(range(n), 3))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want, frontier = {s: 0 for s in seeds}, set(seeds)
+    for h in range(1, 4):
+        frontier = {
+            w for u in frontier for w in adj.get(u, ()) if w not in want
+        }
+        want.update({w: h for w in frontier})
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {
+        r["node"]: r["hop"] for r in bfs_hops(edf, sdf, max_hops=3).collect()
+    }
+    assert got == want
