@@ -6624,10 +6624,13 @@ ORDER BY doc_id
 # r07 second half: triangle counting, burst dedup, per-group weighted sample
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str, min_n: int = 2) -> DataFrame:
-    """Shared co-purchase edge builder for the three part-graph gates
-    (triangle / communities / BFS): parts co-ordered in >= ``min_n``
-    orders, as (u, v) with u < v.
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, min_n: int = 2, with_count: bool = False
+) -> DataFrame:
+    """Shared co-purchase edge builder for the part-graph gates
+    (triangle / communities / BFS / weighted SSSP): parts co-ordered
+    in >= ``min_n`` orders, as (u, v) with u < v — plus the co-order
+    count ``n`` when ``with_count`` (the SSSP gate's edge weight).
 
     JOIN-FREE formulation: one ``collect_set`` per order (map-side
     partial, ONE shuffle of the fact) and the ordered pairs expand
@@ -6650,12 +6653,12 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str, min_n: int = 2) -> DataF
             )
         ).alias("pr")
     )
-    return (
+    counted = (
         pairs.groupBy(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_n)
-        .select("u", "v")
     )
+    return counted if with_count else counted.select("u", "v")
 
 
 def _q_parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9572,6 +9575,407 @@ FROM lv GROUP BY 1
 """
 
 
+def _q_parts_sssp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED shortest paths (operators/graph.sssp — bounded
+    Bellman-Ford) on the part co-purchase graph: edge cost is inverse
+    co-purchase frequency (``1e6 div n`` — frequently co-ordered
+    parts are "close"), seeds are the size-1 parts, and the answer is
+    the 50 nearest non-seed parts within 3 edges — the weighted
+    refinement of `parts_bfs_hops`' hop rings (two parts one hop
+    apart through a strong edge now rank closer than through a weak
+    one). Integer weights make every path sum exact, so both engines
+    agree bit-for-bit.
+
+    Scale: the basket pair expansion (the expensive SF-linear stage)
+    is pinned ONCE and shared by the edge frame and the seed
+    node-set; each Bellman-Ford round is one equi-join of the
+    node-bounded distance frame against the checkpointed edges plus a
+    min-agg — no path materialization, no frontier explosion. The
+    final top-50 is a TakeOrderedAndProject, not a global sort."""
+    from omop_etl_spark.operators.graph import sssp
+
+    pairs = _copurchase_pairs(spark, sf_dir, with_count=True).localCheckpoint(
+        eager=True
+    )
+    weighted = pairs.select("u", "v", F.expr("1000000 div n").alias("w"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") == 1
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.join(
+        part.select(F.col("p_partkey").alias("node")), "node", "left_semi"
+    )
+    dist = sssp(weighted, seeds, src="u", dst="v", weight="w", max_rounds=3)
+    return (
+        dist.filter(F.col("dist") > 0)
+        .select(F.col("node").cast("bigint").alias("node"),
+                F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("dist", "node")
+        .limit(50)
+    )
+
+
+ORACLE_PARTS_SSSP_NEAREST = """
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS u, c.p AS v, COUNT(*) AS n
+  FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+ed AS (
+  SELECT u AS s, v AS d, 1000000 // n AS w FROM pairs
+  UNION ALL
+  SELECT v AS s, u AS d, 1000000 // n AS w FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM ed),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+       WHERE node IN (SELECT p_partkey FROM part WHERE p_size = 1)),
+d1 AS (SELECT node, MIN(dist) AS dist FROM (
+         SELECT node, dist FROM d0
+         UNION ALL
+         SELECT ed.d AS node, d0.dist + ed.w AS dist
+         FROM d0 JOIN ed ON ed.s = d0.node) GROUP BY 1),
+d2 AS (SELECT node, MIN(dist) AS dist FROM (
+         SELECT node, dist FROM d1
+         UNION ALL
+         SELECT ed.d AS node, d1.dist + ed.w AS dist
+         FROM d1 JOIN ed ON ed.s = d1.node) GROUP BY 1),
+d3 AS (SELECT node, MIN(dist) AS dist FROM (
+         SELECT node, dist FROM d2
+         UNION ALL
+         SELECT ed.d AS node, d2.dist + ed.w AS dist
+         FROM d2 JOIN ed ON ed.s = d2.node) GROUP BY 1)
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+FROM d3 WHERE dist > 0
+ORDER BY dist, node LIMIT 50
+"""
+
+
+def _q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day median of event value per (type, day) —
+    the robust rolling statistic (spike-immune baseline for anomaly
+    thresholds) that a windowed ``median()`` would force into a
+    per-row re-sort. Median is the lower-median over cents-quantized
+    values (`events_value_quantiles`' rank rule: smallest value whose
+    running count reaches ``(n-1) div 2 + 1``), so both engines agree
+    exactly.
+
+    Scale design — NO range self-join and NO per-row window re-scan:
+    the fact collapses map-side to per-(type, day, value) counts
+    (value-domain-bounded), each count row fans out to the <= 7
+    target days it contributes to (``explode(sequence(day, day+6))``
+    — the `events_stickiness` contribution-expansion pattern, a
+    map-side constant fan-out), a semi-join against the observed
+    (type, day) spine drops phantom tail days, and the median rank
+    rides ONE window over the per-(type, day) value histogram —
+    cumulative count ordered by value. Work is O(window_len * distinct
+    values), independent of the row count per day."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    hist = ev.groupBy("event_type", "day", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spine = hist.select("event_type", "day").distinct()
+    contrib = hist.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "cents",
+        "c",
+    ).join(spine, ["event_type", "day"], "left_semi")
+    win = contrib.groupBy("event_type", "day", "cents").agg(
+        F.sum("c").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type", "day")
+    x = win.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("tot"),
+    )
+    return x.groupBy("event_type", "day").agg(
+        F.max("tot").cast("bigint").alias("n_win"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(tot - 1) div 2 + 1"), F.col("cents")
+            )
+        ).cast("bigint").alias("med_cents"),
+    )
+
+
+ORACLE_EVENTS_ROLLING_MEDIAN = """
+WITH hist AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100) AS BIGINT) AS cents, COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+spine AS (SELECT DISTINCT event_type, day FROM hist),
+contrib AS (
+  SELECT h.event_type, h.day + CAST(i.i AS INTEGER) AS day, h.cents, h.c
+  FROM hist h, (SELECT unnest(generate_series(0, 6)) AS i) i
+),
+win AS (
+  SELECT c.event_type, c.day, c.cents, SUM(c.c) AS n
+  FROM contrib c
+  JOIN spine s ON s.event_type = c.event_type AND s.day = c.day
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, day, cents,
+         SUM(n) OVER (PARTITION BY event_type, day ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY event_type, day) AS tot
+  FROM win
+)
+SELECT event_type, day,
+       CAST(MAX(tot) AS BIGINT) AS n_win,
+       CAST(MIN(CASE WHEN cum >= (tot - 1) // 2 + 1 THEN cents END)
+            AS BIGINT) AS med_cents
+FROM cum GROUP BY 1, 2
+"""
+
+
+def _q_sketch_logq_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a LOG-LINEAR HISTOGRAM SKETCH
+    (operators/sketches.logq_buckets/logq_quantiles — the DDSketch
+    family in deterministic integers): per event type, p50/p99
+    estimates read off an O(octaves * 32)-row mergeable sketch, with
+    the EXACT p50/p99 (the `events_value_quantiles` rank rule)
+    alongside as calibration — the sketch's <= 2^-5 relative-error
+    contract is visible in the result row itself.
+
+    This is the quantile twin of `sketch_hll_users`: at 100 TB the
+    exact path's distinct-value spine is the cost, and the sketch
+    bounds state to ~500 rows per group, merges by plain SUM (partial
+    aggregation does the distribution), and — unlike
+    ``percentile_approx`` or real DDSketch — replays bit-for-bit in
+    any engine because the bucket index uses integer bit-length, not
+    transcendental ``log``.
+
+    Scale: sketch path = one map-side-combinable scan into the
+    bucket-bounded frame, then windows over sketch rows only. The
+    exact path is present ONLY as calibration — the first thing to
+    drop at 100 TB."""
+    from omop_etl_spark.operators.sketches import logq_buckets, logq_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    sk = logq_buckets(ev, ["event_type"], "cents", m=5)
+    est = logq_quantiles(
+        sk, ["event_type"], [(1, 2), (99, 100)], m=5
+    ).select(
+        "event_type",
+        "n",
+        F.col("q1_2").alias("p50_est_cents"),
+        F.col("q99_100").alias("p99_est_cents"),
+    )
+    # exact calibration: the events_value_quantiles histogram rank
+    hist = ev.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    x = hist.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+    )
+    exact = x.groupBy("event_type").agg(
+        F.min(
+            F.when(F.expr("cum >= (tot - 1) div 2 + 1"), F.col("cents"))
+        ).cast("bigint").alias("p50_exact_cents"),
+        F.min(
+            F.when(F.expr("cum >= (99 * (tot - 1)) div 100 + 1"), F.col("cents"))
+        ).cast("bigint").alias("p99_exact_cents"),
+    )
+    return est.join(exact, "event_type")
+
+
+ORACLE_SKETCH_LOGQ_VALUE = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+pos AS (SELECT * FROM v WHERE cents >= 1),
+b AS (
+  SELECT event_type,
+         length(bin(cents)) * 32
+           + ((cents * 32) // (CAST(1 AS BIGINT) << (length(bin(cents)) - 1))
+              - 32) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pos GROUP BY 1, 2
+),
+cumb AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+est AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cum >= (1 * (n - 1)) // 2 + 1 THEN bucket END) AS b50,
+         MIN(CASE WHEN cum >= (99 * (n - 1)) // 100 + 1 THEN bucket END) AS b99
+  FROM cumb GROUP BY 1
+),
+esty AS (
+  SELECT event_type, n,
+         CAST((CAST(1 AS BIGINT) << (CAST(b50 // 32 AS INT) - 1))
+              * (32 + b50 % 32) // 32 AS BIGINT) AS p50_est_cents,
+         CAST((CAST(1 AS BIGINT) << (CAST(b99 // 32 AS INT) - 1))
+              * (32 + b99 % 32) // 32 AS BIGINT) AS p99_est_cents
+  FROM est
+),
+hist AS (
+  SELECT event_type, cents, COUNT(*) AS c FROM v GROUP BY 1, 2
+),
+cumx AS (
+  SELECT event_type, cents,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+),
+exact AS (
+  SELECT event_type,
+         CAST(MIN(CASE WHEN cum >= (tot - 1) // 2 + 1 THEN cents END)
+              AS BIGINT) AS p50_exact_cents,
+         CAST(MIN(CASE WHEN cum >= (99 * (tot - 1)) // 100 + 1 THEN cents END)
+              AS BIGINT) AS p99_exact_cents
+  FROM cumx GROUP BY 1
+)
+SELECT e.event_type, e.n, e.p50_est_cents, e.p99_est_cents,
+       x.p50_exact_cents, x.p99_exact_cents
+FROM esty e JOIN exact x ON e.event_type = x.event_type
+"""
+
+
+def _q_cust_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end item-based collaborative-filtering RECOMMENDATION —
+    the consumer of `parts_item_sim`'s similarity model: for every
+    customer, score every not-yet-purchased part reachable through
+    the top-5-similar lists of the parts they did purchase
+    (score = sum of cos_ppm contributions, exact integers), and keep
+    the top 3 per customer. "Customers who bought X also bought" as
+    one declarative plan.
+
+    Scale: the similarity model is item-bounded (top-5 per part) and
+    joins the SF-linear ownership frame on the item hash; candidate
+    scoring is a per-(customer, candidate) sum with bounded fan-out
+    (<= 5 per owned part); already-owned candidates drop via one
+    anti-join; the final top-3 is a per-customer-PARTITIONED window
+    (WindowGroupLimit), never a global sort."""
+    from omop_etl_spark.operators.graph import cooccurrence_topk_similar
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("basket"), F.col("o_custkey").alias("cust")
+    )
+    owned = li.join(orders, "basket").select("cust", "item").distinct()
+    sim = cooccurrence_topk_similar(li, "basket", "item", k=5, min_pairs=2)
+    cand = (
+        owned.join(sim.select("item", "other", "cos_ppm"), "item")
+        .groupBy("cust", F.col("other").alias("rec"))
+        .agg(
+            F.sum("cos_ppm").cast("bigint").alias("score_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_contrib"),
+        )
+    )
+    fresh = cand.join(
+        owned.select("cust", F.col("item").alias("rec")),
+        ["cust", "rec"],
+        "left_anti",
+    )
+    w = Window.partitionBy("cust").orderBy(
+        F.col("score_ppm").desc(), F.col("rec")
+    )
+    return (
+        fresh.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("cust").cast("bigint").alias("cust"),
+            F.col("rec").cast("bigint").alias("rec"),
+            "score_ppm",
+            "n_contrib",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+ORACLE_CUST_RECS_TOPK = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+tot AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+pairs AS (
+  SELECT x.it AS a, y.it AS b2, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT a, b2, n_both FROM pairs
+  UNION ALL
+  SELECT b2 AS a, a AS b2, n_both FROM pairs
+),
+scored AS (
+  SELECT s.a AS item, s.b2 AS other,
+         CAST(floor(s.n_both * 1000000.0 /
+                    sqrt(CAST(ta.c1 * tb.c1 AS DOUBLE))) AS BIGINT) AS cos_ppm
+  FROM sym s JOIN tot ta ON s.a = ta.it JOIN tot tb ON s.b2 = tb.it
+),
+sim AS (
+  SELECT item, other, cos_ppm
+  FROM (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY item ORDER BY cos_ppm DESC, other) AS rn
+        FROM scored)
+  WHERE rn <= 5
+),
+owned AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cand AS (
+  SELECT w.cust, s.other AS rec,
+         CAST(SUM(s.cos_ppm) AS BIGINT) AS score_ppm,
+         CAST(COUNT(*) AS BIGINT) AS n_contrib
+  FROM owned w JOIN sim s ON w.item = s.item
+  GROUP BY 1, 2
+),
+fresh AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM owned w
+                    WHERE w.cust = c.cust AND w.item = c.rec)
+)
+SELECT CAST(cust AS BIGINT) AS cust, CAST(rec AS BIGINT) AS rec,
+       score_ppm, n_contrib, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY cust ORDER BY score_ppm DESC, rec) AS rn
+      FROM fresh)
+WHERE rn <= 3
+"""
+
+
 def _q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL SET ALGEBRA — the property that makes HyperLogLog the
     100 TB distinct-count workhorse: registers of a union are the
@@ -10415,19 +10819,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered by driver-verification need (VERDICT r7 #1 / r8 #7):
         # the driver's CORRECTNESS gate reads the FIRST 50 entries.
-        # r9 window = (a) the 3 queries with no driver-green row in
-        # any round (the 2 repaired HUGEINT-oracle queries + the new
-        # BPE learner), (b) the 4 queries whose operator or oracle
-        # FORM changed this round (power-iteration persistence,
-        # profiler float min/max, unigram cost validation), then
-        # (c) 29 of the 47 stalest driver greens (last green r05 —
-        # the oldest cohort; the 18 leftovers rotate in r10:
-        # events_sessionize, multimodal_features, multimodal_frames,
-        # ngram_jaccard_pairs, pack_bins, range_join_events,
-        # sample_stratified, scd2_user_state, set_ops_customers,
-        # split_assign, sql_distinct_on, sql_expr_surface,
-        # text_langid, text_pii_scrub, text_quality, text_stats,
-        # text_token_counts, window_rank).
+        # r9 window = (a) the queries with no driver-green row in any
+        # round (the 2 repaired HUGEINT-oracle queries + everything
+        # NEW in r9), (b) the 4 queries whose operator or oracle FORM
+        # changed this round (power-iteration persistence, profiler
+        # float min/max, unigram cost validation), then (c) the
+        # stalest driver greens (last green r05 — the oldest cohort)
+        # up to position 49; the r05 leftovers rotate in r10 (see
+        # LOCALCHECK_r09.md's manifest).
         # Entries BELOW the window are sorted by last-green round so
         # future rotations stay mechanical; see LOCALCHECK_r09.md for
         # the per-entry last-green manifest.
@@ -10448,6 +10847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_topk": _q_embed_pq_topk,
         "events_top_paths": _q_events_top_paths,
         "embed_semdedup": _q_embed_semdedup,
+        "parts_sssp_nearest": _q_parts_sssp_nearest,
+        "events_rolling_median": _q_events_rolling_median,
+        "cust_recs_topk": _q_cust_recs_topk,
+        "sketch_logq_value": _q_sketch_logq_value,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -10811,6 +11214,10 @@ def oracle_sql() -> dict[str, str]:
         "events_twap": ORACLE_EVENTS_TWAP,
         "cust_ab_lift": ORACLE_CUST_AB_LIFT,
         "parts_bfs_hops": ORACLE_PARTS_BFS_HOPS,
+        "parts_sssp_nearest": ORACLE_PARTS_SSSP_NEAREST,
+        "events_rolling_median": ORACLE_EVENTS_ROLLING_MEDIAN,
+        "cust_recs_topk": ORACLE_CUST_RECS_TOPK,
+        "sketch_logq_value": ORACLE_SKETCH_LOGQ_VALUE,
         "sketch_hll_union": ORACLE_SKETCH_HLL_UNION,
         "embed_pq_topk": _oracle_embed_pq_topk(),
         "events_top_paths": ORACLE_EVENTS_TOP_PATHS,

@@ -267,6 +267,77 @@ def bfs_hops(
     return visited
 
 
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node_col: str = "node",
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest-path distances on an undirected
+    graph, bounded to paths of at most ``max_rounds`` edges:
+    ``(node, dist)`` where ``dist`` is the exact minimum sum of
+    integer edge weights over any <=``max_rounds``-edge path from any
+    seed (classic bounded Bellman-Ford — the weighted companion to
+    :func:`bfs_hops`, whose hop count is the ``weight = 1`` special
+    case).
+
+    Reference parity: none — graph traversal is part of the
+    large-scale analytics suite (same family as pagerank / bfs_hops).
+
+    Weights should be integral (quantize first) so distances hash
+    identically across engines; negative weights are fine within the
+    bounded-round contract (no negative-cycle divergence because the
+    round count, not convergence, terminates the loop).
+
+    Scale design: each round is ONE equi-join of the node-bounded
+    distance frame against the bidirectional edge frame plus one
+    min-aggregation — the relax step expressed relationally, never
+    materializing paths. The edge frame is loop-invariant and eagerly
+    localCheckpoint'd once (SCALE.md §18 — the "bounded iterate,
+    unbounded input" trap); each round's distance frame is
+    checkpointed so round ``r+1`` never replays round ``r``'s join.
+    Unlike BFS there is no frontier/visited split: a settled node can
+    still improve through a longer-but-lighter path, so every round
+    relaxes the full distance frame (node-bounded, so the join stays
+    O(V + E) per round).
+    """
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).cast("bigint").alias("w"),
+    )
+    bidir = (
+        e.unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.join(bidir, dist["node"] == bidir["a"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,

@@ -52,6 +52,8 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "kmv_sliding_distinct",
+    "logq_buckets",
+    "logq_quantiles",
 ]
 
 
@@ -563,3 +565,105 @@ def kmv_sliding_distinct(
         F.col("n_kept").cast("bigint").alias("n_kept"),
         est.alias("est_distinct"),
     )
+
+
+def logq_buckets(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    m: int = 5,
+) -> DataFrame:
+    """Log-linear quantile sketch REGISTERS (the DDSketch family,
+    deterministic-integer edition): per group, counts per log2
+    octave x ``2^m`` linear sub-buckets of a POSITIVE integer value
+    column.  Bucket id is a pure integer function of the value —
+    ``bl * 2^m + (v * 2^m div 2^(bl-1) - 2^m)`` with
+    ``bl = bit-length(v)`` (computed portably as
+    ``length(bin(v))``) — so the sketch, and any quantile read off
+    it, replays bit-for-bit in any SQL engine (the same
+    engine-replayability contract as :func:`kmv_distinct`; DDSketch's
+    own ``ceil(log_gamma(x))`` indexing would hinge on transcendental
+    ``log`` rounding, which IEEE does NOT pin down cross-engine).
+
+    Guarantee: every value in bucket ``(bl, sub)`` lies within a
+    factor of ``1 + 2^-m`` of the bucket's lower bound, so any
+    quantile estimated from the sketch has bounded RELATIVE error
+    ``< 2^-m`` — the property that makes log-histogram sketches the
+    100 TB quantile workhorse (fixed ~1e2-1e3-row state per group,
+    mergeable by plain SUM, vs an exact quantile's full value
+    domain).
+
+    Rows with ``value < 1`` are dropped (log sketches are defined on
+    positive values); quantize first (e.g. cents) and count zeros
+    separately if they matter.
+
+    Scale: ONE scan, map-side-combinable groupBy — state is
+    O(octaves * 2^m) per group regardless of row count; two sketches
+    merge by summing counts per bucket id (same register algebra as
+    :func:`hll_registers`' MAX-merge, here SUM).
+    """
+    two_m = 1 << m
+    gcols = list(group_cols)
+    v = f"CAST({value_col} AS BIGINT)"
+    bl = f"length(bin({v}))"
+    bucket = F.expr(
+        f"{bl} * {two_m} + (({v} * {two_m}) div "
+        f"shiftleft(CAST(1 AS BIGINT), {bl} - 1) - {two_m})"
+    ).cast("bigint")
+    return (
+        df.filter(F.expr(f"{v} >= 1"))
+        .groupBy(*gcols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def logq_quantiles(
+    buckets: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[tuple[int, int]],
+    m: int = 5,
+    count_col: str = "c",
+) -> DataFrame:
+    """Quantile ESTIMATES from a :func:`logq_buckets` sketch: for
+    each ``(num, den)`` quantile (e.g. ``(1, 2)`` for p50), the lower
+    bound of the smallest bucket whose cumulative count reaches
+    ``num * (n - 1) div den + 1`` — the same lower-value rank rule as
+    the exact path (stats.exact_quantile_cuts), applied to the
+    sketch's bucket spine, so estimate error comes ONLY from bucket
+    width (relative ``< 2^-m``), never from rank arithmetic.
+
+    The bucket lower bound inverts the id arithmetically:
+    ``2^(bl-1) * (2^m + sub) div 2^m`` — pure integers, so both
+    engines render identical estimates.
+
+    Scale: runs entirely on the bucket-bounded sketch frame — one
+    partitioned cumulative window + one group collapse; the raw data
+    is never touched.
+    """
+    two_m = 1 << m
+    gcols = list(group_cols)
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols)
+    x = buckets.select(
+        *gcols,
+        "bucket",
+        F.sum(count_col).over(w_cum).alias("__cum"),
+        F.sum(count_col).over(w_tot).alias("__n"),
+    )
+    lb = (
+        "shiftleft(CAST(1 AS BIGINT), CAST(bucket div {tm} AS INT) - 1) "
+        "* ({tm} + bucket % {tm}) div {tm}"
+    ).format(tm=two_m)
+    aggs = [F.max("__n").cast("bigint").alias("n")]
+    for num, den in quantiles:
+        thr = f"__cum >= ({num} * (__n - 1)) div {den} + 1"
+        aggs.append(
+            F.min(F.when(F.expr(thr), F.expr(lb)))
+            .cast("bigint")
+            .alias(f"q{num}_{den}")
+        )
+    return x.groupBy(*gcols).agg(*aggs)

@@ -297,3 +297,80 @@ def test_bfs_hops_matches_python_reference(spark, seed):
         r["node"]: r["hop"] for r in bfs_hops(edf, sdf, max_hops=3).collect()
     }
     assert got == want
+
+
+def test_sssp_weighted_path(spark):
+    """Weighted path a-b-c with a heavy shortcut a-c: within 2 rounds
+    the two-edge light path (1+1=2) beats the one-edge heavy edge (5),
+    and a settled node's distance still improves in a later round."""
+    from omop_etl_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 5)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    one = {
+        (r["node"], r["dist"])
+        for r in sssp(edges, seeds, max_rounds=1).collect()
+    }
+    assert one == {("a", 0), ("b", 1), ("c", 5)}
+    two = {
+        (r["node"], r["dist"])
+        for r in sssp(edges, seeds, max_rounds=2).collect()
+    }
+    assert two == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_sssp_multi_source_undirected(spark):
+    """Two seeds, undirected edges: every node takes the min weighted
+    distance over seeds regardless of edge direction in the input."""
+    from omop_etl_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("c", "b", 1)], "src string, dst string, w long"
+    )
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    out = {
+        (r["node"], r["dist"])
+        for r in sssp(edges, seeds, max_rounds=3).collect()
+    }
+    assert out == {("a", 0), ("c", 0), ("b", 1)}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sssp_matches_python_bellman_ford(spark, seed):
+    """Random weighted sparse graphs vs a pure-Python bounded
+    Bellman-Ford: identical (node, dist) maps after k rounds."""
+    import random as _random
+
+    from omop_etl_spark.operators.graph import sssp
+
+    rng = _random.Random(seed)
+    n, k = 25, 3
+    edges = {
+        tuple(sorted(rng.sample(range(n), 2))): rng.randint(1, 9)
+        for _ in range(40)
+    }
+    seeds = sorted(rng.sample(range(n), 2))
+    adj = {}
+    for (u, v), w in edges.items():
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    want = {s: 0 for s in seeds}
+    for _ in range(k):
+        nxt = dict(want)
+        for u, d in want.items():
+            for v, w in adj.get(u, ()):
+                if d + w < nxt.get(v, 1 << 60):
+                    nxt[v] = d + w
+        want = nxt
+    edf = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in edges.items()], "src int, dst int, w long"
+    )
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp(edf, sdf, max_rounds=k).collect()
+    }
+    assert got == want

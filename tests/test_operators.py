@@ -640,3 +640,48 @@ def test_containment_matches_bruteforce_on_real_docs(spark):
         (r.ca, r.cb, round(r.cont, 6)) for r in brute.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_rolling_median_matches_bruteforce(spark):
+    """__spark_entry__._q_events_rolling_median vs an independent
+    brute-force formulation (range join day-6..day, sorted-list
+    lower median in Python) on the real sf0.001 events."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod_rm", "/root/repo/__spark_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    got = {
+        (r["event_type"], str(r["day"])): (r["n_win"], r["med_cents"])
+        for r in em._q_events_rolling_median(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .selectExpr(
+            "event_type",
+            "to_date(ts) AS day",
+            "CAST(floor(value * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    by_type_day = {}
+    for r in rows:
+        by_type_day.setdefault((r["event_type"], r["day"]), []).append(
+            r["cents"]
+        )
+    import datetime
+
+    want = {}
+    for (et, day) in by_type_day:
+        vals = []
+        for back in range(7):
+            vals.extend(
+                by_type_day.get((et, day - datetime.timedelta(days=back)), [])
+            )
+        vals.sort()
+        want[(et, str(day))] = (len(vals), vals[(len(vals) - 1) // 2])
+    assert got == want

@@ -333,3 +333,58 @@ def test_cm_sketch_partition_order_independent(spark):
     sa = sorted(map(tuple, cm_sketch_counts(a, "v").collect()))
     sb = sorted(map(tuple, cm_sketch_counts(b, "v").collect()))
     assert sa == sb
+
+
+def test_logq_sketch_error_bound_and_bucket_membership(spark):
+    """Every estimated quantile is the lower bound of the bucket
+    holding the true quantile: est <= exact < est * (1 + 2^-m) + 1,
+    on a skewed random value set."""
+    import random as _random
+
+    from omop_etl_spark.operators.sketches import (
+        logq_buckets,
+        logq_quantiles,
+    )
+
+    rng = _random.Random(7)
+    vals = [int(rng.lognormvariate(5, 1.5)) + 1 for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = logq_buckets(df, [], "v", m=5)
+    est = logq_quantiles(sk, [], [(1, 2), (99, 100)], m=5).collect()[0]
+    assert est["n"] == len(vals)
+    svals = sorted(vals)
+    for col, num, den in (("q1_2", 1, 2), ("q99_100", 99, 100)):
+        exact = svals[(num * (len(vals) - 1)) // den]
+        got = est[col]
+        assert got <= exact, (col, got, exact)
+        # relative bucket width: lb * (1 + 2^-5) bounds the bucket top
+        assert exact <= got * (1 + 1 / 32) + 1, (col, got, exact)
+
+
+def test_logq_sketch_merges_by_sum(spark):
+    """Sketch of a union == per-bucket SUM of the parts' sketches —
+    the property that makes it a sketch, not just a histogram."""
+    from pyspark.sql import functions as F
+
+    from omop_etl_spark.operators.sketches import logq_buckets
+
+    a = spark.createDataFrame([(v,) for v in range(1, 500)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(200, 900)], "v long")
+    both = a.unionAll(b)
+    merged = (
+        logq_buckets(a, [], "v")
+        .unionAll(logq_buckets(b, [], "v"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    want = sorted(map(tuple, logq_buckets(both, [], "v").collect()))
+    got = sorted(map(tuple, merged.collect()))
+    assert got == want
+
+
+def test_logq_sketch_drops_nonpositive(spark):
+    from omop_etl_spark.operators.sketches import logq_buckets
+
+    df = spark.createDataFrame([(-3,), (0,), (1,)], "v long")
+    out = logq_buckets(df, [], "v").collect()
+    assert len(out) == 1 and out[0]["c"] == 1
