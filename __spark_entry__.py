@@ -9751,6 +9751,69 @@ FROM cum GROUP BY 1, 2
 """
 
 
+def _q_docs_exact_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-ALLOCATION stratified sample
+    (operators/sampling.exact_allocation_sample): exactly 100
+    documents, sources sized by the largest-remainder (Hamilton)
+    method — the evaluation-set builder where `sample_stratified`'s
+    Bernoulli draw is only right in expectation. Seats are pure
+    integer arithmetic (floor share + remainder ranking), membership
+    is the md5 unit-hash rank within each source, so the exact id set
+    replays in DuckDB.
+
+    Scale: two fact shuffles total (per-source counts; per-source
+    PARTITIONED hash-rank window) — the seat math runs on the
+    source-bounded frame with the remainder ranking on the stats-gated
+    distributed rank path, never a partition-less window over data."""
+    from omop_etl_spark.operators.sampling import exact_allocation_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = exact_allocation_sample(docs, ["source"], "doc_id", 100)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "seats"
+    )
+
+
+ORACLE_DOCS_EXACT_ALLOC = """
+WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n) AS tot_n FROM counts),
+sized AS (
+  SELECT source, n, (100 * n) // tot_n AS base, (100 * n) % tot_n AS rem
+  FROM counts, tot
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rrank
+  FROM sized
+),
+d AS (SELECT 100 - SUM(base) AS D FROM sized),
+seats AS (
+  SELECT source,
+         CAST(base + CASE WHEN rrank <= D THEN 1 ELSE 0 END AS BIGINT)
+           AS seats
+  FROM rk, d
+),
+h AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('alloc|',
+              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY u ASC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source, s.seats
+FROM r JOIN seats s USING (source)
+WHERE r.rn <= s.seats
+"""
+
+
 def _q_sketch_logq_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles from a LOG-LINEAR HISTOGRAM SKETCH
     (operators/sketches.logq_buckets/logq_quantiles — the DDSketch
@@ -10851,6 +10914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_median": _q_events_rolling_median,
         "cust_recs_topk": _q_cust_recs_topk,
         "sketch_logq_value": _q_sketch_logq_value,
+        "docs_exact_alloc": _q_docs_exact_alloc,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -11218,6 +11282,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_median": ORACLE_EVENTS_ROLLING_MEDIAN,
         "cust_recs_topk": ORACLE_CUST_RECS_TOPK,
         "sketch_logq_value": ORACLE_SKETCH_LOGQ_VALUE,
+        "docs_exact_alloc": ORACLE_DOCS_EXACT_ALLOC,
         "sketch_hll_union": ORACLE_SKETCH_HLL_UNION,
         "embed_pq_topk": _oracle_embed_pq_topk(),
         "events_top_paths": ORACLE_EVENTS_TOP_PATHS,

@@ -33,6 +33,7 @@ __all__ = [
     "weighted_sample",
     "weighted_sample_per_group",
     "token_budget_sample",
+    "exact_allocation_sample",
 ]
 
 
@@ -524,4 +525,87 @@ def weighted_sample_per_group(
         .withColumn("__rk", F.row_number().over(win))
         .filter(F.col("__rk") <= n)
         .drop("__rk")
+    )
+
+
+def exact_allocation_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    k: int,
+    salt: str = "alloc",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) EXACT stratified sampling: pick
+    exactly ``k`` rows total, strata sized proportionally to their
+    population — ``seats_i = floor(k * n_i / N)`` plus one extra seat
+    for each of the ``D = k - sum(floors)`` largest remainders
+    (remainder DESC, strata key ASC tiebreak) — then within each
+    stratum the ``seats_i`` rows with the smallest
+    :func:`unit_hash`.
+
+    :func:`hash_split` / :func:`stratified_sample` hit proportions
+    only in expectation; evaluation sets and balanced fine-tuning
+    mixes need the ALLOCATION exact (100 rows means 100 rows, and a
+    2.4%-of-corpus stratum means 2 or 3 rows, never 0 or 7).  Every
+    step is integer arithmetic plus the md5 unit hash, so the chosen
+    id set replays bit-for-bit in any engine.
+
+    Requires ``k <= N``; seats never exceed a stratum's population
+    (``ceil(k * n_i / N) <= n_i`` whenever ``k <= N``), so the output
+    is exactly ``k`` rows.
+
+    Scale: the fact shuffles once for the per-stratum counts
+    (map-side combinable) and once for the per-stratum hash-rank
+    window (PARTITIONED — never a global sort); everything between
+    runs on the strata-bounded seats frame, whose global remainder
+    ranking rides rank.ranked_running_sum's stats-gated distributed
+    path (no partition-less window over an unbounded frame).
+    """
+    from .rank import ranked_running_sum
+
+    gcols = list(strata_cols)
+    counts = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__alloc_n")
+    )
+    # totals derive from df, not counts: re-aggregating the counts
+    # frame would share its lineage and trip Spark's self-join
+    # attribute disambiguation (the rank_filter pattern)
+    tot = df.select(F.count(F.lit(1)).cast("bigint").alias("__alloc_total"))
+    # column names must differ case-INsensitively: Spark's default
+    # resolver treats `__alloc_n` vs `__alloc_N` as the same name once
+    # they meet across a join, and flags every reference ambiguous
+    sized = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("__alloc_base", F.expr(f"(CAST({k} AS BIGINT) * __alloc_n) div __alloc_total"))
+        .withColumn("__alloc_rem", F.expr(f"(CAST({k} AS BIGINT) * __alloc_n) % __alloc_total"))
+        .select(*gcols, "__alloc_n", "__alloc_base", "__alloc_rem")
+    )
+    ranked = ranked_running_sum(
+        sized,
+        [F.col("__alloc_rem").desc()] + [F.col(c).asc() for c in gcols],
+        "__alloc_base",
+        rank_col="__alloc_rrank",
+        cum_col="__alloc_bcum",
+    )
+    deficit = sized.agg(
+        (F.lit(int(k)) - F.sum("__alloc_base")).cast("bigint").alias("__alloc_D")
+    )
+    seats = ranked.crossJoin(F.broadcast(deficit)).select(
+        *gcols,
+        (
+            F.col("__alloc_base")
+            + F.when(F.col("__alloc_rrank") <= F.col("__alloc_D"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("seats"),
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("__alloc_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__alloc_h", unit_hash(id_col, salt))
+        .join(seats, gcols)
+        .withColumn("__alloc_rn", F.row_number().over(w))
+        .filter(F.col("__alloc_rn") <= F.col("seats"))
+        .drop("__alloc_h", "__alloc_rn")
     )

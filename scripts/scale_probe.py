@@ -81,6 +81,16 @@ PROBE = {
     "parts_triangle_count": "E^1.5 bound (degree-ordered wedges; frames checkpointed)",
     "embed_semdedup": "n^2/k contract (cluster-scoped exact cosine)",
     "events_top_paths": "linear (shared user-keyed shuffle; bounded path domain)",
+    # round-9 batch 2 (this session)
+    "parts_sssp_nearest": "linear-ish (3 relax rounds: node-bounded dist "
+    "frame vs checkpointed edges)",
+    "events_rolling_median": "linear (<=7x map-side fan-out of per-day "
+    "value histograms; no range self-join)",
+    "cust_recs_topk": "linear-ish (item-bounded sim model; <=5-per-owned-"
+    "item candidate fan-out)",
+    "sketch_logq_value": "linear (one scan into bucket-bounded registers)",
+    "docs_exact_alloc": "linear (two fact shuffles; seat math on the "
+    "strata-bounded frame)",
 }
 
 

@@ -359,3 +359,50 @@ def test_weighted_sample_per_group_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_exact_allocation_total_and_seats(spark):
+    """Exactly k rows out; per-stratum seat counts match a pure-Python
+    largest-remainder reference on a lopsided population."""
+    from collections import Counter
+
+    from omop_etl_spark.operators.sampling import exact_allocation_sample
+
+    pops = {"a": 57, "b": 29, "c": 9, "d": 5}
+    rows = [(f"{s}{i}", s) for s, n in pops.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    k = 17
+    out = exact_allocation_sample(df, ["source"], "doc_id", k).collect()
+    assert len(out) == k
+    got = Counter(r["source"] for r in out)
+    # python reference: Hamilton / largest remainder
+    n_total = sum(pops.values())
+    base = {s: (k * n) // n_total for s, n in pops.items()}
+    rem = {s: (k * n) % n_total for s, n in pops.items()}
+    deficit = k - sum(base.values())
+    extras = sorted(pops, key=lambda s: (-rem[s], s))[:deficit]
+    want = {s: base[s] + (1 if s in extras else 0) for s in pops}
+    assert got == {s: c for s, c in want.items() if c > 0}
+    # the reported seats column agrees with the realized allocation
+    seats = {r["source"]: r["seats"] for r in out}
+    assert all(seats[s] == want[s] for s in seats)
+
+
+def test_exact_allocation_is_append_stable_within_stratum(spark):
+    """Chosen ids are the hash-smallest per stratum: shrinking seats
+    (smaller k) yields a subset of the larger k's picks per stratum."""
+    from omop_etl_spark.operators.sampling import exact_allocation_sample
+
+    rows = [(f"x{i}", "a") for i in range(40)] + [
+        (f"y{i}", "b") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    small = {
+        (r["source"], r["doc_id"])
+        for r in exact_allocation_sample(df, ["source"], "doc_id", 10).collect()
+    }
+    big = {
+        (r["source"], r["doc_id"])
+        for r in exact_allocation_sample(df, ["source"], "doc_id", 50).collect()
+    }
+    assert small <= big and len(small) == 10 and len(big) == 50
