@@ -9957,7 +9957,14 @@ def _q_cust_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_orderkey").alias("basket"), F.col("o_custkey").alias("cust")
     )
-    owned = li.join(orders, "basket").select("cust", "item").distinct()
+    # owned feeds BOTH the scoring join and the already-purchased
+    # anti-join — pin it so the lineitem-orders join + distinct runs
+    # once, not twice (A/B at sf0.1: ~15% whole-query, 2x on the
+    # ownership stage itself; identical 44,746 rows)
+    owned = (
+        li.join(orders, "basket").select("cust", "item").distinct()
+        .localCheckpoint(eager=True)
+    )
     sim = cooccurrence_topk_similar(li, "basket", "item", k=5, min_pairs=2)
     cand = (
         owned.join(sim.select("item", "other", "cos_ppm"), "item")

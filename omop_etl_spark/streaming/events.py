@@ -42,6 +42,7 @@ __all__ = [
     "enrich_stream",
     "stream_interval_join",
     "stream_kmv_distinct",
+    "stream_logq_quantile",
     "dq_monitor_stream",
     "stream_latest_state",
     "stream_burst_dedup",
@@ -397,6 +398,90 @@ def stream_kmv_distinct(
         kmv_fn,
         outputStructType=f"{key_col} {key_type}, n_kept long, est_distinct long",
         stateStructType="hashes array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_logq_quantile(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    m: int = 5,
+    quantile: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Streaming twin of ``operators.sketches.logq_buckets`` /
+    ``logq_quantiles``: a running quantile estimate per key over an
+    unbounded stream, state bounded to the log-linear bucket registers
+    (O(octaves * 2^m) counts per key — a few hundred longs) no matter
+    how many rows flow past.  The monitoring question this answers —
+    "what is p50/p99 of this metric so far, right now?" — is exactly
+    the one an unbounded exact quantile cannot, because its state is
+    the whole value multiset.
+
+    Uses the same pure-integer bucket index as the batch operator
+    (bit-length octave + 2^m linear sub-buckets) and the same
+    lower-quantile rank rule, so after any prefix of the stream the
+    per-key ``(n, q_est)`` EQUALS batch
+    ``logq_quantiles(logq_buckets(prefix))`` — an exactly testable
+    streaming/batch equivalence (the stream_kmv_distinct contract).
+
+    ``value_col`` must be integral and >= 1 to count (quantize floats
+    upstream, e.g. cents); non-positive values are ignored, mirroring
+    the batch operator's positivity filter.  Emits one
+    ``(key, n, q_est)`` row per key per micro-batch (append mode).
+    The register update is plain Python over Arrow batches — O(1)
+    dict bumps per row against register-bounded state.
+    """
+    two_m = 1 << m
+    num, den = quantile
+
+    def _bucket(v: int) -> int:
+        bl = v.bit_length()
+        return bl * two_m + (v * two_m) // (1 << (bl - 1)) - two_m
+
+    def _lb(b: int) -> int:
+        bl, sub = divmod(b, two_m)
+        return ((1 << (bl - 1)) * (two_m + sub)) // two_m
+
+    def logq_fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        cur = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in pdf_iter:
+            for v in pdf[value_col]:
+                v = int(v)
+                if v >= 1:
+                    b = _bucket(v)
+                    cur[b] = cur.get(b, 0) + 1
+        items = sorted(cur.items())
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        n = sum(c for _, c in items)
+        est = None
+        if n:
+            thr = (num * (n - 1)) // den + 1
+            run = 0
+            for b, c in items:
+                run += c
+                if run >= thr:
+                    est = _lb(b)
+                    break
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "q_est": [est]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_type = dict(zip(events.schema.names, events.schema))[
+        key_col
+    ].dataType.simpleString()
+    return events.groupBy(key_col).applyInPandasWithState(
+        logq_fn,
+        outputStructType=f"{key_col} {key_type}, n long, q_est long",
+        stateStructType="buckets array<long>, counts array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -362,3 +362,88 @@ def test_stream_cm_sketch_prefix_equals_batch(spark, tmp_path):
             for r in cm_sketch_counts(prefix, "term", depth=4, width=64).collect()
         }
         assert folded == want, f"prefix {upto}: stream != batch sketch"
+
+
+def test_stream_logq_matches_batch(spark):
+    """Streaming log-quantile sketch == batch logq_quantiles on the
+    same prefix: identical (n, p50 estimate) per event type."""
+    from pyspark.sql import functions as F
+
+    from omop_etl_spark.operators.sketches import logq_buckets, logq_quantiles
+    from omop_etl_spark.sources import read_parquet_table
+    from omop_etl_spark.streaming import read_events_stream, stream_logq_quantile
+
+    stream = read_events_stream(spark, EVENTS).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    q = (
+        stream_logq_quantile(stream, "event_type", "cents", m=5)
+        .writeStream.format("memory")
+        .queryName("logq_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("logq_t").collect()
+    # keep the final (largest-n) emission per key across micro-batches
+    got = {}
+    for r in rows:
+        if r["event_type"] not in got or r["n"] > got[r["event_type"]][0]:
+            got[r["event_type"]] = (r["n"], r["q_est"])
+    batch = read_parquet_table(spark, EVENTS, ns_columns=["ts"]).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    want = {
+        r["event_type"]: (r["n"], r["q1_2"])
+        for r in logq_quantiles(
+            logq_buckets(batch, ["event_type"], "cents", m=5),
+            ["event_type"],
+            [(1, 2)],
+            m=5,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_logq_state_carries_across_batches(spark, tmp_path):
+    """Two files as separate micro-batches: the final estimate equals
+    the batch sketch over the union (registers accumulate in state),
+    and nonpositive values are ignored like the batch operator."""
+    import pandas as pd
+
+    from omop_etl_spark.operators.sketches import logq_buckets, logq_quantiles
+    from omop_etl_spark.streaming import stream_logq_quantile
+
+    d = tmp_path / "logq_in"
+    d.mkdir()
+    pd.DataFrame({"k": ["a"] * 51, "v": list(range(-25, 26))}).to_parquet(
+        d / "f1.parquet"
+    )
+    pd.DataFrame({"k": ["a"] * 50, "v": list(range(100, 150))}).to_parquet(
+        d / "f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_logq_quantile(stream, "k", "v", m=5, quantile=(9, 10))
+        .writeStream.format("memory")
+        .queryName("logq_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(spark.table("logq_multi").collect(), key=lambda r: r["n"])
+    assert len(rows) >= 2 and rows[-1]["n"] == 75  # 25 positive + 50
+    both = spark.createDataFrame(
+        [("a", v) for v in list(range(-25, 26)) + list(range(100, 150))],
+        "k string, v long",
+    )
+    want = logq_quantiles(
+        logq_buckets(both, ["k"], "v", m=5), ["k"], [(9, 10)], m=5
+    ).collect()[0]
+    assert (rows[-1]["n"], rows[-1]["q_est"]) == (want["n"], want["q9_10"])
