@@ -9751,6 +9751,199 @@ FROM cum GROUP BY 1, 2
 """
 
 
+def _q_orders_diff_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level CDC drill-down (operators/reconcile.
+    diff_column_counts): after `orders_snapshot_diff` says WHICH rows
+    changed, this says WHAT changed — per-column changed-row counts
+    over the keys present in both snapshots, on the same
+    deterministically perturbed rerun (reprices on %89 keys, a status
+    migration on %131 keys, drops on %97, appends on %193 — both
+    engines derive the identical 'new' snapshot by key arithmetic).
+
+    Scale: one inner hash equi-join projecting ONLY the compared
+    columns, one map-side-combinable aggregate holding a fixed vector
+    of counters, and a 3-row unpivot of the single aggregate row —
+    column count never widens the shuffle."""
+    from omop_etl_spark.operators.reconcile import diff_column_counts
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    new = (
+        base.withColumn(
+            "price_cents",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("price_cents") + 100
+            ).otherwise(F.col("price_cents")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 131 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .filter(F.col("o_orderkey") % 97 != 0)
+    )
+    return diff_column_counts(
+        base, new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "price_cents"]
+    ).select(F.col("column").alias("col_name"), "n_changed", "n_common")
+
+
+ORACLE_ORDERS_DIFF_COLUMNS = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 131 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN price_cents + 100
+              ELSE price_cents END AS price_cents
+  FROM base WHERE o_orderkey % 97 <> 0
+),
+j AS (
+  SELECT b.o_custkey AS oc, n.o_custkey AS nc,
+         b.o_orderstatus AS os, n.o_orderstatus AS ns,
+         b.price_cents AS op, n.price_cents AS np
+  FROM base b JOIN new n ON b.o_orderkey = n.o_orderkey
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(CASE WHEN oc IS DISTINCT FROM nc THEN 1 ELSE 0 END)
+              AS BIGINT) AS chg_cust,
+         CAST(SUM(CASE WHEN os IS DISTINCT FROM ns THEN 1 ELSE 0 END)
+              AS BIGINT) AS chg_status,
+         CAST(SUM(CASE WHEN op IS DISTINCT FROM np THEN 1 ELSE 0 END)
+              AS BIGINT) AS chg_price
+  FROM j
+)
+SELECT 'o_custkey' AS col_name, chg_cust AS n_changed, n_common FROM agg
+UNION ALL
+SELECT 'o_orderstatus', chg_status, n_common FROM agg
+UNION ALL
+SELECT 'price_cents', chg_price, n_common FROM agg
+"""
+
+
+def _q_docs_greedy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy bigram-LM decode — the smallest possible "generation"
+    loop, run as relational algebra: per source, seed with the
+    source's most frequent word, then 4 steps of argmax next-word
+    under the corpus bigram model (count DESC, word ASC tiebreak).
+    Deterministic end-to-end, so the decoded chains replay exactly in
+    SQL — the sanity probe ("what does this corpus' LM babble?") a
+    data-quality reviewer actually runs.
+
+    Scale: the bigram model is built once (token-pair counts via the
+    JVM zip_with idiom — bigram-TYPE-bounded, sub-linear by Zipf) and
+    eagerly checkpointed because all 4 decode steps re-join it; each
+    step joins the sources-bounded current frame and takes argmax via
+    a per-source PARTITIONED window over that word's out-neighbors.
+    Python never touches a row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+        ).alias("tk"),
+    )
+    bg = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+                    "slice(tk, 2, greatest(size(tk) - 1, 0)), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        docs.select("source", F.explode("tk").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_seed = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("w")
+    )
+    cur = (
+        uni.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select("source", F.lit(0).alias("step"), F.col("w").alias("word"))
+        .localCheckpoint(eager=True)
+    )
+    chain = cur
+    w_next = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w2")
+    )
+    for step in range(1, 5):
+        cur = (
+            cur.join(bg, cur["word"] == bg["w1"])
+            .withColumn("rn", F.row_number().over(w_next))
+            .filter(F.col("rn") == 1)
+            .select(
+                "source", F.lit(step).alias("step"), F.col("w2").alias("word")
+            )
+            .localCheckpoint(eager=True)
+        )
+        chain = chain.unionAll(cur)
+    return chain.select(
+        "source", F.col("step").cast("int").alias("step"), "word"
+    )
+
+
+def _duck_greedy_chain() -> str:
+    steps = []
+    for s in range(1, 5):
+        steps.append(f""",
+s{s} AS (
+  SELECT source, {s} AS step, w2 AS word
+  FROM (SELECT p.source, bg.w2, bg.c,
+               ROW_NUMBER() OVER (PARTITION BY p.source
+                                  ORDER BY bg.c DESC, bg.w2 ASC) AS rn
+        FROM s{s - 1} p JOIN bg ON bg.w1 = p.word)
+  WHERE rn = 1
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT source, step, word FROM s{s}" for s in range(5)
+    )
+    return f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+pairs AS (
+  SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, greatest(len(tk), 1))) AS r(i)
+),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT source, t.w AS w, COUNT(*) AS n
+  FROM toks, LATERAL unnest(tk) AS t(w)
+  GROUP BY 1, 2
+),
+s0 AS (
+  SELECT source, 0 AS step, w AS word
+  FROM (SELECT source, w,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, w ASC) AS rn
+        FROM uni)
+  WHERE rn = 1
+){"".join(steps)}
+SELECT source, CAST(step AS INT) AS step, word
+FROM ({finals})
+"""
+
+
 def _q_docs_exact_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-ALLOCATION stratified sample
     (operators/sampling.exact_allocation_sample): exactly 100
@@ -10922,6 +11115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_recs_topk": _q_cust_recs_topk,
         "sketch_logq_value": _q_sketch_logq_value,
         "docs_exact_alloc": _q_docs_exact_alloc,
+        "orders_diff_columns": _q_orders_diff_columns,
+        "docs_greedy_chain": _q_docs_greedy_chain,
         "orders_rfm": _q_orders_rfm,
         "cust_cohort_ltv": _q_cust_cohort_ltv,
         # -- (b) operator/oracle form changed in r9 (4) --
@@ -11290,6 +11485,8 @@ def oracle_sql() -> dict[str, str]:
         "cust_recs_topk": ORACLE_CUST_RECS_TOPK,
         "sketch_logq_value": ORACLE_SKETCH_LOGQ_VALUE,
         "docs_exact_alloc": ORACLE_DOCS_EXACT_ALLOC,
+        "orders_diff_columns": ORACLE_ORDERS_DIFF_COLUMNS,
+        "docs_greedy_chain": _duck_greedy_chain(),
         "sketch_hll_union": ORACLE_SKETCH_HLL_UNION,
         "embed_pq_topk": _oracle_embed_pq_topk(),
         "events_top_paths": ORACLE_EVENTS_TOP_PATHS,

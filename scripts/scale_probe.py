@@ -91,6 +91,10 @@ PROBE = {
     "sketch_logq_value": "linear (one scan into bucket-bounded registers)",
     "docs_exact_alloc": "linear (two fact shuffles; seat math on the "
     "strata-bounded frame)",
+    "orders_diff_columns": "linear (one key equi-join; fixed counter "
+    "vector aggregate)",
+    "docs_greedy_chain": "linear-ish (bigram-type model checkpointed; "
+    "decode steps join sources-bounded frames)",
 }
 
 

@@ -93,3 +93,25 @@ def test_signature_injective_over_delimiter_and_sentinel(spark):
 
     d = hashlib.md5(b"hello").hexdigest()
     assert cksum([Row(a=d, b="x")]) != cksum([Row(a="hello", b="x")])
+
+
+def test_diff_column_counts_null_semantics(spark):
+    """Per-column changed counts over common keys: NULL->value and
+    value->NULL count as changes, NULL==NULL does not; added/removed
+    keys never enter n_common."""
+    from omop_etl_spark.operators.reconcile import diff_column_counts
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, None, 30), (4, "d", 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11), (2, "b", None), (3, "c", 30), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    got = {
+        r["column"]: (r["n_changed"], r["n_common"])
+        for r in diff_column_counts(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # common keys 1,2,3: s changes only on 3 (NULL->'c'); v only on 1
+    assert got == {"s": (1, 3), "v": (1, 3)}
