@@ -105,7 +105,7 @@ def _cmd_translate(args) -> int:
 
 
 def _cmd_compile(args) -> int:
-    from .compile import compile_script
+    from .compile import compile_script, compile_table_script
     from .rules.loader import load_rules_dir, load_rules_text
 
     path = Path(args.rules)
@@ -113,6 +113,18 @@ def _cmd_compile(args) -> int:
         specs = [load_rules_text(path.read_text(), name=path.stem)]
     else:
         specs = load_rules_dir(path)
+    if args.no_one_file:
+        # reference `compile --no-one-file` (__main__.py:34-49): one
+        # <name>.sql per rules file, no cross-file dep resolution
+        out_dir = Path(args.output or "sql")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for spec in specs:
+            name = spec.name or "dependency"
+            script = compile_table_script(spec, drop_tables=args.drop_tables)
+            out_fn = out_dir / f"{name}.sql"
+            out_fn.write_text(script)
+            print(f"wrote {out_fn} ({script.count(chr(10))} lines)")
+        return 0
     script = compile_script(specs, drop_tables=args.drop_tables)
     if args.output:
         Path(args.output).write_text(script)
@@ -186,6 +198,11 @@ def main(argv: list[str] | None = None) -> int:
     p_comp.add_argument(
         "--drop-tables", action="store_true",
         help="drop mapping.* tables at the end (reference --drop-tables)",
+    )
+    p_comp.add_argument(
+        "--no-one-file", action="store_true",
+        help="write one <table>.sql per rules file into --output dir "
+        "(reference --no-one-file; default: one combined script)",
     )
     p_comp.set_defaults(fn=_cmd_compile)
 

@@ -29,10 +29,15 @@ from typing import Iterable, Iterator
 
 from .dialect import is_plpgsql_script, translate
 from .planner.compiler import MAPPING_SCHEMA, TARGET_SCHEMA, TableCompiler
-from .rules.loader import topo_sort
+from .rules.loader import resolve_default_schemas, topo_sort
 from .rules.model import DependencySpec, TableSpec
 
-__all__ = ["compile_script", "iter_statements", "run_script"]
+__all__ = [
+    "compile_script",
+    "compile_table_script",
+    "iter_statements",
+    "run_script",
+]
 
 #: statements are separated by a line holding a single semicolon —
 #: unambiguous even when statement text contains ';' inside literals
@@ -48,7 +53,31 @@ def compile_script(
     drop_tables: bool = False,
 ) -> str:
     """Render the full ordered pipeline as one Spark-SQL script."""
-    ordered = topo_sort(list(specs))
+    ordered = resolve_default_schemas(topo_sort(list(specs)))
+    return _render(ordered, drop_tables=drop_tables)
+
+
+def compile_table_script(
+    spec: TableSpec | DependencySpec,
+    drop_tables: bool = False,
+) -> str:
+    """Render ONE rules file as its own script — the reference's
+    ``compile --no-one-file`` per-table artifact (``__main__.py:34-49``,
+    one ``<name>.sql`` per rules file via ``table.get_script()``).
+
+    Faithful to the reference's per-file mode: ``depends_on`` edges are
+    NOT resolved here — no cross-file ordering and no ``DefaultSchema``
+    import (both only happen in the one-file path, reference
+    __main__.py:56-83) — so a per-table script assumes its dependency
+    scripts/temp views were executed first.
+    """
+    return _render([spec], drop_tables=drop_tables)
+
+
+def _render(
+    ordered: list[TableSpec | DependencySpec],
+    drop_tables: bool = False,
+) -> str:
     tables = [s for s in ordered if isinstance(s, TableSpec)]
     stmts: list[str] = [
         f"CREATE DATABASE IF NOT EXISTS {MAPPING_SCHEMA}",

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .dialect import is_plpgsql_script, translate
 from .planner.compiler import MAPPING_SCHEMA, TARGET_SCHEMA, TableCompiler
-from .rules.loader import load_rules_dir, topo_sort
+from .rules.loader import load_rules_dir, resolve_default_schemas, topo_sort
 from .rules.model import DependencySpec, TableSpec
 
 __all__ = ["Engine"]
@@ -364,7 +364,7 @@ class Engine:
     ) -> dict[str, DataFrame]:
         """Run the full pipeline with the reference's phase barrier:
         every initialization before any column phase."""
-        ordered = topo_sort(list(specs))
+        ordered = resolve_default_schemas(topo_sort(list(specs)))
         tables = [s for s in ordered if isinstance(s, TableSpec)]
         for spec in ordered:
             if isinstance(spec, TableSpec):

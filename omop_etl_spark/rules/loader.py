@@ -18,7 +18,12 @@ import yaml
 
 from .model import DependencySpec, RuleError, TableSpec, parse_spec
 
-__all__ = ["load_rules_dir", "load_rules_text", "topo_sort"]
+__all__ = [
+    "load_rules_dir",
+    "load_rules_text",
+    "resolve_default_schemas",
+    "topo_sort",
+]
 
 
 def load_rules_text(text: str, name: str | None = None) -> TableSpec | DependencySpec:
@@ -72,3 +77,41 @@ def topo_sort(
     for s in specs:
         visit(s, [])
     return ordered
+
+
+def resolve_default_schemas(
+    specs: Iterable[TableSpec | DependencySpec],
+) -> list[TableSpec | DependencySpec]:
+    """Import each table's ``DefaultSchema`` from its dependency files.
+
+    Reference semantics (``__main__.py:67-83``): in one-file compile
+    (and execution) order, a target table's environment starts from its
+    own ``default_schema`` and is then overridden by every
+    ``depends_on`` entry that names a DEPENDENCY file (not another
+    table) whose ``default_schema`` is set — last dependency wins.
+    Tables never export their schema to other tables (the reference
+    only records envs for non-TargetTable files).
+
+    Pure: returns new ``TableSpec`` instances (frozen dataclasses) for
+    the tables whose schema changed; everything else passes through.
+    """
+    import dataclasses
+
+    specs = list(specs)
+    dep_schema = {
+        s.name: s.default_schema
+        for s in specs
+        if s.name and not isinstance(s, TableSpec)
+    }
+    out: list[TableSpec | DependencySpec] = []
+    for s in specs:
+        if isinstance(s, TableSpec):
+            schema = s.default_schema
+            for dep in s.depends_on:
+                imported = dep_schema.get(dep)
+                if imported is not None:
+                    schema = imported
+            if schema != s.default_schema:
+                s = dataclasses.replace(s, default_schema=schema)
+        out.append(s)
+    return out

@@ -107,3 +107,58 @@ def test_cli_compile_writes_artifact(tmp_path):
     assert main(["compile", "--rules", str(rules), "--output", str(out)]) == 0
     text = out.read_text()
     assert "CREATE TABLE omop.baz" in text and "row_number() OVER" in text
+
+
+def test_cli_no_one_file_per_table_artifacts(tmp_path):
+    """reference `compile --no-one-file` (__main__.py:34-49): one
+    <name>.sql per rules file, written into the output directory."""
+    from omop_etl_spark.cli import main
+
+    rules = tmp_path / "rules"
+    rules.mkdir()
+    (rules / "baz.yaml").write_text(COPY_RULES)
+    (rules / "adep.yaml").write_text(
+        "default_schema: external\npre_init:\n"
+        "  - alias: lk\n    query: select 1 as id\n"
+    )
+    out = tmp_path / "sql"
+    assert (
+        main(
+            [
+                "compile", "--rules", str(rules),
+                "--output", str(out), "--no-one-file",
+            ]
+        )
+        == 0
+    )
+    baz = (out / "baz.sql").read_text()
+    dep = (out / "adep.sql").read_text()
+    assert "CREATE TABLE omop.baz" in baz
+    # per-file mode does NOT import the dep's schema (reference parity:
+    # the depends_on env import only happens in one-file compile)
+    assert "USE cerner" in baz
+    assert "USE external" in dep and "TEMPORARY VIEW lk" in dep
+
+
+def test_depends_on_imports_default_schema():
+    """reference __main__.py:67-83: a table inherits DefaultSchema from
+    its depends_on dependency files (last one set wins) in the one-file
+    compile and engine run ordering."""
+    from omop_etl_spark.rules.loader import resolve_default_schemas
+
+    dep = load_rules_text(
+        "default_schema: external\npre_init:\n"
+        "  - alias: lk\n    query: select 1 as id\n",
+        name="dep",
+    )
+    dep_unset = load_rules_text(
+        "pre_init:\n  - alias: lk2\n    query: select 2 as id\n",
+        name="dep_unset",
+    )
+    table = load_rules_text(COPY_RULES + "depends_on:\n  - dep\n  - dep_unset\n")
+    resolved = resolve_default_schemas([dep, dep_unset, table])
+    (tbl,) = [s for s in resolved if s.name == "baz"]
+    assert tbl.default_schema == "external"  # dep wins; unset dep is a no-op
+    script = compile_script([table, dep, dep_unset])
+    # the table's column phase now runs under the imported schema
+    assert "USE external" in script
