@@ -834,24 +834,40 @@ def unigram_segment_words(
     if not 1 <= max_word_len < 1024:
         raise ValueError("unigram_segment_words: max_word_len must be in 1..1023")
     cost_bound = (1 << 50) // (1024 * max_word_len)
-    lo, hi = pieces.agg(
-        F.min(F.col(cost_col).cast("bigint")),
-        F.max(F.col(cost_col).cast("bigint")),
-    ).first()
-    if lo is not None and lo < 0:
-        raise ValueError("unigram_segment_words: piece costs must be non-negative")
-    if hi is not None and hi >= cost_bound:
-        raise ValueError(
-            f"unigram_segment_words: max piece cost {hi} >= {cost_bound} "
-            f"(= 2^50 / (1024 * max_word_len)); a clean path could reach "
-            "the unreachable sentinel — rescale costs or lower max_word_len"
-        )
+    # Cost-bound validation rides the SAME single aggregate that builds
+    # the broadcast map (r9 regression: a separate eager min/max
+    # `.first()` here re-executed the caller's whole upstream pipeline
+    # — token counts, gram counts — once for validation and again for
+    # the map; VERDICT r9 #4). `raise_error` fires at action time with
+    # the same message the eager check carried.
     pm = pieces.agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct(F.col(piece_col), F.col(cost_col).cast("bigint"))
             )
-        ).alias("__pm")
+        ).alias("__pm"),
+        F.min(F.col(cost_col).cast("bigint")).alias("__lo"),
+        F.max(F.col(cost_col).cast("bigint")).alias("__hi"),
+    ).select(
+        F.when(
+            F.col("__lo") < 0,
+            F.expr(
+                "raise_error('unigram_segment_words: piece costs must "
+                "be non-negative')"
+            ),
+        )
+        .when(
+            F.col("__hi") >= cost_bound,
+            F.expr(
+                "raise_error(concat('unigram_segment_words: max piece "
+                f"cost ', __hi, ' >= {cost_bound} "
+                "(= 2^50 / (1024 * max_word_len)); a clean path could "
+                "reach the unreachable sentinel - rescale costs or "
+                "lower max_word_len'))"
+            ),
+        )
+        .otherwise(F.col("__pm"))
+        .alias("__pm")
     )
     # Unreachable = a large finite sentinel, NOT NULL: the fold's
     # accumulator element type is non-nullable (array<bigint> from the
