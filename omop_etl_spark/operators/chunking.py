@@ -746,37 +746,55 @@ def content_defined_chunks(
     shuffle anywhere. At 100 TB this scans linearly and feeds the
     chunk-hash dedup join downstream.
 
+    LINEAR in document length (r10, SCALE.md §13): every per-position
+    codepoint probe goes through a char array materialized ONCE per
+    document (``split(text, '')`` is O(len); ``element_at`` on an
+    array is O(1)), and chunk texts come from ``slice`` + ``array_join``
+    over the same array. The obvious ``ascii(substring(text, t-j, 1))``
+    form is O(len²): Spark's UTF8String indexes by CODEPOINT, so every
+    substring call re-scans the bytes from the start — measured 4.6×
+    wall on 4× doc length at fixed corpus volume.
+
     Output: ``(id_col, *keep_cols, chunk_id, chunk_text, n_chars)``
     with ``chunk_id`` the 0-based chunk index within the document.
     Null/empty documents produce no rows.
     """
     if window < 1 or base < 2 or modulus < 2 or divisor < 2:
         raise ValueError("content_defined_chunks: bad hash parameters")
-    t = f"`{text_col}`"
     hash_terms = " + ".join(
-        f"CAST(ascii(substring({t}, __t - {j}, 1)) AS BIGINT) * {pow(base, j, modulus)}"
+        f"element_at(__cps, __t - {j}) * {pow(base, j, modulus)}"
         for j in range(window)
     )
     bnds = F.expr(
-        f"CASE WHEN length({t}) >= {window} THEN "
-        f"filter(sequence({window}, length({t})), "
+        f"CASE WHEN size(__chars) >= {window} THEN "
+        f"filter(sequence({window}, size(__chars)), "
         f"__t -> (({hash_terms}) % {modulus}) % {divisor} = 0) "
         f"ELSE CAST(array() AS array<int>) END"
     )
-    with_edges = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
-    ).select(
+    with_arr = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            F.split(F.col(text_col), "").alias("__chars"),
+        )
+        .withColumn(
+            "__cps",
+            F.transform("__chars", lambda c: F.ascii(c).cast("bigint")),
+        )
+    )
+    with_edges = with_arr.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.col(text_col).alias("__txt"),
+        F.col("__chars"),
         F.concat(F.array(F.lit(0)), bnds).alias("__starts"),
-        F.concat(bnds, F.array(F.length(text_col))).alias("__ends"),
+        F.concat(bnds, F.array(F.size("__chars"))).alias("__ends"),
     )
     chunks = F.filter(
         F.expr(
             "transform(sequence(1, size(__starts)), __i -> "
-            "substring(__txt, element_at(__starts, __i) + 1, "
-            "element_at(__ends, __i) - element_at(__starts, __i)))"
+            "array_join(slice(__chars, element_at(__starts, __i) + 1, "
+            "element_at(__ends, __i) - element_at(__starts, __i)), ''))"
         ),
         lambda s: s != "",
     )
