@@ -1460,14 +1460,21 @@ SELECT id_a, id_b, round(score, 6) AS score FROM s WHERE score >= 0.4
 
 
 def _q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup end-to-end: exact cosine near-dup pairs folded
-    into connected components with one survivor per cluster — the
-    embedding-space sibling of ``dedup_near_clusters``."""
+    """Semantic dedup end-to-end, SemDeDup-scoped by DEFAULT (VERDICT
+    r9 #2): k-means-scoped cosine near-dup pairs
+    (similarity.scoped_cosine_pairs — pair work N²/k, never all-pairs)
+    folded into connected components with one survivor per cluster —
+    the embedding-space sibling of ``dedup_near_clusters``. The exact
+    all-pairs form lives on as ``cosine_pairs`` under a bounded-input
+    contract (calibration/recall audits; ``embed_neardup_pairs`` is
+    its gate). The oracle replays the same fixed-point Lloyd
+    assignment (shared ``_kmeans_oracle_ctes``), cluster-scoped double
+    cosine, and recursive-CTE connected components."""
     from omop_etl_spark.operators.cluster import assign_clusters
-    from omop_etl_spark.operators.similarity import cosine_pairs
+    from omop_etl_spark.operators.similarity import scoped_cosine_pairs
 
     emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
-    pairs = cosine_pairs(emb, threshold=0.4, num_blocks=4)
+    pairs = scoped_cosine_pairs(emb, threshold=0.4, k=32)
     return assign_clusters(emb, pairs, id_col="vec_id").select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
@@ -1475,11 +1482,18 @@ def _q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EMBED_DEDUP_CLUSTERS = """
-WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def _oracle_embed_dedup_clusters() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _kmeans_oracle_ctes(k=32)
+        + """,
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT e.vec_id, w2.cluster_id, e.v
+       FROM e JOIN w2 ON e.vec_id = w2.vec_id),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  FROM sc a JOIN sc b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE list_dot_product(a.v, b.v) /
         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
 ),
@@ -1496,6 +1510,7 @@ SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
        CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_survivor
 FROM reach GROUP BY id
 """
+    )
 
 
 def _q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11344,7 +11359,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_clusters": _oracle_near_clusters(),
         "docs_chunk": ORACLE_DOCS_CHUNK,
         "docs_tfidf": ORACLE_DOCS_TFIDF,
-        "embed_dedup_clusters": ORACLE_EMBED_DEDUP_CLUSTERS,
+        "embed_dedup_clusters": _oracle_embed_dedup_clusters(),
         "text_quality": ORACLE_TEXT_QUALITY,
         "text_pii_scrub": ORACLE_PII_SCRUB,
         "text_langid": _oracle_langid(),
