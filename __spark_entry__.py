@@ -11093,21 +11093,140 @@ FROM ({finals})
 """
 
 
+# The r11 driver window (VERDICT r10 #1): the driver's CORRECTNESS gate
+# reads the FIRST 50 entries of queries().  This round rotates in the 25
+# queries whose last driver-green row is r05 (five SURVEY §2 ETL/SQL
+# gates + multimodal/text/window/events cohort) followed by the 25
+# stalest r06 greens.  Queries NEW in r11 are prepended (never-checked
+# beats stale, VERDICT r10 #8); an equal number of r06 backfill names
+# drops out of the window to keep it at exactly 50.
+_WINDOW_R11: list[str] = [
+    # -- new in r11 (never driver-verified) --
+    # -- last driver-green r05 (25) --
+    "etl_query_table",
+    "etl_required_filter",
+    "etl_temp_table",
+    "events_hourly",
+    "events_json_agg",
+    "events_pivot",
+    "events_resample",
+    "events_sessionize",
+    "multimodal_features",
+    "multimodal_frames",
+    "ngram_jaccard_pairs",
+    "pack_bins",
+    "range_join_events",
+    "sample_stratified",
+    "scd2_user_state",
+    "set_ops_customers",
+    "split_assign",
+    "sql_distinct_on",
+    "sql_expr_surface",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality",
+    "text_stats",
+    "text_token_counts",
+    "window_rank",
+    # -- last driver-green r06 backfill (stalest-first) --
+    "agg_cube",
+    "corpus_source_similarity",
+    "corpus_vocab",
+    "cust_no_orders",
+    "docs_cooccurrence",
+    "docs_curate",
+    "docs_decontaminate",
+    "docs_encode",
+    "docs_leakage_safe_split",
+    "docs_length_hist",
+    "docs_novelty",
+    "docs_per_source_sample",
+    "docs_repetition",
+    "docs_shuffle_order",
+    "docs_soft_dedup_weights",
+    "docs_strip_boilerplate",
+    "docs_token_budget",
+    "docs_training_export",
+    "docs_weighted_sample",
+    "dq_checks",
+    "embed_covariance",
+    "embed_norm_stats",
+    "embed_quantize",
+    "events_anomaly_mad",
+    "events_concurrency",
+]
+
+# Driver-green in r10 (the whole r9/r10 window) — freshest rows in the
+# registry, so they rotate to the BACK; everything between the window
+# and this cohort keeps its last-green-sorted order (r06 → r07 → r08).
+_GREEN_R10: list[str] = [
+    "docs_learn_bpe",
+    "docs_bm25_topk",
+    "orders_trailing_spend",
+    "events_gap_fill",
+    "parts_item_sim",
+    "events_robust_stats",
+    "docs_hybrid_rrf",
+    "events_multitouch",
+    "events_twap",
+    "cust_ab_lift",
+    "parts_bfs_hops",
+    "sketch_hll_union",
+    "embed_pq_topk",
+    "events_top_paths",
+    "embed_semdedup",
+    "parts_sssp_nearest",
+    "events_rolling_median",
+    "cust_recs_topk",
+    "sketch_logq_value",
+    "docs_exact_alloc",
+    "orders_diff_columns",
+    "docs_greedy_chain",
+    "orders_rfm",
+    "cust_cohort_ltv",
+    "embed_top_eigen",
+    "events_stationary",
+    "orders_profile",
+    "docs_encode_unigram",
+    "agg_multi_distinct",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_top_customers",
+    "asof_join_events",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_clusters",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "docs_chunk",
+    "docs_tfidf",
+    "embed_centroids",
+    "embed_dedup_clusters",
+    "embed_neardup_pairs",
+    "etl_constant",
+    "etl_copy",
+    "etl_fk_remap",
+    "etl_lww",
+    "etl_merge_entities",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    reg = _registry()
+    front = set(_WINDOW_R11)
+    back = set(_GREEN_R10)
+    assert front <= set(reg) and back <= set(reg) and not (front & back)
+    mid = [k for k in reg if k not in front and k not in back]
+    return {k: reg[k] for k in [*_WINDOW_R11, *mid, *_GREEN_R10]}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Declaration order here is the HISTORICAL order (r9 window first);
+    # queries() reorders it into the r11 driver window above.  See
+    # LOCALCHECK_r11.md for the per-entry last-driver-green manifest.
     return {
-        # Ordered by driver-verification need (VERDICT r7 #1 / r8 #7):
-        # the driver's CORRECTNESS gate reads the FIRST 50 entries.
-        # r9 window = (a) the queries with no driver-green row in any
-        # round (the 2 repaired HUGEINT-oracle queries + everything
-        # NEW in r9), (b) the 4 queries whose operator or oracle FORM
-        # changed this round (power-iteration persistence, profiler
-        # float min/max, unigram cost validation), then (c) the
-        # stalest driver greens (last green r05 — the oldest cohort)
-        # up to position 49; the r05 leftovers rotate in r10 (see
-        # LOCALCHECK_r09.md's manifest).
-        # Entries BELOW the window are sorted by last-green round so
-        # future rotations stay mechanical; see LOCALCHECK_r09.md for
-        # the per-entry last-green manifest.
         # -- (a) never driver-verified: 2 repaired HUGEINT oracles +
         #    the queries NEW in r9 --
         "docs_learn_bpe": _q_docs_learn_bpe,
