@@ -115,13 +115,31 @@ def _cmd_compile(args) -> int:
         specs = load_rules_dir(path)
     if args.no_one_file:
         # reference `compile --no-one-file` (__main__.py:34-49): one
-        # <name>.sql per rules file, no cross-file dep resolution
+        # <stem>.sql per rules FILE — named by the filename stem, not
+        # the yaml `name:` field (two files may share a table name),
+        # no cross-file dep resolution
         out_dir = Path(args.output or "sql")
+        if out_dir.exists() and not out_dir.is_dir():
+            print(
+                f"error: --no-one-file writes one .sql per rules file; "
+                f"--output {out_dir} exists and is not a directory",
+                file=sys.stderr,
+            )
+            return 2
         out_dir.mkdir(parents=True, exist_ok=True)
-        for spec in specs:
-            name = spec.name or "dependency"
+        if path.is_file():
+            pairs = [(path.stem, specs[0])]
+        else:
+            # re-pair stems with specs: filesystem stems are unique,
+            # so artifact names can never collide
+            pairs = [
+                (f.stem, load_rules_text(f.read_text(), name=f.stem))
+                for f in sorted(path.iterdir())
+                if f.suffix in (".yaml", ".yml")
+            ]
+        for stem, spec in pairs:
             script = compile_table_script(spec, drop_tables=args.drop_tables)
-            out_fn = out_dir / f"{name}.sql"
+            out_fn = out_dir / f"{stem}.sql"
             out_fn.write_text(script)
             print(f"wrote {out_fn} ({script.count(chr(10))} lines)")
         return 0

@@ -846,6 +846,18 @@ def unigram_segment_words(
     costs would have been misreported as unreachable).
 
     Output: input columns + ``(seg_cost, n_pieces)``.
+
+    Raises:
+        ValueError: eagerly, for out-of-range ``max_piece_len`` /
+            ``max_word_len`` arguments.
+        pyspark.errors.SparkRuntimeException: (USER_RAISED_EXCEPTION,
+            at the first ACTION, not at call time) when a piece cost
+            is negative or exceeds the documented bound — since r10
+            the cost validation is folded into the same broadcast-map
+            aggregate as the DP (one pass instead of two), so it can
+            only surface lazily on the executors. Callers that caught
+            ``ValueError`` for bad costs must catch the Spark
+            exception instead.
     """
     if not 1 <= max_piece_len <= 16:
         raise ValueError("unigram_segment_words: max_piece_len must be in 1..16")

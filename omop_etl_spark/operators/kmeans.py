@@ -75,6 +75,17 @@ def kmeans_assign(
     ``dist_sq ≤ 4·scale²·dim`` — at the defaults 2.6e14, five orders
     below 2^63. Centroid sums stay exact in the aggregate's int64 and
     the mean is ``floor(avg)`` (avg of int64s is exact below 2^53).
+
+    Resource contract (ADVICE r10): the quantized corpus frame is
+    persisted for the Lloyd iterations and UNPERSISTED before return —
+    the final assignment is eagerly local-checkpointed first (it's
+    id+cluster+dist, tiny next to the corpus), which also truncates
+    the ``iters``-deep loop lineage. Local checkpoints are
+    non-reliable: if an executor holding blocks is lost, downstream
+    stages cannot recompute them — at cluster scale with elastic
+    executors, set a reliable ``spark.sparkContext.setCheckpointDir``
+    and swap to ``.checkpoint()``, or accept job retry. (On local[*]
+    executor loss means the app died; the trade is free.)
     """
     from pyspark import StorageLevel
 
@@ -126,8 +137,10 @@ def kmeans_assign(
             ).alias("__cq")
         )
 
-    return assigned.select(
+    out = assigned.select(
         F.col(id_col),
         F.col("__win.cluster_id").cast("int").alias("cluster_id"),
         F.col("__win.dist_sq").cast("bigint").alias("dist_sq"),
-    )
+    ).localCheckpoint(eager=True)
+    q.unpersist()
+    return out

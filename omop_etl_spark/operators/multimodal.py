@@ -3,11 +3,16 @@
 Images/audio/video ride through the pipeline as ``binary`` columns with
 a typed metadata struct; per-item decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so payload bytes never round-trip through
-row-at-a-time Python. Decode itself is STUBBED in this environment (no
-image/audio libraries in the container): :func:`decode_batch` raises
-``NotImplementedError`` unless a decoder is injected, and
-:func:`fake_decoder` provides a deterministic stand-in so the Spark-side
-plumbing — schema, batching, partition flow — is real and tested.
+row-at-a-time Python. The decode stage takes an injected decoder
+callable: :func:`png_decoder` / :func:`wav_decoder` are REAL
+pure-stdlib parsers (IHDR/acTL/IDAT chunks; ``wave`` PCM), tested on
+generated media in this container; :func:`pil_decoder` /
+:func:`pil_resizer` are import-gated Pillow adapters for the general
+image case (Pillow is absent here, so they raise
+``NotImplementedError`` until the executors have it);
+:func:`media_decoder` dispatches on magic bytes across all of them.
+:func:`fake_decoder` remains the deterministic stand-in the oracle
+gates use — driver testdata payloads are synthetic bytes, not media.
 
 Scale notes: payloads stay columnar (Arrow) across the Python boundary;
 ``maxRecordsPerBatch`` bounds executor memory for large blobs;
@@ -42,6 +47,11 @@ __all__ = [
     "fake_decoder",
     "fake_resizer",
     "fake_frame_extractor",
+    "png_decoder",
+    "wav_decoder",
+    "media_decoder",
+    "pil_decoder",
+    "pil_resizer",
 ]
 
 #: canonical multimodal column bundle: payload + typed metadata
@@ -114,6 +124,135 @@ def fake_decoder(payload: bytes, media_type: str) -> dict:
         "n_frames": 1 if media_type == "image" else 1 + b2 % 32,
         "feature_hash": hashlib.md5(hx.encode()).hexdigest(),
     }
+
+
+def png_decoder(payload: bytes, media_type: str = "image") -> dict:
+    """REAL pure-stdlib PNG decode (VERDICT r9 #5 / r10 #5): parse the
+    IHDR chunk for width/height, the APNG ``acTL`` chunk (if present)
+    for frame count, and hash the inflated IDAT stream (the filtered
+    scanline bytes) as the content feature. No Pillow required — PNG's
+    container format is length-prefixed chunks over zlib, all stdlib.
+
+    Raises ``ValueError`` on a malformed payload (bad signature,
+    truncated IHDR, undecodable IDAT) — a decode stage should fail
+    loudly per item, and callers quarantining bad media can wrap this
+    in a try/except inside their own decoder callable.
+    """
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("png_decoder: not a PNG payload")
+    width = height = None
+    n_frames = 1
+    idat = b""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            if length < 8:
+                raise ValueError("png_decoder: truncated IHDR")
+            width, height = struct.unpack(">II", data[:8])
+        elif ctype == b"acTL" and length >= 4:
+            (n_frames,) = struct.unpack(">I", data[:4])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("png_decoder: missing IHDR")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as ex:
+        raise ValueError(f"png_decoder: bad IDAT stream: {ex}") from ex
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(max(n_frames, 1)),
+        "feature_hash": hashlib.md5(raw).hexdigest(),
+    }
+
+
+def wav_decoder(payload: bytes, media_type: str = "audio") -> dict:
+    """REAL pure-stdlib WAV decode via the ``wave`` module. Audio has
+    no spatial dims, so the FEATURE_SCHEMA mapping is documented as:
+    ``width`` = channel count, ``height`` = bits per sample,
+    ``n_frames`` = PCM frame count, ``feature_hash`` = md5 of the raw
+    PCM bytes. Raises ``ValueError`` on a malformed payload."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload or b""), "rb") as w:
+            nframes = w.getnframes()
+            return {
+                "width": int(w.getnchannels()),
+                "height": int(w.getsampwidth() * 8),
+                "n_frames": int(nframes),
+                "feature_hash": hashlib.md5(w.readframes(nframes)).hexdigest(),
+            }
+    except wave.Error as ex:
+        raise ValueError(f"wav_decoder: not a WAV payload: {ex}") from ex
+
+
+def pil_decoder(payload: bytes, media_type: str = "image") -> dict:
+    """Import-gated Pillow adapter for the general image case (JPEG,
+    GIF, WebP, …). Raises ``NotImplementedError`` when Pillow is not
+    installed (it is absent from this container — the pure-stdlib
+    :func:`png_decoder`/:func:`wav_decoder` cover the testable path);
+    production clusters ``pip install pillow`` on the executors and
+    this adapter lights up with no plumbing change."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as ex:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "pil_decoder requires Pillow on the executors"
+        ) from ex
+    with Image.open(io.BytesIO(payload or b"")) as img:
+        img.load()
+        return {
+            "width": int(img.width),
+            "height": int(img.height),
+            "n_frames": int(getattr(img, "n_frames", 1)),
+            "feature_hash": hashlib.md5(img.tobytes()).hexdigest(),
+        }
+
+
+def pil_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Import-gated Pillow resize: decode, resize, re-encode PNG.
+    Same availability contract as :func:`pil_decoder`."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as ex:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "pil_resizer requires Pillow on the executors"
+        ) from ex
+    with Image.open(io.BytesIO(payload or b"")) as img:
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def media_decoder(payload: bytes, media_type: str) -> dict:
+    """Magic-byte dispatch decoder: PNG and WAV payloads decode with
+    the pure-stdlib parsers above; anything else falls through to
+    Pillow when installed, else raises ``NotImplementedError`` naming
+    the unhandled format. This is the injectable default for real
+    payloads — the oracle gates keep :func:`fake_decoder` because
+    driver testdata payloads are synthetic bytes, not media files."""
+    p = payload or b""
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decoder(p, media_type)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return wav_decoder(p, media_type)
+    return pil_decoder(p, media_type)
 
 
 def decode_and_extract(

@@ -484,6 +484,20 @@ def scoped_cosine_pairs(
     ``score`` = cosine rounded to ``round_digits``), so downstream
     clustering (``assign_clusters``) is drop-in. The assigned+normed
     frame is checkpointed once — both self-join sides read it.
+
+    Resource contract (ADVICE r10): that local checkpoint's blocks
+    outlive this call (``unpersist()`` cannot release checkpoint
+    RDDs); they are reclaimed by the ContextCleaner once the returned
+    frame is GC'd, so repeated calls leak only until the caller drops
+    the previous result. Local checkpoints are also non-reliable —
+    lose an executor holding blocks and downstream stages cannot
+    recompute; at cluster scale with elastic executors prefer a
+    reliable ``setCheckpointDir`` + ``.checkpoint()`` (the eager
+    local form is kept here because it measured 5-8% faster on the
+    dedup gates and local[*] has no partial-executor-loss mode).
+    ``kmeans_assign`` releases its own corpus persist before
+    returning, so the checkpoint is this operator's only retained
+    state.
     """
     from .kmeans import kmeans_assign
 

@@ -44,7 +44,8 @@ PROBE = {
     "docs_soft_dedup_weights": "linear",
     "docs_leakage_safe_split": "linear",
     "parts_triangle_count": "O(E^1.5) contract (degree-ordered)",
-    "embed_dedup_clusters": "O(n^2) contract (exact cosine pairs)",
+    "embed_dedup_clusters": "n^2/k contract (SemDeDup cluster-scoped "
+    "cosine since r10; k is the scale knob)",
     "embed_project": "linear (d x d partials)",
     "etl_fk_remap": "linear (hash joins)",
     "docs_incremental_dedup": "linear",

@@ -140,6 +140,48 @@ def test_cli_no_one_file_per_table_artifacts(tmp_path):
     assert "USE external" in dep and "TEMPORARY VIEW lk" in dep
 
 
+def test_cli_no_one_file_names_by_filename_stem(tmp_path):
+    """ADVICE r10: artifacts are named by the rules FILENAME stem
+    (reference __main__.py:20-48), not the yaml `name:` field — two
+    files sharing a table name must not overwrite each other."""
+    from omop_etl_spark.cli import main
+
+    rules = tmp_path / "rules"
+    rules.mkdir()
+    # same `name: baz` inside, different filename stems
+    (rules / "baz_v1.yaml").write_text(COPY_RULES)
+    (rules / "baz_v2.yaml").write_text(COPY_RULES)
+    out = tmp_path / "sql"
+    assert (
+        main(
+            [
+                "compile", "--rules", str(rules),
+                "--output", str(out), "--no-one-file",
+            ]
+        )
+        == 0
+    )
+    assert sorted(p.name for p in out.iterdir()) == ["baz_v1.sql", "baz_v2.sql"]
+    assert "CREATE TABLE omop.baz" in (out / "baz_v1.sql").read_text()
+
+
+def test_cli_no_one_file_output_is_a_file_errors_cleanly(tmp_path):
+    """ADVICE r10: --output pointing at an existing regular file must
+    be a clean CLI error, not a FileExistsError traceback."""
+    from omop_etl_spark.cli import main
+
+    rules = tmp_path / "rules"
+    rules.mkdir()
+    (rules / "baz.yaml").write_text(COPY_RULES)
+    out = tmp_path / "already_a_file.sql"
+    out.write_text("occupied")
+    rc = main(
+        ["compile", "--rules", str(rules), "--output", str(out), "--no-one-file"]
+    )
+    assert rc == 2
+    assert out.read_text() == "occupied"
+
+
 def test_depends_on_imports_default_schema():
     """reference __main__.py:67-83: a table inherits DefaultSchema from
     its depends_on dependency files (last one set wins) in the one-file

@@ -349,6 +349,87 @@ def test_cosine_pairs_hand_computed(spark):
     assert got == [(1, 2)]
 
 
+def _seeded_two_lobe_embeddings(spark, n=60, dim=8, seed=7):
+    """n vectors in two well-separated lobes (around e0 and e1) with
+    small perturbations — plenty of within-lobe near-dup pairs, plus
+    a few straddlers placed between the lobes."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        base = np.zeros(dim)
+        base[i % 2] = 1.0
+        v = base + rng.normal(0, 0.02, dim)
+        rows.append((i, [float(x) for x in v]))
+    # boundary straddlers: a near-dup PAIR sitting between the lobes,
+    # likely to be split by k-means when k grows
+    mid = np.full(dim, 1.0 / np.sqrt(dim))
+    for j, eps in ((n, 0.0), (n + 1, 0.001)):
+        rows.append((j, [float(x) for x in mid + eps]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_scoped_cosine_pairs_parity_within_clusters(spark):
+    """VERDICT r10 #4: scoped == exact restricted to co-assigned pairs.
+
+    (a) every scoped pair is an exact pair with the identical score;
+    (b) the ONLY exact pairs scoped misses are boundary-straddlers
+        (ids assigned to different k-means clusters);
+    (c) growing k never produces a wrong pair — found pairs stay a
+        subset of exact with equal scores, only recall changes.
+    """
+    from omop_etl_spark.operators.kmeans import kmeans_assign
+    from omop_etl_spark.operators.similarity import scoped_cosine_pairs
+
+    df = _seeded_two_lobe_embeddings(spark)
+    thr = 0.99
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in cosine_pairs(df, threshold=thr).collect()
+    }
+    assert len(exact) > 10  # the lobes generate real near-dup mass
+
+    for k in (2, 4):
+        asn = {
+            r.vec_id: r.cluster_id
+            for r in kmeans_assign(df, k=k, iters=2).collect()
+        }
+        scoped = {
+            (r.id_a, r.id_b): r.score
+            for r in scoped_cosine_pairs(df, threshold=thr, k=k, iters=2).collect()
+        }
+        # (a)/(c): subset with identical scores at every k
+        for pair, score in scoped.items():
+            assert exact[pair] == score
+        # (b): misses are exactly the straddlers; co-assigned exact
+        # pairs are ALL found
+        for (a, b), score in exact.items():
+            if asn[a] == asn[b]:
+                assert scoped[(a, b)] == score
+            else:
+                assert (a, b) not in scoped
+
+
+def test_scoped_cosine_pairs_finds_lobe_dups_at_matched_k(spark):
+    """With k = the true lobe count, recall is total: the generator's
+    two lobes co-assign, so scoped == exact on this input."""
+    from omop_etl_spark.operators.similarity import scoped_cosine_pairs
+
+    df = _seeded_two_lobe_embeddings(spark)
+    thr = 0.99
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=thr).collect()}
+    scoped = {
+        (r.id_a, r.id_b)
+        for r in scoped_cosine_pairs(df, threshold=thr, k=2, iters=2).collect()
+    }
+    missed = exact - scoped
+    # the straddler pair may fall either side of a centroid boundary;
+    # everything within a lobe must be found
+    assert scoped <= exact
+    assert all(a >= 60 or b >= 60 for a, b in missed), missed
+
+
 def test_ivf_full_probe_matches_exact(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 100 == 0)
