@@ -1469,12 +1469,17 @@ def _q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (calibration/recall audits; ``embed_neardup_pairs`` is
     its gate). The oracle replays the same fixed-point Lloyd
     assignment (shared ``_kmeans_oracle_ctes``), cluster-scoped double
-    cosine, and recursive-CTE connected components."""
+    cosine, and recursive-CTE connected components.
+
+    k is the operator's SELF-SCALING default (r11): ``max(32,
+    ceil(n/150))`` — 32 at the oracle's sf0.01 (n=500, so the k=32
+    oracle replay is exact) and growing with the corpus so the probe
+    measures the linear contract, not fixed-k quadratic creep."""
     from omop_etl_spark.operators.cluster import assign_clusters
     from omop_etl_spark.operators.similarity import scoped_cosine_pairs
 
     emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
-    pairs = scoped_cosine_pairs(emb, threshold=0.4, k=32)
+    pairs = scoped_cosine_pairs(emb, threshold=0.4)
     return assign_clusters(emb, pairs, id_col="vec_id").select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
@@ -10575,10 +10580,13 @@ def _q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     way it runs at 100 TB. Clustering is the exact fixed-point Lloyd
     of `embed_kmeans` (same operator, same oracle CTEs); a vector is
     dropped when a smaller-id cluster-mate sits above the cosine
-    threshold. k=32 (vs the kmeans gate's 8) because k IS the knob
-    that divides the quadratic term — n^2/k pair work, measured 4x
-    faster than k=8 at sf0.1; at 100 TB k scales with the corpus so
-    clusters stay O(10^2-10^3). The threshold test is EXACT integer cross-
+    threshold. k SELF-SCALES (r11): ``max(32, ceil(n/150))`` — k IS
+    the knob that divides the quadratic term (n^2/k pair work,
+    measured 4x faster than k=8 at sf0.1), and pinning the expected
+    cluster size at ~150 rows keeps total pair work LINEAR in the
+    corpus; at the oracle's sf0.01 (n=500) the derivation lands on
+    exactly 32, so the k=32 oracle replay is unchanged.
+    The threshold test is EXACT integer cross-
     multiplication — ``(5*dot)^2 >= 4*na*nb`` for cos >= 0.4 on the
     quantized vectors (decimal(18,0) products, no sqrt, no float) —
     so both engines agree bit-for-bit. Output: per-cluster kept /
@@ -10592,7 +10600,8 @@ def _q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.operators.kmeans import kmeans_assign
 
     emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
-    asn = kmeans_assign(emb, k=32, iters=2).select("vec_id", "cluster_id")
+    k = max(32, -(-emb.count() // 150))
+    asn = kmeans_assign(emb, k=k, iters=2).select("vec_id", "cluster_id")
     q = emb.select(
         "vec_id",
         F.transform(
@@ -11093,6 +11102,124 @@ FROM ({finals})
 """
 
 
+def _q_sketch_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed vocabulary-difference estimate between sources from
+    KMV/theta sketches (operators/sketches.kmv_difference — the
+    Apache-DataSketches-style A-NOT-B set operation): "how many terms
+    does source X use that source Y never does", at sketch cost. One
+    linear scan builds the per-source sketches (map-side distinct
+    combine); the pair algebra runs on O(sources² · k) rows
+    regardless of corpus size — the incremental-crawl novelty
+    estimator at 100 TB. All outputs integral (θ in exact 2^32-scaled
+    form), so the DuckDB oracle replays the md5 sketch bit-for-bit."""
+    from omop_etl_spark.operators.chunking import _term_tokens
+    from omop_etl_spark.operators.sketches import kmv_difference
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(_term_tokens("text")).alias("term")
+    )
+    return kmv_difference(toks, "source", "term", k=128).orderBy(
+        "source_a", "source_b"
+    )
+
+
+ORACLE_SKETCH_VOCAB_DIFF = """
+WITH toks AS (
+  SELECT DISTINCT source AS g,
+         CAST(concat('0x', substr(md5(concat('kmv|', t)), 1, 8)) AS BIGINT) AS hq
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+sk AS (
+  SELECT g, hq FROM (
+    SELECT g, hq, row_number() OVER (PARTITION BY g ORDER BY hq) AS rn FROM toks
+  ) WHERE rn <= 128
+),
+th AS (
+  SELECT g, CASE WHEN COUNT(*) < 128 THEN 4294967296 ELSE MAX(hq) END AS theta_q
+  FROM sk GROUP BY g
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, least(a.theta_q, b.theta_q) AS theta_q
+  FROM th a JOIN th b ON a.g <> b.g
+),
+diff AS (
+  SELECT p.ga, p.gb, COUNT(*) AS diff_kept
+  FROM pairs p
+  JOIN sk sa ON sa.g = p.ga AND sa.hq < p.theta_q
+  LEFT JOIN sk sb ON sb.g = p.gb AND sb.hq = sa.hq
+  WHERE sb.g IS NULL
+  GROUP BY 1, 2
+)
+SELECT p.ga AS source_a, p.gb AS source_b,
+       CAST(coalesce(d.diff_kept, 0) AS BIGINT) AS diff_kept,
+       CAST(p.theta_q AS BIGINT) AS theta_q,
+       CAST((coalesce(d.diff_kept, 0) * 4294967296) // p.theta_q AS BIGINT)
+         AS est_diff
+FROM pairs p LEFT JOIN diff d ON d.ga = p.ga AND d.gb = p.gb
+ORDER BY source_a, source_b
+"""
+
+
+def _q_events_busy_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user (operators/temporal.
+    interval_union — the gaps-and-islands union): each event opens a
+    half-open busy interval ``[ts, ts + 30 + event_id % 271 s)``
+    (deterministic synthetic duration — the events table carries no
+    end timestamp); overlapping/touching intervals fuse, and the gate
+    reports island count, total covered micros, and the longest busy
+    stretch — the uptime/SLA primitive. Exact integer micros
+    end-to-end; one shuffle on user_id; windows partitioned per user
+    (``bucket_width`` decomposes them for skewed keys — equivalence
+    unit-tested)."""
+    from omop_etl_spark.operators.temporal import interval_union
+    from omop_etl_spark.sources import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        us.alias("s"),
+        (us + (F.lit(30) + F.col("event_id") % 271) * F.lit(1000000))
+        .cast("bigint")
+        .alias("e"),
+    )
+    return interval_union(iv, "user_id", "s", "e")
+
+
+ORACLE_EVENTS_BUSY_TIME = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (30 + event_id % 271) * 1000000 AS e
+  FROM events
+),
+fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nf
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM fl
+),
+g AS (
+  SELECT user_id, isl_id, MIN(s) AS i_s, MAX(e) AS i_e
+  FROM isl GROUP BY user_id, isl_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(i_e - i_s) AS BIGINT) AS covered,
+       CAST(MAX(i_e - i_s) AS BIGINT) AS max_island
+FROM g GROUP BY user_id
+"""
+
+
 # The r11 driver window (VERDICT r10 #1): the driver's CORRECTNESS gate
 # reads the FIRST 50 entries of queries().  This round rotates in the 25
 # queries whose last driver-green row is r05 (five SURVEY §2 ETL/SQL
@@ -11102,6 +11229,11 @@ FROM ({finals})
 # drops out of the window to keep it at exactly 50.
 _WINDOW_R11: list[str] = [
     # -- new in r11 (never driver-verified) --
+    "sketch_vocab_diff",
+    "events_busy_time",
+    # -- operator form changed in r11 (self-scaling SemDeDup k) --
+    "embed_dedup_clusters",
+    "embed_semdedup",
     # -- last driver-green r05 (25) --
     "etl_query_table",
     "etl_required_filter",
@@ -11150,10 +11282,6 @@ _WINDOW_R11: list[str] = [
     "docs_weighted_sample",
     "dq_checks",
     "embed_covariance",
-    "embed_norm_stats",
-    "embed_quantize",
-    "events_anomaly_mad",
-    "events_concurrency",
 ]
 
 # Driver-green in r10 (the whole r9/r10 window) — freshest rows in the
@@ -11174,7 +11302,6 @@ _GREEN_R10: list[str] = [
     "sketch_hll_union",
     "embed_pq_topk",
     "events_top_paths",
-    "embed_semdedup",
     "parts_sssp_nearest",
     "events_rolling_median",
     "cust_recs_topk",
@@ -11203,7 +11330,6 @@ _GREEN_R10: list[str] = [
     "docs_chunk",
     "docs_tfidf",
     "embed_centroids",
-    "embed_dedup_clusters",
     "embed_neardup_pairs",
     "etl_constant",
     "etl_copy",
@@ -11227,6 +11353,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders it into the r11 driver window above.  See
     # LOCALCHECK_r11.md for the per-entry last-driver-green manifest.
     return {
+        # -- new in r11 --
+        "sketch_vocab_diff": _q_sketch_vocab_diff,
+        "events_busy_time": _q_events_busy_time,
         # -- (a) never driver-verified: 2 repaired HUGEINT oracles +
         #    the queries NEW in r9 --
         "docs_learn_bpe": _q_docs_learn_bpe,
@@ -11447,6 +11576,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sketch_vocab_diff": ORACLE_SKETCH_VOCAB_DIFF,
+        "events_busy_time": ORACLE_EVENTS_BUSY_TIME,
         "etl_copy": ORACLE_ETL_COPY,
         "etl_merge_entities": ORACLE_ETL_MERGE,
         "etl_fk_remap": ORACLE_ETL_FK,

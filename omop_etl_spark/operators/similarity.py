@@ -460,8 +460,9 @@ def scoped_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
-    k: int = 32,
+    k: int | None = None,
     iters: int = 2,
+    target_cluster_rows: int = 150,
 ) -> DataFrame:
     """SemDeDup-scoped cosine near-duplicate pairs — the at-scale
     DEFAULT router for semantic dedup (Abbas et al. 2023,
@@ -472,9 +473,14 @@ def scoped_cosine_pairs(
     kmeans_assign` — deterministic init, exact fixed-point iterate,
     oracle-replayable), then EXACT cosine pairs only WITHIN each
     cluster: total pair work is Σ|cluster|² ≈ N²/k instead of N².
-    ``k`` is the scale knob — grow it with the corpus so clusters stay
-    O(10²-10³) rows, and the cluster-keyed self-join's shuffle stays
-    bounded by the per-cluster square. Recall < 1 by contract:
+    ``k`` is the scale knob — and it is SELF-SCALING by default
+    (VERDICT r10 probe: a fixed k turns 10× data into ~100×/k pair
+    work): ``k=None`` derives ``k = max(32, ceil(n /
+    target_cluster_rows))`` from one ``count()`` action, pinning the
+    expected cluster size so total pair work stays ``≈ n ·
+    target_cluster_rows / 2`` — LINEAR in the corpus. Pass an explicit
+    ``k`` to pin the partition count instead (oracle replays use
+    this). Recall < 1 by contract:
     near-duplicate pairs straddling a cluster boundary are missed —
     the standard SemDeDup trade, acceptable for dedup because near-dup
     vectors overwhelmingly co-assign. For exact recall on a BOUNDED
@@ -501,6 +507,12 @@ def scoped_cosine_pairs(
     """
     from .kmeans import kmeans_assign
 
+    if k is None:
+        # count BEFORE spread(): on a parquet scan Catalyst serves
+        # count(*) from footer metadata; after the repartition it
+        # would cost a full read+shuffle
+        n = df.count()
+        k = max(32, -(-n // max(1, target_cluster_rows)))
     df = spread(df)
     asn = kmeans_assign(
         df, id_col=id_col, vec_col=vec_col, k=k, iters=iters

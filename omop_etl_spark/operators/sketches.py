@@ -45,6 +45,7 @@ from .sampling import unit_hash
 __all__ = [
     "kmv_distinct",
     "kmv_set_similarity",
+    "kmv_difference",
     "cm_sketch_counts",
     "cm_estimate",
     "hll_registers",
@@ -179,6 +180,94 @@ def kmv_set_similarity(
             F.col("n_common").cast("bigint").alias("n_common"),
             F.expr("(n_common * 1000000) div __m").alias("jaccard_ppm"),
         )
+    )
+
+
+def kmv_difference(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Directed set-difference cardinality ``|A \\ B|`` between every
+    ordered group pair from their KMV/theta sketches — the classic
+    theta-sketch **A-NOT-B** estimator (Apache DataSketches' set-
+    difference operation), without ever comparing the raw sets.
+
+    Theory: let ``S_g`` be the ``min(k, d_g)`` smallest distinct
+    hashes of group ``g`` and ``θ_g = 1`` if the sketch is partial
+    (``|S_g| < k``) else the k-th smallest hash. For the pair
+    ``(a, b)`` with ``θ = min(θ_a, θ_b)``, every hash below ``θ`` is a
+    uniform sample of the value space at rate ``θ``, and membership of
+    such a hash in B is decided EXACTLY by B's retained set (B keeps
+    everything below ``θ_b ≥ θ``). So
+    ``est = |{h ∈ S_a : h < θ, h ∉ S_b}| / θ``. When both sketches
+    are partial (``θ = 1``) the estimate is the exact difference
+    cardinality.
+
+    Everything after the per-group sketch is sketch-sized — the pair
+    frame is ``O(G² · k)`` rows for ``G`` groups regardless of input
+    rows, which is the 100 TB point: one linear scan builds the
+    sketches (map-side distinct combine), the set algebra runs on
+    KBs. All outputs are integers (``θ`` kept in exact 2^32-scaled
+    form, estimate = ``count · 2^32 div θ_q``), so a DuckDB oracle
+    replaying the same md5 hash reproduces them bit-for-bit.
+
+    Output: one row per ordered pair — ``<group>_a, <group>_b,
+    diff_kept`` (sample count), ``theta_q`` (2^32-scaled θ),
+    ``est_diff``.
+    """
+    if k < 2:
+        raise ValueError("kmv_difference requires k >= 2")
+    h = unit_hash(value_col, salt)
+    dedup = df.select(F.col(group_col).alias("__g"), h.alias("h")).distinct()
+    w = Window.partitionBy("__g").orderBy("h")
+    sk = (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    # θ_q per group: 2^32 for a partial sketch, else the k-th smallest
+    # hash in exact 2^32-scaled integer form
+    theta = sk.groupBy("__g").agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(1 << 32).cast("bigint"))
+        .otherwise(F.floor(F.max("h") * F.lit(float(1 << 32))).cast("bigint"))
+        .alias("__theta_q")
+    )
+    ga = sk.select(F.col("__g").alias("ga"), F.col("h").alias("h"))
+    gb = sk.select(F.col("__g").alias("gb"), F.col("h").alias("hb"))
+    pairs = (
+        theta.select(F.col("__g").alias("ga"), F.col("__theta_q").alias("ta"))
+        .join(
+            F.broadcast(
+                theta.select(F.col("__g").alias("gb"), F.col("__theta_q").alias("tb"))
+            ),
+            F.col("ga") != F.col("gb"),
+        )
+        .withColumn("theta_q", F.least("ta", "tb"))
+    )
+    # A's sampled hashes below θ, minus exact membership in B's sketch
+    cand = pairs.join(ga, "ga").filter(
+        F.floor(F.col("h") * F.lit(float(1 << 32))) < F.col("theta_q")
+    )
+    kept = cand.join(
+        gb, (cand["gb"] == gb["gb"]) & (cand["h"] == gb["hb"]), "left_anti"
+    )
+    counts = kept.groupBy("ga", "gb", "theta_q").agg(
+        F.count(F.lit(1)).alias("diff_kept")
+    )
+    # pairs with zero survivors must still be emitted (est 0)
+    out = (
+        pairs.select("ga", "gb", "theta_q")
+        .join(counts, ["ga", "gb", "theta_q"], "left")
+        .na.fill({"diff_kept": 0})
+    )
+    return out.select(
+        F.col("ga").alias(f"{group_col}_a"),
+        F.col("gb").alias(f"{group_col}_b"),
+        F.col("diff_kept").cast("bigint").alias("diff_kept"),
+        F.col("theta_q").cast("bigint").alias("theta_q"),
+        F.expr("(diff_kept * 4294967296) div theta_q").cast("bigint").alias("est_diff"),
     )
 
 

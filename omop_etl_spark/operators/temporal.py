@@ -39,6 +39,7 @@ __all__ = [
     "scd2_from_changes",
     "funnel",
     "interval_concurrency",
+    "interval_union",
     "scd2_lookup",
     "burst_dedup",
     "apply_cdc",
@@ -656,6 +657,143 @@ def interval_concurrency(
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
         F.max("__conc").cast("bigint").alias("max_concurrent"),
     ).select(F.col("__k").alias(key_col), "n_intervals", "max_concurrent")
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Merged-interval coverage per key (the gaps-and-islands union):
+    overlapping or touching half-open intervals ``[start, end)`` fuse
+    into islands; reports island count, total covered length, and the
+    longest island — the uptime / busy-time / SLA-coverage primitive.
+
+    ``start_col``/``end_col`` must be NUMERIC (cast timestamps to
+    ``unix_micros`` first) with ``end > start``; touching intervals
+    (``start == previous end``) merge, per half-open convention.
+
+    Exact and engine-replayable: an island starts where ``start``
+    exceeds the running max of all earlier ends (ordered by
+    ``(start, end)``; the rule is permutation-invariant within exact
+    ties), island ids are the running count of those starts, and all
+    lengths are integer arithmetic on the input units.
+
+    Scale: one shuffle on ``key_col``, windows partitioned per key.
+    For SKEWED keys (one key ≈ a partition) pass ``bucket_width`` (in
+    start-column units): both running aggregates (max-of-ends, count-
+    of-island-starts) decompose into the two-level form of
+    :func:`interval_concurrency` — a local window within
+    ``(key, start div bucket_width)`` plus carry-in offsets from the
+    tiny per-bucket totals frame — thousands of independent sort
+    partitions per key instead of one, same exact result (max and sum
+    are both associative over the bucket split).
+
+    Output: one row per key — ``n_islands``, ``covered``,
+    ``max_island`` (all bigint).
+    """
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(start_col).cast("bigint").alias("__s"),
+        F.col(end_col).cast("bigint").alias("__e"),
+    )
+    if bucket_width is None:
+        w_prev = (
+            Window.partitionBy("__k")
+            .orderBy("__s", "__e")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_cum = (
+            Window.partitionBy("__k")
+            .orderBy("__s", "__e")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        prev_max = F.max("__e").over(w_prev)
+        flagged = base.withColumn(
+            "__new",
+            F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0),
+        ).withColumn("__isl", F.sum("__new").over(w_cum))
+    else:
+        if bucket_width < 1:
+            raise ValueError("interval_union: bucket_width must be >= 1")
+        b = base.withColumn(
+            "__b", F.floor(F.col("__s") / F.lit(int(bucket_width)))
+        )
+        local_prev = (
+            Window.partitionBy("__k", "__b")
+            .orderBy("__s", "__e")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_w = (
+            Window.partitionBy("__k")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = (
+            b.groupBy("__k", "__b")
+            .agg(F.max("__e").alias("__bmax"))
+            .select(
+                F.col("__k").alias("__ck"),
+                F.col("__b").alias("__cb"),
+                F.max("__bmax").over(carry_w).alias("__carry_max"),
+            )
+        )
+        flagged = (
+            b.join(
+                F.broadcast(carries),
+                (F.col("__k") == F.col("__ck")) & (F.col("__b") == F.col("__cb")),
+            )
+            .withColumn(
+                "__prev_max",
+                # greatest() skips NULLs (returns NULL only when BOTH
+                # the local window is empty and no earlier bucket exists)
+                F.greatest(F.max("__e").over(local_prev), F.col("__carry_max")),
+            )
+            .withColumn(
+                "__new",
+                F.when(
+                    F.col("__prev_max").isNull()
+                    | (F.col("__s") > F.col("__prev_max")),
+                    1,
+                ).otherwise(0),
+            )
+        )
+        local_cum = (
+            Window.partitionBy("__k", "__b")
+            .orderBy("__s", "__e")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        flag_carries = (
+            flagged.groupBy("__k", "__b")
+            .agg(F.sum("__new").alias("__btot"))
+            .select(
+                F.col("__k").alias("__fk"),
+                F.col("__b").alias("__fb"),
+                F.coalesce(F.sum("__btot").over(carry_w), F.lit(0)).alias(
+                    "__carry_cnt"
+                ),
+            )
+        )
+        flagged = flagged.join(
+            F.broadcast(flag_carries),
+            (F.col("__k") == F.col("__fk")) & (F.col("__b") == F.col("__fb")),
+        ).withColumn(
+            "__isl", F.sum("__new").over(local_cum) + F.col("__carry_cnt")
+        )
+    islands = flagged.groupBy("__k", "__isl").agg(
+        F.min("__s").alias("__is"), F.max("__e").alias("__ie")
+    )
+    return (
+        islands.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.col("__ie") - F.col("__is")).cast("bigint").alias("covered"),
+            F.max(F.col("__ie") - F.col("__is")).cast("bigint").alias("max_island"),
+        )
+        .select(F.col("__k").alias(key_col), "n_islands", "covered", "max_island")
+    )
 
 
 def scd2_lookup(

@@ -94,6 +94,13 @@ PROBE = {
     "strata-bounded frame)",
     "orders_diff_columns": "linear (one key equi-join; fixed counter "
     "vector aggregate)",
+    # round-11 additions
+    "sketch_vocab_diff": "linear (one distinct scan; pair algebra on "
+    "O(sources^2 k) sketch rows)",
+    "events_busy_time": "linear (per-user islands windows; integer "
+    "micros arithmetic)",
+    "embed_semdedup": "linear pair work since r11 (self-scaling k pins "
+    "cluster size ~150); residual growth is the N*k assign term",
     "docs_greedy_chain": "linear-ish (bigram-type model checkpointed; "
     "decode steps join sources-bounded frames)",
 }

@@ -388,3 +388,107 @@ def test_logq_sketch_drops_nonpositive(spark):
     df = spark.createDataFrame([(-3,), (0,), (1,)], "v long")
     out = logq_buckets(df, [], "v").collect()
     assert len(out) == 1 and out[0]["c"] == 1
+
+
+# ---------------------------------------------------------------------------
+# KMV theta A-NOT-B difference (round 11)
+
+
+def test_kmv_difference_exact_when_partial(spark):
+    """Both sketches partial (distinct < k) => theta = 1 and the
+    estimate IS the exact |A \\ B| / |B \\ A|."""
+    from omop_etl_spark.operators.sketches import kmv_difference
+
+    rows = [("a", v) for v in range(50)] + [("b", v) for v in range(30, 80)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {(r.g_a, r.g_b): r for r in kmv_difference(df, "g", "v", k=128).collect()}
+    assert out[("a", "b")].est_diff == 30  # {0..29}
+    assert out[("b", "a")].est_diff == 30  # {50..79}
+    assert out[("a", "b")].theta_q == 1 << 32
+    assert out[("a", "b")].diff_kept == 30
+
+
+def test_kmv_difference_estimates_with_error_bound(spark):
+    """Full sketches: the A-NOT-B estimate lands within the standard
+    ~1/sqrt(k) relative-error envelope (generous 5-sigma)."""
+    from omop_etl_spark.operators.sketches import kmv_difference
+
+    n, overlap, k = 4000, 2500, 256
+    rows = [("a", v) for v in range(n)] + [
+        ("b", v) for v in range(n - overlap, 2 * n - overlap)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {(r.g_a, r.g_b): r for r in kmv_difference(df, "g", "v", k=k).collect()}
+    true_diff = n - overlap
+    for pair in (("a", "b"), ("b", "a")):
+        est = out[pair].est_diff
+        assert abs(est - true_diff) <= 5 * true_diff / math.sqrt(k) + 5, (pair, est)
+
+
+def test_kmv_difference_zero_pairs_emitted(spark):
+    from omop_etl_spark.operators.sketches import kmv_difference
+
+    rows = [("a", v) for v in range(20)] + [("b", v) for v in range(20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {(r.g_a, r.g_b): r.est_diff for r in kmv_difference(df, "g", "v").collect()}
+    assert out == {("a", "b"): 0, ("b", "a"): 0}
+
+
+# ---------------------------------------------------------------------------
+# interval_union (round 11)
+
+
+def _brute_union(intervals):
+    """islands by sweep: returns (n_islands, covered, max_island)."""
+    ivs = sorted(intervals)
+    islands = []
+    for s, e in ivs:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    lens = [e - s for s, e in islands]
+    return (len(islands), sum(lens), max(lens))
+
+
+def test_interval_union_hand_computed(spark):
+    from omop_etl_spark.operators.temporal import interval_union
+
+    rows = [
+        # key u: [0,10) [5,15) [15,20) merge (touching merges); [30,40) alone
+        ("u", 0, 10), ("u", 5, 15), ("u", 15, 20), ("u", 30, 40),
+        # key v: nested interval swallowed
+        ("v", 0, 100), ("v", 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {r.k: (r.n_islands, r.covered, r.max_island)
+           for r in interval_union(df, "k", "s", "e").collect()}
+    assert got["u"] == (2, 30, 20)
+    assert got["v"] == (1, 100, 100)
+
+
+def test_interval_union_two_level_matches_single(spark):
+    """bucket_width path is exactly the single-window answer, including
+    islands that span bucket boundaries and carry-forward ends that
+    cover whole later buckets."""
+    from omop_etl_spark.operators.temporal import interval_union
+
+    rng = random.Random(11)
+    rows = []
+    for k in ("x", "y"):
+        for _ in range(300):
+            s = rng.randrange(0, 10_000)
+            rows.append((k, s, s + rng.randrange(1, 800)))
+        # one giant interval covering many buckets
+        rows.append((k, 500, 9_000))
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    single = {tuple(r) for r in interval_union(df, "k", "s", "e").collect()}
+    two = {tuple(r) for r in
+           interval_union(df, "k", "s", "e", bucket_width=1000).collect()}
+    assert single == two
+    # and both equal the brute-force sweep
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    brute = {(k, *_brute_union(v)) for k, v in by_key.items()}
+    assert single == brute
