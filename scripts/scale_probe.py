@@ -30,7 +30,12 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 
 SF01 = "/root/testdata/sf0.1"
-SF1 = str(Path(__file__).resolve().parent.parent / "testdata_sf1")
+# SPARK_GRAFT_PROBE_BIG_DIR points the "big side" somewhere else (e.g.
+# the 30x tiling from gen_scale_testdata.py) for stretch probes
+SF1 = os.environ.get(
+    "SPARK_GRAFT_PROBE_BIG_DIR",
+    str(Path(__file__).resolve().parent.parent / "testdata_sf1"),
+)
 
 #: query -> expected growth note ("linear" unless the operator's
 #: contract is inherently super-linear in n)
