@@ -11102,6 +11102,68 @@ FROM ({finals})
 """
 
 
+def _q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED quantiles (quantity-weighted price percentiles
+    per return flag) through stats.exact_quantile_cuts' ``count_col``
+    path: the rank threshold ``floor((n-1)*q)+1`` runs over cumulative
+    WEIGHT, so this is the type-1 weighted quantile — "the price point
+    below which a quarter of all shipped QUANTITY sits", the
+    inventory-weighted statistic the unweighted row-percentile misses.
+    Prices quantize to cents (near-continuous domain), so the
+    cumulative sum runs TWO-LEVEL (``bucket_width=100_000`` — local
+    cumsum per (flag, $1000-band) + tiny carry-in offsets): three
+    return flags would otherwise each serialize a ~distinct-price-long
+    sort on one task — the partitioned edition of the global-window
+    cliff. All quantile fractions are dyadic (k/4), so the float rank
+    multiply is exact in binary64 and both engines pick the identical
+    cent value."""
+    from omop_etl_spark.operators.stats import exact_quantile_cuts
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pre = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    out = exact_quantile_cuts(
+        pre, ["flag"], "price_c", [0.25, 0.5, 0.75],
+        bucket_width=100_000, count_col="w",
+    )
+    return out.select(
+        "flag",
+        F.col("n").cast("bigint").alias("total_qty"),
+        F.col("q_p25").cast("bigint").alias("wq25_cents"),
+        F.col("q_p5").cast("bigint").alias("wq50_cents"),
+        F.col("q_p75").cast("bigint").alias("wq75_cents"),
+    )
+
+
+ORACLE_AGG_WEIGHTED_QUANTILES = """
+WITH pre AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, price_c, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price_c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pre
+),
+tot AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS n FROM pre GROUP BY 1)
+SELECT c.flag,
+       CAST(t.n AS BIGINT) AS total_qty,
+       CAST(MIN(CASE WHEN c.cum >= (1 * (t.n - 1)) // 4 + 1
+                THEN c.price_c END) AS BIGINT) AS wq25_cents,
+       CAST(MIN(CASE WHEN c.cum >= (1 * (t.n - 1)) // 2 + 1
+                THEN c.price_c END) AS BIGINT) AS wq50_cents,
+       CAST(MIN(CASE WHEN c.cum >= (3 * (t.n - 1)) // 4 + 1
+                THEN c.price_c END) AS BIGINT) AS wq75_cents
+FROM cum c JOIN tot t ON c.flag = t.flag
+GROUP BY c.flag, t.n
+"""
+
+
 def _q_sketch_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed vocabulary-difference estimate between sources from
     KMV/theta sketches (operators/sketches.kmv_difference — the
@@ -11231,6 +11293,7 @@ _WINDOW_R11: list[str] = [
     # -- new in r11 (never driver-verified) --
     "sketch_vocab_diff",
     "events_busy_time",
+    "agg_weighted_quantiles",
     # -- operator form changed in r11 (self-scaling SemDeDup k) --
     "embed_dedup_clusters",
     "embed_semdedup",
@@ -11281,7 +11344,6 @@ _WINDOW_R11: list[str] = [
     "docs_training_export",
     "docs_weighted_sample",
     "dq_checks",
-    "embed_covariance",
 ]
 
 # Driver-green in r10 (the whole r9/r10 window) — freshest rows in the
@@ -11356,6 +11418,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r11 --
         "sketch_vocab_diff": _q_sketch_vocab_diff,
         "events_busy_time": _q_events_busy_time,
+        "agg_weighted_quantiles": _q_agg_weighted_quantiles,
         # -- (a) never driver-verified: 2 repaired HUGEINT oracles +
         #    the queries NEW in r9 --
         "docs_learn_bpe": _q_docs_learn_bpe,
@@ -11578,6 +11641,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sketch_vocab_diff": ORACLE_SKETCH_VOCAB_DIFF,
         "events_busy_time": ORACLE_EVENTS_BUSY_TIME,
+        "agg_weighted_quantiles": ORACLE_AGG_WEIGHTED_QUANTILES,
         "etl_copy": ORACLE_ETL_COPY,
         "etl_merge_entities": ORACLE_ETL_MERGE,
         "etl_fk_remap": ORACLE_ETL_FK,

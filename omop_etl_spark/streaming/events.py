@@ -42,6 +42,7 @@ __all__ = [
     "enrich_stream",
     "stream_interval_join",
     "stream_kmv_distinct",
+    "stream_interval_union",
     "stream_logq_quantile",
     "dq_monitor_stream",
     "stream_latest_state",
@@ -398,6 +399,89 @@ def stream_kmv_distinct(
         kmv_fn,
         outputStructType=f"{key_col} {key_type}, n_kept long, est_distinct long",
         stateStructType="hashes array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_interval_union(
+    stream: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.interval_union``: a
+    running merged-interval coverage (busy-time / uptime) per key over
+    an unbounded, possibly OUT-OF-ORDER stream of half-open intervals
+    ``[start, end)``.
+
+    State per key is the DISJOINT ISLAND LIST (sorted start/end
+    arrays): each arriving interval binary-searches the islands it
+    overlaps or touches and fuses them in O(log I + merged). That
+    state is bounded by the key's merged-span structure — its GAPS —
+    not by row count: overlapping traffic collapses into existing
+    islands, so a key with steady activity holds O(1) islands forever
+    (the property raw-event buffering lacks). A watermark-eviction
+    variant could additionally retire islands older than the
+    watermark; kept out deliberately so the emitted numbers stay
+    prefix-exact.
+
+    After ANY prefix of the stream the per-key emission EQUALS the
+    batch ``interval_union`` of the same prefix — out-of-order arrival
+    included, because island fusion is order-independent (set union of
+    covered points) — an exactly testable equivalence. Emits one
+    ``(key, n_islands, covered, max_island)`` row per key per
+    micro-batch in which that key received data (append mode).
+    """
+    import bisect
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        starts, ends = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
+        for pdf in pdf_iter:
+            for s, e in zip(pdf[start_col], pdf[end_col]):
+                s, e = int(s), int(e)
+                # islands overlapping-or-touching [s, e): the run with
+                # ends[j] >= s and starts[j] <= e (arrays co-sorted —
+                # islands are disjoint)
+                lo = bisect.bisect_left(ends, s)
+                hi = bisect.bisect_right(starts, e)
+                if lo < hi:
+                    s = min(s, starts[lo])
+                    e = max(e, ends[hi - 1])
+                    del starts[lo:hi]
+                    del ends[lo:hi]
+                idx = bisect.bisect_left(starts, s)
+                starts.insert(idx, s)
+                ends.insert(idx, e)
+        state.update((starts, ends))
+        lens = [b - a for a, b in zip(starts, ends)]
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_islands": [len(lens)],
+                "covered": [sum(lens)],
+                "max_island": [max(lens)],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_type = dict(zip(stream.schema.names, stream.schema))[
+        key_col
+    ].dataType.simpleString()
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} {key_type}, n_islands long, covered long, max_island long"
+        ),
+        stateStructType="starts array<long>, ends array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -106,6 +106,8 @@ PROBE = {
     "micros arithmetic)",
     "embed_semdedup": "linear pair work since r11 (self-scaling k pins "
     "cluster size ~150); residual growth is the N*k assign term",
+    "agg_weighted_quantiles": "linear (weighted value-domain histogram; "
+    "two-level bucketed cumsum over the distinct-price spine)",
     "docs_greedy_chain": "linear-ish (bigram-type model checkpointed; "
     "decode steps join sources-bounded frames)",
 }

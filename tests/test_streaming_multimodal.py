@@ -413,3 +413,21 @@ def test_streaming_sliding_matches_batch(spark):
     # overlap sanity: total window-rows ~= 4x the tumbling hour count
     hours = {k[0][:13] for k in got}
     assert len(got) > len(hours)
+
+
+def test_media_decoder_dispatch_and_fallthrough():
+    """media_decoder routes PNG/WAV to the stdlib parsers by magic
+    bytes; anything else falls through to the Pillow adapter, which
+    (absent Pillow) raises the documented NotImplementedError."""
+    from omop_etl_spark.operators.multimodal import media_decoder
+
+    png = _make_png(3, 2)
+    assert media_decoder(png, "image")["width"] == 3
+    wav = _make_wav(1, 2, 10)
+    assert media_decoder(wav, "audio")["n_frames"] == 10
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            media_decoder(jpeg_ish, "image")

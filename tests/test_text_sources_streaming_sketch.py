@@ -2,6 +2,7 @@
 streaming KMV sketch (batch/stream equivalence)."""
 
 import os
+import random
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -447,3 +448,60 @@ def test_stream_logq_state_carries_across_batches(spark, tmp_path):
         logq_buckets(both, ["k"], "v", m=5), ["k"], [(9, 10)], m=5
     ).collect()[0]
     assert (rows[-1]["n"], rows[-1]["q_est"]) == (want["n"], want["q9_10"])
+
+
+def test_stream_interval_union_matches_batch(spark, tmp_path):
+    """Prefix-exact streaming/batch equivalence for busy-time islands,
+    with OUT-OF-ORDER arrival across micro-batches (round 11)."""
+    import pandas as pd
+
+    from omop_etl_spark.operators.temporal import interval_union
+    from omop_etl_spark.streaming import stream_interval_union
+
+    rng = random.Random(23)
+    rows = []
+    for k in ("a", "b"):
+        for _ in range(120):
+            s = rng.randrange(0, 5_000)
+            rows.append((k, s, s + rng.randrange(1, 400)))
+    rng.shuffle(rows)  # out of order everywhere
+    d = tmp_path / "iv_stream"
+    d.mkdir()
+    pd.DataFrame(rows[:120], columns=["k", "s", "e"]).to_parquet(d / "f1.parquet")
+    pd.DataFrame(rows[120:], columns=["k", "s", "e"]).to_parquet(d / "f2.parquet")
+
+    stream = (
+        spark.readStream.schema("k string, s long, e long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_interval_union(stream, "k", "s", "e")
+        .writeStream.format("memory")
+        .queryName("iv_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emissions = spark.table("iv_t").collect()
+    assert len(emissions) == 4  # 2 keys x 2 micro-batches
+
+    batch_df = spark.createDataFrame(rows, "k string, s long, e long")
+    want_full = {
+        r.k: (r.n_islands, r.covered, r.max_island)
+        for r in interval_union(batch_df, "k", "s", "e").collect()
+    }
+    # each key emits exactly the batch answers of the two prefixes
+    # (memory-sink row order across batches is not guaranteed, so
+    # compare as sets): prefix exactness, not just final convergence
+    prefix_df = spark.createDataFrame(rows[:120], "k string, s long, e long")
+    want_prefix = {
+        r.k: (r.n_islands, r.covered, r.max_island)
+        for r in interval_union(prefix_df, "k", "s", "e").collect()
+    }
+    got = {}
+    for r in emissions:
+        got.setdefault(r.k, set()).add((r.n_islands, r.covered, r.max_island))
+    for k in want_full:
+        assert got[k] == {want_prefix[k], want_full[k]}, k
