@@ -8905,6 +8905,231 @@ GROUP BY dw.source
 """
 
 
+def _q_docs_segment_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-path unigram segmentation REPORT
+    (operators/chunking.unigram_segment_pieces): for every distinct
+    word TYPE, the actual pieces the optimal (cost, n_pieces) path
+    uses — the tokenizer-debugging view `docs_encode_unigram`'s
+    aggregate hides, and the E-step of a hard-EM vocab learner. Same
+    corpus-derived vocabulary as that gate (char 1-grams + 2-4-grams
+    with weighted count >= 5; cost = 4*(48 - bits(count)) + len).
+    Ties between optimal paths are pinned by the operator's canonical
+    longest-piece-first backtrack (smallest start index whose
+    predecessor dp state is optimal), so the oracle's unrolled
+    16-step backtrack replay picks the IDENTICAL piece sequence —
+    path identity, not just path cost, is engine-exact."""
+    from omop_etl_spark.operators.chunking import (
+        _term_tokens,
+        unigram_segment_pieces,
+    )
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(_term_tokens("text")).alias("word")).filter(
+        F.length("word") <= _UNI_WMAX
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    grams_expr = (
+        "flatten(transform(sequence(1, length(word)), s -> "
+        f"filter(transform(sequence(1, {_UNI_LMAX}), l -> "
+        "CASE WHEN s + l - 1 <= length(word) THEN substring(word, s, l) END), "
+        "x -> x IS NOT NULL)))"
+    )
+    gcnt = (
+        wc.select(F.explode(F.expr(grams_expr)).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("gcnt"))
+    )
+    pieces = gcnt.filter(
+        (F.length("piece") == 1) | (F.col("gcnt") >= _UNI_MINCNT)
+    ).select(
+        "piece",
+        F.expr("(48 - length(bin(gcnt))) * 4 + length(piece)").alias("cost"),
+    )
+    seg = unigram_segment_pieces(
+        wc, pieces, max_piece_len=_UNI_LMAX, max_word_len=_UNI_WMAX
+    )
+    return seg.select(
+        "word",
+        F.col("cnt").cast("bigint").alias("n_tokens"),
+        "seg_cost",
+        "n_pieces",
+        F.array_join("seg_pieces", "|").alias("seg"),
+    )
+
+
+def _uni_seed_ctes() -> str:
+    """Shared text-prep + seed-vocab CTEs for the unigram oracles
+    (mirrors `docs_encode_unigram`'s derivation)."""
+    wmax, mincnt = _UNI_WMAX, _UNI_MINCNT
+    return f"""dw AS MATERIALIZED (
+  SELECT t AS word
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' AND length(t) <= {wmax}
+),
+wc AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM dw GROUP BY word),
+grams AS (
+  SELECT substring(w.word, s.s, l.l) AS piece, SUM(w.cnt) AS gcnt
+  FROM wc w
+  JOIN (SELECT unnest(generate_series(1, {wmax})) AS s) s ON s.s <= length(w.word)
+  JOIN (VALUES (1), (2), (3), (4)) l(l) ON s.s + l.l - 1 <= length(w.word)
+  GROUP BY 1
+),
+pieces AS MATERIALIZED (
+  SELECT piece, (48 - length(bin(gcnt))) * 4 + length(piece) AS cost
+  FROM grams WHERE length(piece) = 1 OR gcnt >= {mincnt}
+)"""
+
+
+def _uni_round_ctes(sfx: str, pieces_cte: str) -> str:
+    """One unigram dp + canonical-backtrack round as CTE text: defines
+    ``dp{sfx}0..N``, ``dpall{sfx}``, ``enc{sfx}`` (word, comb) and
+    ``seg{sfx}`` (word, '|'-joined canonical pieces) over the cost
+    table ``pieces_cte``."""
+    lmax, wmax = _UNI_LMAX, _UNI_WMAX
+    dps = []
+    for i in range(1, wmax + 1):
+        branches = []
+        for j in range(max(0, i - lmax), i):
+            branches.append(
+                f"SELECT d.word, d.comb + (p.cost * 1024 + 1) AS comb "
+                f"FROM dp{sfx}{j} d JOIN {pieces_cte} p "
+                f"ON p.piece = substring(d.word, {j + 1}, {i - j}) "
+                f"WHERE length(d.word) >= {i}"
+            )
+        dps.append(
+            f"dp{sfx}{i} AS MATERIALIZED (SELECT word, MIN(comb) AS comb FROM (\n"
+            + "\nUNION ALL\n".join(branches)
+            + f"\n) GROUP BY word)"
+        )
+    dpall = "\nUNION ALL\n".join(
+        f"SELECT word, {i} AS pos, comb FROM dp{sfx}{i}"
+        for i in range(0, wmax + 1)
+    )
+    bts = []
+    for t in range(1, wmax + 1):
+        bts.append(f"""btx{sfx}{t} AS (
+  SELECT b.word, MIN(d.pos) AS j
+  FROM bt{sfx}{t - 1} b
+  JOIN dpall{sfx} d ON d.word = b.word
+             AND d.pos >= b.pos - {lmax} AND d.pos <= b.pos - 1
+  JOIN {pieces_cte} p ON p.piece = substring(b.word, d.pos + 1, b.pos - d.pos)
+  JOIN dpall{sfx} cur ON cur.word = b.word AND cur.pos = b.pos
+  WHERE b.pos > 0 AND d.comb + p.cost * 1024 + 1 = cur.comb
+  GROUP BY b.word
+),
+bt{sfx}{t} AS MATERIALIZED (
+  SELECT b.word,
+         CASE WHEN b.pos <= 0 THEN b.pos ELSE x.j END AS pos,
+         CASE WHEN b.pos <= 0 THEN b.seg
+              ELSE substring(b.word, x.j + 1, b.pos - x.j) ||
+                   CASE WHEN b.seg = '' THEN '' ELSE '|' END || b.seg
+         END AS seg
+  FROM bt{sfx}{t - 1} b LEFT JOIN btx{sfx}{t} x ON x.word = b.word
+)""")
+    return (
+        f"dp{sfx}0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS comb FROM wc),\n"
+        + ",\n".join(dps)
+        + f",\ndpall{sfx} AS MATERIALIZED ({dpall}),\n"
+        + f"enc{sfx} AS (SELECT word, comb FROM dpall{sfx}\n"
+        + f"        WHERE pos = length(word) AND pos > 0),\n"
+        + f"bt{sfx}0 AS (SELECT word, length(word) AS pos, '' AS seg FROM enc{sfx}),\n"
+        + ",\n".join(bts)
+        + f",\nseg{sfx} AS (SELECT word, seg FROM bt{sfx}{_UNI_WMAX})"
+    )
+
+
+def _oracle_docs_segment_pieces() -> str:
+    return f"""
+WITH {_uni_seed_ctes()},
+{_uni_round_ctes("a", "pieces")}
+SELECT e.word,
+       CAST(w.cnt AS BIGINT) AS n_tokens,
+       CAST(e.comb // 1024 AS BIGINT) AS seg_cost,
+       CAST(e.comb % 1024 AS BIGINT) AS n_pieces,
+       b.seg AS seg
+FROM enca e
+JOIN wc w ON w.word = e.word
+JOIN sega b ON b.word = e.word
+"""
+
+
+def _q_docs_learn_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-EM unigram-LM vocabulary TRAINING
+    (operators/chunking.learn_unigram_vocab): 2 rounds of Viterbi
+    re-estimation over the corpus's distinct word types — segment
+    along the canonical optimal path, count weighted piece usage,
+    prune unused multi-char pieces, re-cost with the monotone
+    bits(usage) schedule — the unigram sibling of `docs_learn_bpe`
+    (greedy-merge vs global-min-cost-path, both learn AND encode now
+    driver-gated for each family). Integer costs + canonical path
+    identity make both rounds exactly SQL-replayable: the oracle
+    unrolls (dp -> backtrack -> usage -> re-cost) twice."""
+    from omop_etl_spark.operators.chunking import (
+        _term_tokens,
+        learn_unigram_vocab,
+    )
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(_term_tokens("text")).alias("word")).filter(
+        F.length("word") <= _UNI_WMAX
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    grams_expr = (
+        "flatten(transform(sequence(1, length(word)), s -> "
+        f"filter(transform(sequence(1, {_UNI_LMAX}), l -> "
+        "CASE WHEN s + l - 1 <= length(word) THEN substring(word, s, l) END), "
+        "x -> x IS NOT NULL)))"
+    )
+    gcnt = (
+        wc.select(F.explode(F.expr(grams_expr)).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("gcnt"))
+    )
+    pieces = gcnt.filter(
+        (F.length("piece") == 1) | (F.col("gcnt") >= _UNI_MINCNT)
+    ).select(
+        "piece",
+        F.expr("(48 - length(bin(gcnt))) * 4 + length(piece)").alias("cost"),
+    )
+    return learn_unigram_vocab(
+        wc, pieces, rounds=2,
+        max_piece_len=_UNI_LMAX, max_word_len=_UNI_WMAX,
+    ).orderBy("piece")
+
+
+def _oracle_docs_learn_unigram() -> str:
+    return f"""
+WITH {_uni_seed_ctes()},
+{_uni_round_ctes("a", "pieces")},
+usage1 AS MATERIALIZED (
+  SELECT u.p AS piece, CAST(SUM(w.cnt) AS BIGINT) AS usage
+  FROM sega b JOIN wc w ON w.word = b.word,
+       unnest(string_split(b.seg, '|')) AS u(p)
+  GROUP BY u.p
+),
+pieces1 AS MATERIALIZED (
+  SELECT p0.piece,
+         (48 - length(bin(coalesce(u.usage, 0)))) * 4 + length(p0.piece) AS cost
+  FROM pieces p0 LEFT JOIN usage1 u ON u.piece = p0.piece
+  WHERE length(p0.piece) = 1 OR u.usage IS NOT NULL
+),
+{_uni_round_ctes("b", "pieces1")},
+usage2 AS MATERIALIZED (
+  SELECT u.p AS piece, CAST(SUM(w.cnt) AS BIGINT) AS usage
+  FROM segb b JOIN wc w ON w.word = b.word,
+       unnest(string_split(b.seg, '|')) AS u(p)
+  GROUP BY u.p
+)
+SELECT p1.piece,
+       CAST((48 - length(bin(coalesce(u2.usage, 0)))) * 4 + length(p1.piece)
+            AS BIGINT) AS cost,
+       CAST(coalesce(u2.usage, 0) AS BIGINT) AS usage
+FROM pieces1 p1 LEFT JOIN usage2 u2 ON u2.piece = p1.piece
+WHERE length(p1.piece) = 1 OR u2.usage IS NOT NULL
+ORDER BY p1.piece
+"""
+
+
 def _q_orders_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset INTERSECT ALL — the dual of `orders_except_all`,
     completing the bag set-op family: per customer, min(1996 orders,
@@ -11294,6 +11519,8 @@ _WINDOW_R11: list[str] = [
     "sketch_vocab_diff",
     "events_busy_time",
     "agg_weighted_quantiles",
+    "docs_segment_pieces",
+    "docs_learn_unigram",
     # -- operator form changed in r11 (self-scaling SemDeDup k) --
     "embed_dedup_clusters",
     "embed_semdedup",
@@ -11342,8 +11569,6 @@ _WINDOW_R11: list[str] = [
     "docs_strip_boilerplate",
     "docs_token_budget",
     "docs_training_export",
-    "docs_weighted_sample",
-    "dq_checks",
 ]
 
 # Driver-green in r10 (the whole r9/r10 window) — freshest rows in the
@@ -11419,6 +11644,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_vocab_diff": _q_sketch_vocab_diff,
         "events_busy_time": _q_events_busy_time,
         "agg_weighted_quantiles": _q_agg_weighted_quantiles,
+        "docs_segment_pieces": _q_docs_segment_pieces,
+        "docs_learn_unigram": _q_docs_learn_unigram,
         # -- (a) never driver-verified: 2 repaired HUGEINT oracles +
         #    the queries NEW in r9 --
         "docs_learn_bpe": _q_docs_learn_bpe,
@@ -11642,6 +11869,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_vocab_diff": ORACLE_SKETCH_VOCAB_DIFF,
         "events_busy_time": ORACLE_EVENTS_BUSY_TIME,
         "agg_weighted_quantiles": ORACLE_AGG_WEIGHTED_QUANTILES,
+        "docs_segment_pieces": _oracle_docs_segment_pieces(),
+        "docs_learn_unigram": _oracle_docs_learn_unigram(),
         "etl_copy": ORACLE_ETL_COPY,
         "etl_merge_entities": ORACLE_ETL_MERGE,
         "etl_fk_remap": ORACLE_ETL_FK,

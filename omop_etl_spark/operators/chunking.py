@@ -43,6 +43,8 @@ __all__ = [
     "vocab_coverage",
     "content_defined_chunks",
     "unigram_segment_words",
+    "unigram_segment_pieces",
+    "learn_unigram_vocab",
 ]
 
 
@@ -805,6 +807,260 @@ def content_defined_chunks(
     ).withColumn("n_chars", F.length("chunk_text"))
 
 
+def _piece_cost_map(
+    pieces: DataFrame, piece_col: str, cost_col: str, max_word_len: int
+) -> DataFrame:
+    """One-row broadcastable ``piece -> cost`` map with the cost-bound
+    validation folded into the SAME aggregate (r9 regression: a
+    separate eager min/max ``.first()`` re-executed the caller's whole
+    upstream pipeline once for validation and again for the map;
+    VERDICT r9 #4). ``raise_error`` fires at action time."""
+    cost_bound = (1 << 50) // (1024 * max_word_len)
+    return pieces.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col(piece_col), F.col(cost_col).cast("bigint"))
+            )
+        ).alias("__pm"),
+        F.min(F.col(cost_col).cast("bigint")).alias("__lo"),
+        F.max(F.col(cost_col).cast("bigint")).alias("__hi"),
+    ).select(
+        F.when(
+            F.col("__lo") < 0,
+            F.expr(
+                "raise_error('unigram_segment_words: piece costs must "
+                "be non-negative')"
+            ),
+        )
+        .when(
+            F.col("__hi") >= cost_bound,
+            F.expr(
+                "raise_error(concat('unigram_segment_words: max piece "
+                f"cost ', __hi, ' >= {cost_bound} "
+                "(= 2^50 / (1024 * max_word_len)); a clean path could "
+                "reach the unreachable sentinel - rescale costs or "
+                "lower max_word_len'))"
+            ),
+        )
+        .otherwise(F.col("__pm"))
+        .alias("__pm")
+    )
+
+
+def _unigram_dp_expr(w: str, max_piece_len: int, inf: int) -> str:
+    """SQL-expression string for the full Viterbi dp ARRAY over word
+    ``w`` (index k = packed min-(cost, n_pieces) of the length-(k-1)
+    prefix, ``inf`` = unreachable sentinel). Shared by
+    :func:`unigram_segment_words` (which reads only the last element)
+    and :func:`unigram_segment_pieces` (which backtracks over it)."""
+    return (
+        f"aggregate(sequence(1, length({w})), array(CAST(0 AS BIGINT)), "
+        f"(dp, i) -> concat(dp, array(array_min(transform("
+        f"sequence(greatest(1, i - {max_piece_len - 1}), i), "
+        f"j -> element_at(dp, j) + "
+        f"coalesce(element_at(__pm, substring({w}, j, i - j + 1)) * 1024 + 1, "
+        f"{inf}))))))"
+    )
+
+
+def unigram_segment_pieces(
+    words: DataFrame,
+    pieces: DataFrame,
+    word_col: str = "word",
+    piece_col: str = "piece",
+    cost_col: str = "cost",
+    max_piece_len: int = 4,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Canonical-path unigram segmentation: like
+    :func:`unigram_segment_words` but materializes WHICH pieces the
+    optimal path uses — the tokenizer-debugging / piece-usage view
+    (and the E-step of a hard-EM vocabulary learner).
+
+    Among the (possibly many) paths achieving the minimal packed
+    ``(cost, n_pieces)``, the CANONICAL one is pinned by backtracking
+    from the word's end and, at every position, taking the LONGEST
+    piece whose predecessor state is on an optimal path (= the
+    smallest start index satisfying ``dp[s-1] + cost(piece) ==
+    dp[pos]``). That rule is a pure function of the dp array, so an
+    unrolled SQL replay picks the identical pieces bit-for-bit — the
+    property a "first optimal path found" implementation would not
+    have.
+
+    Same engine shape as the scoring variant: ONE broadcast cost-map
+    row, dp + backtrack as JVM ``aggregate`` expressions per word — no
+    UDF, no shuffle, O(max_word_len · max_piece_len) map probes per
+    word. Unreachable words (characters outside the vocabulary) get
+    NULL ``seg_pieces``.
+
+    Output: input columns + ``(seg_cost, n_pieces,
+    seg_pieces array<string>)``.
+
+    Raises: same contract as :func:`unigram_segment_words` (eager
+    ``ValueError`` for bad arguments; lazy USER_RAISED_EXCEPTION for
+    out-of-bound piece costs).
+    """
+    if not 1 <= max_piece_len <= 16:
+        raise ValueError("unigram_segment_pieces: max_piece_len must be in 1..16")
+    if not 1 <= max_word_len < 1024:
+        raise ValueError("unigram_segment_pieces: max_word_len must be in 1..1023")
+    pm = _piece_cost_map(pieces, piece_col, cost_col, max_word_len)
+    inf = 1 << 50
+    w = f"`{word_col}`"
+    # boundary starts via backtrack over the dp ARRAY: acc = (pos,
+    # starts); per round, s* = smallest start s in [pos - lmax + 1,
+    # pos] whose predecessor dp state + piece cost equals dp[pos];
+    # next pos = s* - 1. Bounded by max_word_len rounds;
+    # already-finished rows pass through.
+    s_star = (
+        "element_at(filter(sequence(greatest(1, acc.pos - "
+        f"{max_piece_len - 1}), acc.pos), "
+        "s -> element_at(__dp, s) + coalesce(element_at(__pm, "
+        "substring(" + w + ", s, acc.pos - s + 1)) * 1024 + 1, "
+        f"{inf}) = element_at(__dp, acc.pos + 1)), 1)"
+    )
+    bt = (
+        f"aggregate(sequence(1, {max_word_len}), "
+        "named_struct('pos', length(" + w + "), "
+        "'starts', CAST(array() AS ARRAY<INT>)), "
+        "(acc, _r) -> IF(acc.pos <= 0, acc, "
+        f"named_struct('pos', CAST({s_star} - 1 AS INT), "
+        f"'starts', concat(array(CAST({s_star} AS INT)), acc.starts))), "
+        "acc -> acc.starts)"
+    )
+    pcs = (
+        "transform(sequence(1, size(__starts)), i -> substring("
+        + w
+        + ", element_at(__starts, i), "
+        "(IF(i < size(__starts), element_at(__starts, i + 1), "
+        "length(" + w + ") + 1)) - element_at(__starts, i)))"
+    )
+    out = (
+        words.filter(
+            F.col(word_col).isNotNull()
+            & (F.length(word_col) > 0)
+            & (F.length(word_col) <= max_word_len)
+        )
+        .crossJoin(F.broadcast(pm))
+        .withColumn("__dp", F.expr(_unigram_dp_expr(w, max_piece_len, inf)))
+        .withColumn("__comb", F.expr(f"element_at(__dp, length({w}) + 1)"))
+        .withColumn(
+            "__starts",
+            F.when(F.col("__comb") < inf, F.expr(bt)),
+        )
+    )
+    return out.select(
+        *[c for c in words.columns],
+        F.expr(f"CASE WHEN __comb < {inf} THEN __comb div 1024 END")
+        .cast("bigint")
+        .alias("seg_cost"),
+        F.expr(f"CASE WHEN __comb < {inf} THEN __comb % 1024 END")
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.when(F.col("__starts").isNotNull(), F.expr(pcs)).alias("seg_pieces"),
+    )
+
+
+def learn_unigram_vocab(
+    words: DataFrame,
+    pieces: DataFrame,
+    rounds: int = 2,
+    word_col: str = "word",
+    count_col: str = "cnt",
+    piece_col: str = "piece",
+    cost_col: str = "cost",
+    max_piece_len: int = 4,
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Hard-EM (Viterbi re-estimation) unigram-LM vocabulary learning —
+    the TRAINING step :func:`unigram_segment_words` encodes against,
+    completing the learn/encode symmetry the module has for BPE
+    (``bpe.learn_merges`` / ``bpe.encode_documents``).
+
+    Per round: (E) segment every distinct word type with the current
+    integer costs along the CANONICAL optimal path
+    (:func:`unigram_segment_pieces` — path identity is deterministic,
+    so the "expected" counts of hard EM are exact integers); (M) count
+    weighted piece usage, PRUNE multi-char pieces that no optimal path
+    used (single chars always survive — reachability), and re-cost
+    every survivor with the same monotone frequency schedule the seed
+    vocabulary uses: ``cost = 4·(48 − bits(usage)) + len``. This is
+    SentencePiece's EM+prune loop with Viterbi counts instead of
+    forward-backward expectations and integer costs instead of float
+    log-probs — the trade that makes every round REPLAYABLE: a SQL
+    engine unrolling (dp → backtrack → usage → re-cost) × rounds
+    reproduces the final vocabulary bit-for-bit (gate
+    ``docs_learn_unigram``).
+
+    100 TB posture mirrors BPE's (SCALE.md): LEARN on the distinct-word
+    frame of a bounded sample (word types, Zipf-compressed), ENCODE the
+    full corpus with the final table. Each round is two vocab/type-
+    bounded aggregates + one broadcast map build — no driver round-trip
+    at all (the argmax-free M-step is BPE's k-collect loop's cheaper
+    sibling); ``rounds`` is small (2-4) because Viterbi counts converge
+    fast on a fixed seed vocabulary.
+
+    Output: one row per surviving piece — ``(piece, cost, usage)``
+    with ``cost``/``usage`` from the FINAL round's segmentation
+    (retained single chars no optimal path uses carry ``usage = 0``).
+    """
+    if rounds < 1:
+        raise ValueError("learn_unigram_vocab requires rounds >= 1")
+    # Loop-materialization discipline (SCALE.md §18, VERDICT r8 #2/#3):
+    # the loop-INVARIANT word frame eager-checkpoints BEFORE the loop
+    # (its lineage — doc scan, tokenize, distinct — would otherwise
+    # re-execute once per subplan occurrence per round: measured 10.7x
+    # at the 10x tiling pre-fix), and the per-round vocab/usage frames
+    # (vocab-bounded KBs) checkpoint each iterate so round r+1's plan
+    # starts from materialized state instead of re-deriving round r.
+    words = words.select(word_col, count_col).localCheckpoint(eager=True)
+    cur = pieces.select(piece_col, cost_col).localCheckpoint(eager=True)
+    usage = None
+    for _ in range(rounds):
+        # The checkpoint between segmentation and explode is
+        # LOAD-BEARING, not hygiene: Catalyst's projection collapse
+        # would inline the (already internally-reused) dp + backtrack
+        # expression tree into the Generate, and higher-order
+        # expressions evaluate interpreted — measured 51 s vs 1.1 s at
+        # the 10x tiling for the identical segmentation when exploded
+        # un-materialized. The frame is word-TYPE-sized (Zipf), arrays
+        # of short strings — KBs to MBs at any corpus size.
+        seg = unigram_segment_pieces(
+            words, cur, word_col, piece_col, cost_col,
+            max_piece_len, max_word_len,
+        ).localCheckpoint(eager=True)
+        usage = (
+            seg.select(
+                F.explode("seg_pieces").alias(piece_col),
+                F.col(count_col).cast("bigint").alias("__w"),
+            )
+            .groupBy(piece_col)
+            .agg(F.sum("__w").alias("usage"))
+            .localCheckpoint(eager=True)
+        )
+        cur = (
+            cur.select(piece_col)
+            .join(usage, piece_col, "left")
+            .filter((F.length(piece_col) == 1) | F.col("usage").isNotNull())
+            .select(
+                piece_col,
+                F.expr(
+                    f"(48 - length(bin(coalesce(usage, 0)))) * 4 "
+                    f"+ length({piece_col})"
+                ).alias(cost_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.join(usage, piece_col, "left")
+        .select(
+            piece_col,
+            F.col(cost_col).cast("bigint").alias(cost_col),
+            F.coalesce(F.col("usage"), F.lit(0)).cast("bigint").alias("usage"),
+        )
+    )
+
+
 def unigram_segment_words(
     words: DataFrame,
     pieces: DataFrame,
@@ -863,42 +1119,7 @@ def unigram_segment_words(
         raise ValueError("unigram_segment_words: max_piece_len must be in 1..16")
     if not 1 <= max_word_len < 1024:
         raise ValueError("unigram_segment_words: max_word_len must be in 1..1023")
-    cost_bound = (1 << 50) // (1024 * max_word_len)
-    # Cost-bound validation rides the SAME single aggregate that builds
-    # the broadcast map (r9 regression: a separate eager min/max
-    # `.first()` here re-executed the caller's whole upstream pipeline
-    # — token counts, gram counts — once for validation and again for
-    # the map; VERDICT r9 #4). `raise_error` fires at action time with
-    # the same message the eager check carried.
-    pm = pieces.agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(F.col(piece_col), F.col(cost_col).cast("bigint"))
-            )
-        ).alias("__pm"),
-        F.min(F.col(cost_col).cast("bigint")).alias("__lo"),
-        F.max(F.col(cost_col).cast("bigint")).alias("__hi"),
-    ).select(
-        F.when(
-            F.col("__lo") < 0,
-            F.expr(
-                "raise_error('unigram_segment_words: piece costs must "
-                "be non-negative')"
-            ),
-        )
-        .when(
-            F.col("__hi") >= cost_bound,
-            F.expr(
-                "raise_error(concat('unigram_segment_words: max piece "
-                f"cost ', __hi, ' >= {cost_bound} "
-                "(= 2^50 / (1024 * max_word_len)); a clean path could "
-                "reach the unreachable sentinel - rescale costs or "
-                "lower max_word_len'))"
-            ),
-        )
-        .otherwise(F.col("__pm"))
-        .alias("__pm")
-    )
+    pm = _piece_cost_map(pieces, piece_col, cost_col, max_word_len)
     # Unreachable = a large finite sentinel, NOT NULL: the fold's
     # accumulator element type is non-nullable (array<bigint> from the
     # zero expression), and Spark coerces appended NULLs to 0 there —
@@ -907,14 +1128,7 @@ def unigram_segment_words(
     # cost * 1024 << 2^50).
     inf = 1 << 50
     w = f"`{word_col}`"
-    dp = (
-        f"aggregate(sequence(1, length({w})), array(CAST(0 AS BIGINT)), "
-        f"(dp, i) -> concat(dp, array(array_min(transform("
-        f"sequence(greatest(1, i - {max_piece_len - 1}), i), "
-        f"j -> element_at(dp, j) + "
-        f"coalesce(element_at(__pm, substring({w}, j, i - j + 1)) * 1024 + 1, "
-        f"{inf}))))))"
-    )
+    dp = _unigram_dp_expr(w, max_piece_len, inf)
     comb = f"element_at({dp}, length({w}) + 1)"
     out = (
         words.filter(

@@ -108,6 +108,10 @@ PROBE = {
     "cluster size ~150); residual growth is the N*k assign term",
     "agg_weighted_quantiles": "linear (weighted value-domain histogram; "
     "two-level bucketed cumsum over the distinct-price spine)",
+    "docs_segment_pieces": "linear (distinct-word DP + backtrack, "
+    "broadcast vocab; type frame saturates under the tiling)",
+    "docs_learn_unigram": "linear (2 hard-EM rounds over the "
+    "distinct-word frame; zero driver round-trips)",
     "docs_greedy_chain": "linear-ish (bigram-type model checkpointed; "
     "decode steps join sources-bounded frames)",
 }

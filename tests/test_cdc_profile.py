@@ -192,3 +192,153 @@ def test_functional_dependencies(spark):
         functional_dependencies(df, [])
     with pytest.raises(ValueError):
         functional_dependencies(df, [("k", "nope")])
+
+
+def test_unigram_segment_pieces_canonical_path(spark):
+    """Pieces variant (round 11): same (cost, n_pieces) as the scorer,
+    pieces reassemble the word, and ties between optimal paths resolve
+    to the CANONICAL longest-piece-first backtrack on both a hand case
+    and a fuzz sweep against a python reference."""
+    from omop_etl_spark.operators.chunking import (
+        unigram_segment_pieces,
+        unigram_segment_words,
+    )
+
+    # hand case: 'abab' with ab=5 — two pieces either way, but 'ab|ab'
+    # is the canonical path; 'aa' has a unique path
+    pdf0 = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("ab", 5), ("ba", 5)],
+        "piece string, cost long",
+    )
+    wdf0 = spark.createDataFrame([("abab",), ("aa",)], "word string")
+    got0 = {
+        r["word"]: (r["seg_cost"], r["n_pieces"], list(r["seg_pieces"]))
+        for r in unigram_segment_pieces(wdf0, pdf0).collect()
+    }
+    assert got0["abab"] == (10, 2, ["ab", "ab"])
+    assert got0["aa"] == (20, 2, ["a", "a"])
+
+    rng = random.Random(17)
+    pieces = [(c, rng.randint(5, 40)) for c in string.ascii_lowercase]
+    seen = {p for p, _ in pieces}
+    for _ in range(120):
+        p = "".join(rng.choice("abcde") for _ in range(rng.randint(2, 4)))
+        if p not in seen:
+            seen.add(p)
+            pieces.append((p, rng.randint(3, 60)))
+    pdf = spark.createDataFrame(pieces, "piece string, cost long")
+    words = {
+        "".join(rng.choice("abcdez") for _ in range(rng.randint(1, 16)))
+        for _ in range(120)
+    }
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (
+            r["seg_cost"],
+            r["n_pieces"],
+            None if r["seg_pieces"] is None else list(r["seg_pieces"]),
+        )
+        for r in unigram_segment_pieces(wdf, pdf).collect()
+    }
+    scored = {
+        r["word"]: (r["seg_cost"], r["n_pieces"])
+        for r in unigram_segment_words(wdf, pdf).collect()
+    }
+    cost = dict(pieces)
+
+    def ref_pieces(w):
+        inf = float("inf")
+        dp = [(0, 0)] + [(inf, 0)] * len(w)
+        for i in range(1, len(w) + 1):
+            best = (inf, 0)
+            for j in range(max(0, i - 4), i):
+                p = w[j:i]
+                if p in cost and dp[j][0] != inf:
+                    cand = (dp[j][0] + cost[p], dp[j][1] + 1)
+                    if cand < best:
+                        best = cand
+            dp[i] = best
+        if dp[len(w)][0] == float("inf"):
+            return None
+        # canonical backtrack: smallest start (longest piece) whose
+        # predecessor state is optimal
+        out, pos = [], len(w)
+        while pos > 0:
+            for j in range(max(0, pos - 4), pos):
+                p = w[j:pos]
+                if (
+                    p in cost
+                    and dp[j][0] != float("inf")
+                    and (dp[j][0] + cost[p], dp[j][1] + 1) == dp[pos]
+                ):
+                    out.insert(0, p)
+                    pos = j
+                    break
+        return out
+
+    for w in words:
+        assert got[w][:2] == scored[w], w
+        want = ref_pieces(w)
+        assert got[w][2] == want, (w, got[w][2], want)
+        if want is not None:
+            assert "".join(got[w][2]) == w
+
+
+def test_learn_unigram_vocab_two_rounds(spark):
+    """Hard-EM rounds match a python reference: canonical-path usage
+    counts, multi-char pruning (1-grams always survive), bits(usage)
+    re-costing; final (cost, usage) pairs are self-consistent."""
+    from omop_etl_spark.operators.chunking import learn_unigram_vocab
+
+    words = [("abab", 3), ("abc", 2), ("cc", 5), ("zq", 1)]
+    seed = [
+        ("a", 20), ("b", 20), ("c", 20), ("z", 20), ("q", 20),
+        ("ab", 9), ("bc", 9), ("abab", 15), ("cc", 9), ("ba", 9),
+    ]
+    wdf = spark.createDataFrame(words, "word string, cnt long")
+    pdf = spark.createDataFrame(seed, "piece string, cost long")
+    got = {
+        r.piece: (r.cost, r.usage)
+        for r in learn_unigram_vocab(wdf, pdf, rounds=2).collect()
+    }
+
+    def seg(w, cost):
+        inf = float("inf")
+        dp = [(0, 0)] + [(inf, 0)] * len(w)
+        for i in range(1, len(w) + 1):
+            for j in range(max(0, i - 4), i):
+                p = w[j:i]
+                if p in cost and dp[j][0] != inf:
+                    cand = (dp[j][0] + cost[p], dp[j][1] + 1)
+                    if cand < dp[i]:
+                        dp[i] = cand
+        out, pos = [], len(w)
+        while pos > 0:
+            for j in range(max(0, pos - 4), pos):
+                p = w[j:pos]
+                if p in cost and dp[j][0] != float("inf") and (
+                    dp[j][0] + cost[p], dp[j][1] + 1
+                ) == dp[pos]:
+                    out.insert(0, p)
+                    pos = j
+                    break
+        return out
+
+    cost = dict(seed)
+    for _ in range(2):
+        usage = {}
+        for w, n in words:
+            for p in seg(w, cost):
+                usage[p] = usage.get(p, 0) + n
+        cost = {
+            p: (48 - len(bin(usage.get(p, 0))[2:])) * 4 + len(p)
+            for p in cost
+            if len(p) == 1 or p in usage
+        }
+    want = {p: (c, usage.get(p, 0)) for p, c in cost.items()}
+    assert got == want
+    # structural expectations: 1-grams retained even when unused;
+    # the whole-word piece for 'abab' dominates and survives
+    assert "z" in got and "q" in got
+    assert got["abab"][1] == 3
+    assert "ba" not in got  # never on a canonical path -> pruned
