@@ -11389,6 +11389,75 @@ GROUP BY c.flag, t.n
 """
 
 
+_WATERFILL_BUDGET = 25_000
+
+
+def _q_docs_waterfill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources
+    (operators/sampling.waterfill_allocation): spend a fixed training
+    budget over the corpora max-min fairly — every source gets the
+    waterline L capped by its availability, small sources contribute
+    everything, and the integer leftover goes to the first uncapped
+    sources in (avail, source) order, so ``sum(alloc) = min(budget,
+    total)`` EXACTLY. One map-side-combinable shuffle aggregates the
+    corpus to (source, token-count); everything after runs on the
+    20-row source frame (the partition-less windows are over that
+    aggregate, never facts — the Pareto/KMV exemption). Pure integer
+    arithmetic; the oracle replays rank → prefix-sum → breakpoint →
+    remainder bit-for-bit."""
+    from omop_etl_spark.operators.chunking import _term_tokens
+    from omop_etl_spark.operators.sampling import waterfill_allocation
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    avail = (
+        docs.select("source", F.explode(_term_tokens("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return waterfill_allocation(
+        avail, "source", "n_tokens", _WATERFILL_BUDGET
+    ).orderBy("source")
+
+
+ORACLE_DOCS_WATERFILL_MIX = f"""
+WITH avail AS (
+  SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS a
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n FROM avail),
+rk AS (
+  SELECT g, a,
+         row_number() OVER (ORDER BY a, g) AS rk,
+         SUM(a) OVER (ORDER BY a, g
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         lag(a) OVER (ORDER BY a, g) AS prev_a
+  FROM avail
+),
+cand AS (
+  SELECT r.rk AS brk,
+         ({_WATERFILL_BUDGET} - (r.s - r.a)) // (t.n - r.rk + 1) AS wl,
+         ({_WATERFILL_BUDGET} - (r.s - r.a))
+           - (({_WATERFILL_BUDGET} - (r.s - r.a)) // (t.n - r.rk + 1))
+             * (t.n - r.rk + 1) AS extra
+  FROM rk r, tot t
+  WHERE (r.s - r.a) <= {_WATERFILL_BUDGET}
+    AND (r.prev_a IS NULL
+         OR r.prev_a <= ({_WATERFILL_BUDGET} - (r.s - r.a)) // (t.n - r.rk + 1))
+    AND ({_WATERFILL_BUDGET} - (r.s - r.a)) // (t.n - r.rk + 1) < r.a
+  LIMIT 1
+)
+SELECT r.g AS source,
+       CAST(r.a AS BIGINT) AS avail,
+       CAST(CASE WHEN c.brk IS NULL THEN r.a
+                 WHEN r.rk < c.brk THEN r.a
+                 WHEN r.rk - c.brk < c.extra THEN c.wl + 1
+                 ELSE c.wl END AS BIGINT) AS alloc
+FROM rk r LEFT JOIN cand c ON TRUE
+ORDER BY source
+"""
+
+
 def _q_sketch_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed vocabulary-difference estimate between sources from
     KMV/theta sketches (operators/sketches.kmv_difference — the
@@ -11521,6 +11590,7 @@ _WINDOW_R11: list[str] = [
     "agg_weighted_quantiles",
     "docs_segment_pieces",
     "docs_learn_unigram",
+    "docs_waterfill_mix",
     # -- operator form changed in r11 (self-scaling SemDeDup k) --
     "embed_dedup_clusters",
     "embed_semdedup",
@@ -11568,7 +11638,6 @@ _WINDOW_R11: list[str] = [
     "docs_soft_dedup_weights",
     "docs_strip_boilerplate",
     "docs_token_budget",
-    "docs_training_export",
 ]
 
 # Driver-green in r10 (the whole r9/r10 window) — freshest rows in the
@@ -11646,6 +11715,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_weighted_quantiles": _q_agg_weighted_quantiles,
         "docs_segment_pieces": _q_docs_segment_pieces,
         "docs_learn_unigram": _q_docs_learn_unigram,
+        "docs_waterfill_mix": _q_docs_waterfill_mix,
         # -- (a) never driver-verified: 2 repaired HUGEINT oracles +
         #    the queries NEW in r9 --
         "docs_learn_bpe": _q_docs_learn_bpe,
@@ -11871,6 +11941,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_weighted_quantiles": ORACLE_AGG_WEIGHTED_QUANTILES,
         "docs_segment_pieces": _oracle_docs_segment_pieces(),
         "docs_learn_unigram": _oracle_docs_learn_unigram(),
+        "docs_waterfill_mix": ORACLE_DOCS_WATERFILL_MIX,
         "etl_copy": ORACLE_ETL_COPY,
         "etl_merge_entities": ORACLE_ETL_MERGE,
         "etl_fk_remap": ORACLE_ETL_FK,

@@ -34,6 +34,7 @@ __all__ = [
     "weighted_sample_per_group",
     "token_budget_sample",
     "exact_allocation_sample",
+    "waterfill_allocation",
 ]
 
 
@@ -608,4 +609,84 @@ def exact_allocation_sample(
         .withColumn("__alloc_rn", F.row_number().over(w))
         .filter(F.col("__alloc_rn") <= F.col("seats"))
         .drop("__alloc_h", "__alloc_rn")
+    )
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    group_col: str,
+    avail_col: str,
+    budget: int,
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: give every
+    source an equal share L of ``budget``, capped by its availability,
+    with the waterline L as high as the budget allows — THE max-min
+    fair mixing rule for "spend B training tokens across these corpora
+    without oversampling the small ones". Sources smaller than the
+    waterline contribute everything they have; the rest get L (+1 for
+    the first ``remainder`` of them in (avail, group) order — exact
+    integer accounting, ``sum(alloc) = min(budget, sum(avail))``).
+
+    Pure integer arithmetic over the GROUP-bounded frame (one row per
+    source): rank sources by (avail, group), prefix-sum availabilities,
+    and test each rank as the cap/no-cap breakpoint — the unique rank
+    where the implied waterline clears the last capped source but not
+    the first uncapped one. Every step replays bit-for-bit in ANSI SQL
+    (gate ``docs_waterfill_mix``). The partition-less windows here are
+    exempt from the global-window rule by the same argument as the
+    Pareto/KMV frames: they run over the per-SOURCE aggregate, never
+    the fact table — the caller aggregates the corpus down to
+    ``(source, avail)`` first (one map-side-combinable shuffle).
+
+    Output: ``(group_col, avail, alloc)`` — both bigint.
+    """
+    if budget < 0:
+        raise ValueError("waterfill_allocation requires budget >= 0")
+    b = F.lit(int(budget))
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(avail_col).cast("bigint").alias("__a")
+    )
+    w = Window.orderBy("__a", "__g")
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__a").alias("__total")
+    )
+    ranked = (
+        base.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "__S",
+            F.sum("__a").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__prev_a", F.lag("__a").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    prev_s = F.col("__S") - F.col("__a")
+    slots = F.col("__n") - F.col("__rk") + F.lit(1)
+    line = F.floor((b - prev_s) / slots).cast("bigint")
+    feasible = (
+        (prev_s <= b)
+        & (F.col("__prev_a").isNull() | (F.col("__prev_a") <= line))
+        & (line < F.col("__a"))
+    )
+    # the unique breakpoint (exists iff total > budget): its waterline,
+    # rank, and leftover seats broadcast back onto the source frame
+    bp = (
+        ranked.filter(feasible)
+        .select(
+            F.col("__rk").alias("__brk"),
+            line.alias("__L"),
+            (b - prev_s - line * slots).cast("bigint").alias("__R"),
+        )
+        .limit(1)
+    )
+    out = ranked.join(F.broadcast(bp), F.lit(True), "left")
+    alloc = (
+        F.when(F.col("__brk").isNull(), F.col("__a"))  # total <= budget
+        .when(F.col("__rk") < F.col("__brk"), F.col("__a"))
+        .when(F.col("__rk") - F.col("__brk") < F.col("__R"), F.col("__L") + 1)
+        .otherwise(F.col("__L"))
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__a").alias("avail"),
+        alloc.cast("bigint").alias("alloc"),
     )

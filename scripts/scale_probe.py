@@ -112,6 +112,8 @@ PROBE = {
     "broadcast vocab; type frame saturates under the tiling)",
     "docs_learn_unigram": "linear (2 hard-EM rounds over the "
     "distinct-word frame; zero driver round-trips)",
+    "docs_waterfill_mix": "linear (one token-count shuffle; waterline "
+    "math on the sources-bounded frame)",
     "docs_greedy_chain": "linear-ish (bigram-type model checkpointed; "
     "decode steps join sources-bounded frames)",
 }

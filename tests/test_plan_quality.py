@@ -348,6 +348,14 @@ _GLOBAL_WINDOW_EXEMPT = {
     # bounded by the value domain (document length cap), not by SF.
     "docs_length_deciles": "ntile offset frame is |distinct n_chars| "
     "(value-domain-bounded aggregate, sampling.py:326-338)",
+    # waterfill_allocation's rank/prefix-sum windows run over the
+    # per-SOURCE aggregate (one row per corpus): the source set is an
+    # organizational constant, not an SF-scaling dimension — reviewed
+    # r11 (sampling.waterfill_allocation docstring states the
+    # exemption argument; the fact table is aggregated down in one
+    # map-side-combinable shuffle before any window).
+    "docs_waterfill_mix": "waterline windows over the sources-bounded "
+    "aggregate (sampling.waterfill_allocation)",
 }
 
 
@@ -420,4 +428,4 @@ def test_global_window_exemptions_do_not_grow_silently(spark, entry):
     import __spark_entry__ as e
 
     assert set(_GLOBAL_WINDOW_EXEMPT) <= set(e.queries())
-    assert len(_GLOBAL_WINDOW_EXEMPT) == 1
+    assert len(_GLOBAL_WINDOW_EXEMPT) == 2

@@ -406,3 +406,53 @@ def test_exact_allocation_is_append_stable_within_stratum(spark):
         for r in exact_allocation_sample(df, ["source"], "doc_id", 50).collect()
     }
     assert small <= big and len(small) == 10 and len(big) == 50
+
+
+def test_waterfill_allocation_properties(spark):
+    """Round 11: exact budget accounting, caps respected, and max-min
+    fairness (no uncapped source differs by >1 from another uncapped
+    source) across a fuzz sweep of budgets, vs a python reference."""
+    import random as _random
+
+    import pytest as _pytest
+
+    from omop_etl_spark.operators.sampling import waterfill_allocation
+
+    rng = _random.Random(31)
+    rows = [(f"s{i:02d}", rng.randrange(1, 500)) for i in range(12)]
+    total = sum(a for _, a in rows)
+    df = spark.createDataFrame(rows, "g string, n long")
+
+    def ref(budget):
+        srt = sorted(rows, key=lambda x: (x[1], x[0]))
+        n = len(srt)
+        prev = 0
+        for i, (g, a) in enumerate(srt):
+            line = (budget - prev) // (n - i)
+            if (i == 0 or srt[i - 1][1] <= line) and line < a:
+                extra = (budget - prev) - line * (n - i)
+                out = {}
+                for j, (g2, a2) in enumerate(srt):
+                    if j < i:
+                        out[g2] = a2
+                    else:
+                        out[g2] = line + (1 if j - i < extra else 0)
+                return out
+            prev += a
+        return {g: a for g, a in rows}
+
+    for budget in (0, 1, 17, 300, total // 2, total - 1, total, total + 99):
+        got = {
+            r.g: r.alloc
+            for r in waterfill_allocation(df, "g", "n", budget).collect()
+        }
+        assert got == ref(budget), budget
+        assert sum(got.values()) == min(budget, total)
+        caps = dict(rows)
+        assert all(0 <= v <= caps[g] for g, v in got.items())
+        uncapped = [v for g, v in got.items() if v < caps[g]]
+        if uncapped:
+            assert max(uncapped) - min(uncapped) <= 1
+
+    with _pytest.raises(ValueError):
+        waterfill_allocation(df, "g", "n", -1)
