@@ -111,7 +111,12 @@ def _cmd_compile(args) -> int:
     path = Path(args.rules)
     if path.is_file():
         specs = [load_rules_text(path.read_text(), name=path.stem)]
-    else:
+    elif not args.no_one_file:
+        # loaded ONLY on the one-file path (ADVICE r11): load_rules_dir
+        # topo-sorts cross-file dependencies and raises on unknown
+        # names/cycles — per the reference __main__.py, --no-one-file
+        # performs no cross-file dep resolution, so an eager load here
+        # would both abort valid dirs and parse every file twice
         specs = load_rules_dir(path)
     if args.no_one_file:
         # reference `compile --no-one-file` (__main__.py:34-49): one

@@ -808,13 +808,20 @@ def content_defined_chunks(
 
 
 def _piece_cost_map(
-    pieces: DataFrame, piece_col: str, cost_col: str, max_word_len: int
+    pieces: DataFrame,
+    piece_col: str,
+    cost_col: str,
+    max_word_len: int,
+    op_name: str = "unigram_segment_words",
 ) -> DataFrame:
     """One-row broadcastable ``piece -> cost`` map with the cost-bound
     validation folded into the SAME aggregate (r9 regression: a
     separate eager min/max ``.first()`` re-executed the caller's whole
     upstream pipeline once for validation and again for the map;
-    VERDICT r9 #4). ``raise_error`` fires at action time."""
+    VERDICT r9 #4). ``raise_error`` fires at action time and reports
+    ``op_name`` — the PUBLIC entry point that built this map
+    (ADVICE r11: the helper is shared, a hardcoded name misattributed
+    failures from the pieces/learn paths)."""
     cost_bound = (1 << 50) // (1024 * max_word_len)
     return pieces.agg(
         F.map_from_entries(
@@ -828,14 +835,14 @@ def _piece_cost_map(
         F.when(
             F.col("__lo") < 0,
             F.expr(
-                "raise_error('unigram_segment_words: piece costs must "
+                f"raise_error('{op_name}: piece costs must "
                 "be non-negative')"
             ),
         )
         .when(
             F.col("__hi") >= cost_bound,
             F.expr(
-                "raise_error(concat('unigram_segment_words: max piece "
+                f"raise_error(concat('{op_name}: max piece "
                 f"cost ', __hi, ' >= {cost_bound} "
                 "(= 2^50 / (1024 * max_word_len)); a clean path could "
                 "reach the unreachable sentinel - rescale costs or "
@@ -871,6 +878,7 @@ def unigram_segment_pieces(
     cost_col: str = "cost",
     max_piece_len: int = 4,
     max_word_len: int = 32,
+    _op_name: str = "unigram_segment_pieces",
 ) -> DataFrame:
     """Canonical-path unigram segmentation: like
     :func:`unigram_segment_words` but materializes WHICH pieces the
@@ -901,10 +909,10 @@ def unigram_segment_pieces(
     out-of-bound piece costs).
     """
     if not 1 <= max_piece_len <= 16:
-        raise ValueError("unigram_segment_pieces: max_piece_len must be in 1..16")
+        raise ValueError(f"{_op_name}: max_piece_len must be in 1..16")
     if not 1 <= max_word_len < 1024:
-        raise ValueError("unigram_segment_pieces: max_word_len must be in 1..1023")
-    pm = _piece_cost_map(pieces, piece_col, cost_col, max_word_len)
+        raise ValueError(f"{_op_name}: max_word_len must be in 1..1023")
+    pm = _piece_cost_map(pieces, piece_col, cost_col, max_word_len, _op_name)
     inf = 1 << 50
     w = f"`{word_col}`"
     # boundary starts via backtrack over the dp ARRAY: acc = (pos,
@@ -1028,6 +1036,7 @@ def learn_unigram_vocab(
         seg = unigram_segment_pieces(
             words, cur, word_col, piece_col, cost_col,
             max_piece_len, max_word_len,
+            _op_name="learn_unigram_vocab",
         ).localCheckpoint(eager=True)
         usage = (
             seg.select(

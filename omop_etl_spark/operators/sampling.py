@@ -650,6 +650,13 @@ def waterfill_allocation(
     tot = base.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__a").alias("__total")
     )
+    # exact int64 floor division (ADVICE r11): `/` on bigints is a
+    # DOUBLE divide, so floor((b - prev_s) / slots) silently breaks
+    # the "pure integer arithmetic / bit-for-bit SQL replay" contract
+    # once b - prev_s exceeds 2^53 — (a - pmod(a, b)) div b is
+    # floor(a / b) in pure integer arithmetic for any sign of a
+    # (matching the DuckDB oracle's integer //; same pattern as
+    # temporal.py's anchor div). slots >= 1 by construction.
     ranked = (
         base.withColumn("__rk", F.row_number().over(w))
         .withColumn(
@@ -658,10 +665,16 @@ def waterfill_allocation(
         )
         .withColumn("__prev_a", F.lag("__a").over(w))
         .crossJoin(F.broadcast(tot))
+        .withColumn("__num", b - (F.col("__S") - F.col("__a")))
+        .withColumn("__slots", F.col("__n") - F.col("__rk") + F.lit(1))
+        .withColumn(
+            "__line",
+            F.expr("(__num - pmod(__num, __slots)) div __slots").cast("bigint"),
+        )
     )
     prev_s = F.col("__S") - F.col("__a")
-    slots = F.col("__n") - F.col("__rk") + F.lit(1)
-    line = F.floor((b - prev_s) / slots).cast("bigint")
+    slots = F.col("__slots")
+    line = F.col("__line")
     feasible = (
         (prev_s <= b)
         & (F.col("__prev_a").isNull() | (F.col("__prev_a") <= line))

@@ -718,8 +718,15 @@ def interval_union(
     else:
         if bucket_width < 1:
             raise ValueError("interval_union: bucket_width must be >= 1")
+        # exact int64 floor division (ADVICE r11): floor(__s / W) goes
+        # through a DOUBLE divide and misassigns buckets once __s
+        # exceeds 2^53 (micros timestamps get there by year 2255, raw
+        # counters sooner) — (a - pmod(a, b)) div b is floor(a / b) in
+        # pure integer arithmetic for any sign of __s.
+        wl = int(bucket_width)
         b = base.withColumn(
-            "__b", F.floor(F.col("__s") / F.lit(int(bucket_width)))
+            "__b",
+            F.expr(f"(__s - pmod(__s, {wl})) div {wl}").cast("bigint"),
         )
         local_prev = (
             Window.partitionBy("__k", "__b")

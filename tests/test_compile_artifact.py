@@ -182,6 +182,33 @@ def test_cli_no_one_file_output_is_a_file_errors_cleanly(tmp_path):
     assert out.read_text() == "occupied"
 
 
+def test_cli_no_one_file_skips_cross_file_dep_resolution(tmp_path):
+    """ADVICE r11: --no-one-file performs no cross-file dependency
+    resolution (reference __main__.py:34-49), so a rules file naming an
+    unknown ``depends_on`` target must still compile in per-file mode —
+    the eager load_rules_dir (whose topo_sort raises on unknown names)
+    must only run on the one-file path."""
+    from omop_etl_spark.cli import main
+    from omop_etl_spark.rules.loader import RuleError
+
+    rules = tmp_path / "rules"
+    rules.mkdir()
+    (rules / "baz.yaml").write_text(
+        COPY_RULES + "\ndepends_on:\n  - not_a_real_rules_file\n"
+    )
+    out = tmp_path / "sql"
+    rc = main(
+        ["compile", "--rules", str(rules), "--output", str(out), "--no-one-file"]
+    )
+    assert rc == 0
+    assert "CREATE TABLE omop.baz" in (out / "baz.sql").read_text()
+    # one-file mode DOES resolve cross-file deps and must still raise
+    import pytest
+
+    with pytest.raises(RuleError, match="unknown dependency"):
+        main(["compile", "--rules", str(rules), "--output", str(tmp_path / "o.sql")])
+
+
 def test_depends_on_imports_default_schema():
     """reference __main__.py:67-83: a table inherits DefaultSchema from
     its depends_on dependency files (last one set wins) in the one-file
