@@ -687,6 +687,77 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def _q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization, driver-verifiable end-to-end (VERDICT
+    r11 #6): the events parquet replayed through Structured Streaming's
+    file source with ``Trigger.AvailableNow`` into the built-in
+    ``session_window`` aggregation (streaming/events.sessionize's
+    plan), collected via a memory sink once the replay drains. Probed
+    semantics (r12): ``session_window`` merges an event at EXACTLY
+    ``prev_ts + gap`` (break is strictly greater), identical to
+    ``sessionize_batch``'s islands — so the oracle is the batch
+    islands with ``session_end_us = max(ts) + gap``. Epoch-micros
+    output (string-formatted timestamps differ across engines).
+
+    Scale contract: complete-mode + memory sink is the TEST harness
+    (bounded replay); a production stream writes append-mode to a
+    real sink with the 2 h watermark bounding state. The
+    session_window aggregation itself shuffles once on (user_id,
+    session) and its state is per-OPEN-session, not per-event."""
+    import uuid
+
+    from omop_etl_spark.streaming.events import read_events_stream, sessionize
+
+    src = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    qn = f"sess_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessionize(src, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(qn).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+            "session_end_us"
+        ),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE_STREAM = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(MAX(epoch_us(ts)) + 30 * 60 * 1000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, sess
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event annotated with the customer's most
     recent order at event time (union-window plan: one shuffle, no
@@ -1468,13 +1539,15 @@ def _q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs form lives on as ``cosine_pairs`` under a bounded-input
     contract (calibration/recall audits; ``embed_neardup_pairs`` is
     its gate). The oracle replays the same fixed-point Lloyd
-    assignment (shared ``_kmeans_oracle_ctes``), cluster-scoped double
-    cosine, and recursive-CTE connected components.
+    assignment (shared ``_kmeans2_oracle_ctes``), cluster-scoped
+    double cosine, and recursive-CTE connected components.
 
-    k is the operator's SELF-SCALING default (r11): ``max(32,
-    ceil(n/150))`` — 32 at the oracle's sf0.01 (n=500, so the k=32
-    oracle replay is exact) and growing with the corpus so the probe
-    measures the linear contract, not fixed-k quadratic creep."""
+    Clustering is the TWO-LEVEL self-scaling default (r12, VERDICT
+    r11 #1): ``(k1, k2) = two_level_k(n)`` — (8, 4) = 32 cells at the
+    oracle's sf0.01 (n=500, so the replay is exact) and both growing
+    ~sqrt with the corpus, so pair work stays linear AND no
+    assignment term is quadratic (the r11 flat self-scaling k left an
+    N·k assign with k ∝ N)."""
     from omop_etl_spark.operators.cluster import assign_clusters
     from omop_etl_spark.operators.similarity import scoped_cosine_pairs
 
@@ -1490,11 +1563,11 @@ def _q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_embed_dedup_clusters() -> str:
     return (
         "WITH RECURSIVE "
-        + _kmeans_oracle_ctes(k=32)
+        + _kmeans2_oracle_ctes(k1=8, k2=4)
         + """,
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sc AS (SELECT e.vec_id, w2.cluster_id, e.v
-       FROM e JOIN w2 ON e.vec_id = w2.vec_id),
+sc AS (SELECT e.vec_id, fw2.c * 4 + fw2.sub_id AS cluster_id, e.v
+       FROM e JOIN fw2 ON e.vec_id = fw2.vec_id),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM sc a JOIN sc b
@@ -3032,6 +3105,84 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(cluster_id AS INT) AS cluster_id,
        CAST(dist AS BIGINT) AS dist_sq
 FROM w2
+"""
+    )
+
+
+def _kmeans2_oracle_ctes(k1: int = 8, k2: int = 4) -> str:
+    """The two-level fixed-point Lloyd CTE chain
+    (operators/kmeans.kmeans_assign_two_level): the shared coarse
+    chain of ``_kmeans_oracle_ctes(k1)`` (terminal ``w2``), then the
+    per-cell fine stage — seeds = k2 smallest vec_ids per coarse cell,
+    two assign/update rounds where each vector scores only its OWN
+    cell's sub-centroids (equi-join on the cell id, mirroring the
+    Spark plan). Terminal relation ``fw2``: (vec_id, c, xq, sub_id,
+    dist); the composite cluster id is ``c * k2 + sub_id``.
+    ``q2``/``fs``/``fcents1`` are MATERIALIZED so DuckDB's CTE
+    inlining doesn't re-expand the whole coarse chain per reference
+    (same trap as the BPE oracle's chained rounds)."""
+    fdist = (
+        "CAST(list_sum(list_transform(list_zip(q2.xq, {f}.cq),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    fassign = """
+fa{t} AS (
+  SELECT vec_id, c, xq, sub_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, sub_id) AS rn
+  FROM (SELECT q2.vec_id, q2.c, q2.xq, {f}.sub_id, {d} AS dist
+        FROM q2 JOIN {f} ON q2.c = {f}.c)
+),
+fw{t} AS (SELECT vec_id, c, xq, sub_id, dist FROM fa{t} WHERE rn = 1)"""
+    return (
+        _kmeans_oracle_ctes(k=k1)
+        + """,
+q2 AS MATERIALIZED (SELECT vec_id, cluster_id AS c, xq FROM w2),
+fs AS MATERIALIZED (
+  SELECT c, CAST(rn - 1 AS INT) AS sub_id, xq AS cq
+  FROM (SELECT cluster_id AS c, xq,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY vec_id) AS rn
+        FROM w2)
+  WHERE rn <= {k2}
+)""".format(k2=k2)
+        + ","
+        + fassign.format(t=1, f="fs", d=fdist.format(f="fs"))
+        + """,
+fm1 AS (SELECT c, sub_id, generate_subscripts(xq, 1) AS pos, unnest(xq) AS x
+        FROM fw1),
+fcm1 AS (SELECT c, sub_id, pos, CAST(floor(AVG(x)) AS BIGINT) AS m
+         FROM fm1 GROUP BY 1, 2, 3),
+fcents1 AS MATERIALIZED (SELECT c, sub_id, list(m ORDER BY pos) AS cq
+                         FROM fcm1 GROUP BY 1, 2)"""
+        + ","
+        + fassign.format(t=2, f="fcents1", d=fdist.format(f="fcents1"))
+    )
+
+
+def _q_embed_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level fixed-point k-means
+    (operators/kmeans.kmeans_assign_two_level, k1=8 x k2=4): coarse
+    Lloyd over the corpus, then per-cell sub-clustering seeded by each
+    cell's smallest ids — the assignment engine behind the SemDeDup
+    gates, verified here directly. Both levels are deterministic-init
+    exact-integer iterates, so the oracle value-replays the whole
+    pipeline (chained CTEs, shared with the SemDeDup oracles via
+    ``_kmeans2_oracle_ctes``)."""
+    from omop_etl_spark.operators.kmeans import kmeans_assign_two_level
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign_two_level(emb, k1=8, k2=4, iters=2)
+
+
+def _oracle_embed_kmeans2() -> str:
+    return (
+        "WITH "
+        + _kmeans2_oracle_ctes(k1=8, k2=4)
+        + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(c * 4 + sub_id AS INT) AS cluster_id,
+       CAST(dist AS BIGINT) AS dist_sq
+FROM fw2
 """
     )
 
@@ -10802,15 +10953,17 @@ def _q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means FIRST, exact cosine
     pruning only WITHIN each cluster — the move that turns semantic
     dedup's O(n^2) all-pairs scan into O(sum of cluster^2), the only
-    way it runs at 100 TB. Clustering is the exact fixed-point Lloyd
-    of `embed_kmeans` (same operator, same oracle CTEs); a vector is
-    dropped when a smaller-id cluster-mate sits above the cosine
-    threshold. k SELF-SCALES (r11): ``max(32, ceil(n/150))`` — k IS
-    the knob that divides the quadratic term (n^2/k pair work,
-    measured 4x faster than k=8 at sf0.1), and pinning the expected
-    cluster size at ~150 rows keeps total pair work LINEAR in the
-    corpus; at the oracle's sf0.01 (n=500) the derivation lands on
-    exactly 32, so the k=32 oracle replay is unchanged.
+    way it runs at 100 TB. Clustering is the exact fixed-point
+    TWO-LEVEL Lloyd of `embed_kmeans2` (same operator, same oracle
+    CTEs); a vector is dropped when a smaller-id cluster-mate sits
+    above the cosine threshold. The cell count SELF-SCALES (r12,
+    VERDICT r11 #1): ``(k1, k2) = two_level_k(n)`` pins the expected
+    cell size at ~150 rows so pair work is LINEAR in the corpus,
+    while the coarse-sqrt-then-sub-cluster split keeps BOTH
+    assignment stages at n*O(sqrt(K)) with sqrt(K)-row broadcasts —
+    the r11 flat self-scaling k fixed the pair term but left an N*k
+    assign with k ∝ N. At the oracle's sf0.01 (n=500) the derivation
+    lands on exactly (8, 4) = 32 cells, replayed by the chained CTEs.
     The threshold test is EXACT integer cross-
     multiplication — ``(5*dot)^2 >= 4*na*nb`` for cos >= 0.4 on the
     quantized vectors (decimal(18,0) products, no sqrt, no float) —
@@ -10822,11 +10975,16 @@ def _q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-keyed self-join shuffles on cluster_id and its fan-out is
     the per-cluster square — the documented SemDeDup contract, tuned
     by k."""
-    from omop_etl_spark.operators.kmeans import kmeans_assign
+    from omop_etl_spark.operators.kmeans import (
+        kmeans_assign_two_level,
+        two_level_k,
+    )
 
     emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
-    k = max(32, -(-emb.count() // 150))
-    asn = kmeans_assign(emb, k=k, iters=2).select("vec_id", "cluster_id")
+    k1, k2 = two_level_k(emb.count())
+    asn = kmeans_assign_two_level(emb, k1=k1, k2=k2, iters=2).select(
+        "vec_id", "cluster_id"
+    )
     q = emb.select(
         "vec_id",
         F.transform(
@@ -10897,12 +11055,12 @@ def _q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_embed_semdedup() -> str:
     return (
         "WITH "
-        + _kmeans_oracle_ctes(k=32)
+        + _kmeans2_oracle_ctes(k1=8, k2=4)
         + """,
 sd AS (
-  SELECT vec_id, cluster_id, xq,
+  SELECT vec_id, c * 4 + sub_id AS cluster_id, xq,
          CAST(list_sum(list_transform(xq, x -> x * x)) AS BIGINT) AS nn
-  FROM w2
+  FROM fw2
 ),
 pr AS (
   SELECT b.vec_id,
@@ -11709,6 +11867,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders it into the r11 driver window above.  See
     # LOCALCHECK_r11.md for the per-entry last-driver-green manifest.
     return {
+        # -- new in r12 --
+        "embed_kmeans2": _q_embed_kmeans2,
+        "events_sessionize_stream": _q_events_sessionize_stream,
         # -- new in r11 --
         "sketch_vocab_diff": _q_sketch_vocab_diff,
         "events_busy_time": _q_events_busy_time,
@@ -11961,6 +12122,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_multi_distinct": ORACLE_AGG_MULTI_DISTINCT,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+        "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,
         "asof_join_events": ORACLE_ASOF_JOIN,
         "range_join_events": ORACLE_RANGE_JOIN,
         "dedup_exact": ORACLE_DEDUP_EXACT,
@@ -12008,6 +12170,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_gate": ORACLE_DOCS_QUALITY_GATE,
         "embed_project": _oracle_embed_project(),
         "embed_kmeans": _oracle_embed_kmeans(),
+        "embed_kmeans2": _oracle_embed_kmeans2(),
         "agg_shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "agg_order_priority": ORACLE_ORDER_PRIORITY,
         "agg_filter_revenue": ORACLE_FILTER_REVENUE,

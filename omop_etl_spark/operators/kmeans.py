@@ -41,7 +41,31 @@ from pyspark.sql import functions as F
 
 from .similarity import _as_double
 
-__all__ = ["kmeans_assign"]
+__all__ = ["kmeans_assign", "kmeans_assign_two_level", "two_level_k"]
+
+
+def two_level_k(n: int, target_cluster_rows: int = 150) -> tuple[int, int]:
+    """Derive the ``(k1, k2)`` pair for
+    :func:`kmeans_assign_two_level` from the corpus size: the fine
+    cell count targets ``K = ceil(n / target_cluster_rows)`` total
+    cells (expected cell size ~``target_cluster_rows``, so downstream
+    within-cell pair work stays LINEAR in ``n``), split as ``k1 =
+    max(8, ceil(sqrt(K)))`` coarse × ``k2 = max(4, ceil(K / k1))``
+    sub-clusters — BOTH assignment stages are ``n * O(sqrt(K))``
+    distance evaluations instead of the flat form's ``n * K``
+    (quadratic in ``n`` once ``K`` scales with ``n``; VERDICT r11 #1).
+    The floors pin the derivation at small corpora: n=500 (the
+    oracle's sf0.01) lands on exactly (8, 4) = 32 cells, matching the
+    flat form's old ``k=32`` floor."""
+    if n < 0:
+        raise ValueError("two_level_k requires n >= 0")
+    big_k = -(-max(1, n) // max(1, target_cluster_rows))
+    k1 = int(big_k**0.5)
+    while k1 * k1 < big_k:  # integer ceil(sqrt): float sqrt can floor
+        k1 += 1
+    k1 = max(8, k1)
+    k2 = max(4, -(-big_k // k1))
+    return k1, k2
 
 
 def _sq_dist(a, b):
@@ -143,4 +167,156 @@ def kmeans_assign(
         F.col("__win.dist_sq").cast("bigint").alias("dist_sq"),
     ).localCheckpoint(eager=True)
     q.unpersist()
+    return out
+
+
+def kmeans_assign_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: int = 8,
+    k2: int = 4,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-level Lloyd's: ``k1`` coarse clusters over the corpus, then
+    ``k2`` sub-clusters WITHIN each coarse cell — the at-scale form of
+    :func:`kmeans_assign` for SemDeDup-style partitioning where the
+    target CELL COUNT grows with the corpus (VERDICT r11 #1: flat
+    ``k ∝ n`` makes assignment ``n·k = O(n²)`` work behind an O(n)
+    centroid broadcast; splitting ``k = k1·k2`` with ``k1 ≈ k2 ≈
+    sqrt(k)`` makes BOTH stages ``n·sqrt(k)`` and bounds every
+    broadcast at ``sqrt(k)`` rows).
+
+    Stage shapes:
+
+    * coarse — exactly :func:`kmeans_assign`'s plan (broadcast
+      ``k1``-row centroids, map-side cross join, hash-agg argmin):
+      deterministic seed = the ``k1`` smallest ids, ``iters``
+      fixed-point rounds.
+    * fine — per coarse cell, seeds = the ``k2`` smallest ids IN that
+      cell (one window partitioned by cell, never global), then the
+      same fixed-point rounds with the candidate set produced by an
+      EQUI-join on the coarse cell id: each vector scores only its
+      own cell's ``k2`` sub-centroids, so no ``k1·k2``-row frame is
+      ever broadcast — at scale the join shuffles on the cell id
+      (AQE may still pick broadcast while the frame is tiny; there is
+      deliberately no hint).
+
+    The coarse assignment (id, cell, quantized vector) is eagerly
+    local-checkpointed once — it feeds every fine round and the final
+    projection, and the checkpoint truncates the coarse Lloyd lineage
+    (same contract/caveats as :func:`kmeans_assign`).
+
+    Output: ``(id_col, cluster_id, dist_sq)`` with ``cluster_id =
+    coarse_cell * k2 + sub_cluster`` (stable, disjoint across cells)
+    and ``dist_sq`` the exact fixed-point squared L2 distance to the
+    winning SUB-centroid. Deterministic-init + exact-integer iterate
+    at both levels keeps the whole pipeline a pure function of the
+    input — value-replayable by the DuckDB oracle's chained CTEs
+    (gate ``embed_kmeans2``).
+    """
+    from pyspark import StorageLevel
+
+    if k1 < 1 or k2 < 1:
+        raise ValueError("kmeans_assign_two_level requires k1 >= 1 and k2 >= 1")
+
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * F.lit(float(scale))),
+        ).alias("__xq"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    w = F.row_number().over(Window.orderBy(id_col))
+    cents = (
+        q.orderBy(id_col)
+        .limit(k1)
+        .select((w - 1).alias("__c"), F.col("__xq").alias("__cq"))
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "__xq",
+            F.struct(
+                _sq_dist(F.col("__xq"), F.col("__cq")).alias("dist_sq"),
+                F.col("__c"),
+            ).alias("__cand"),
+        )
+        assigned = scored.groupBy(id_col).agg(
+            F.min("__cand").alias("__win"),
+            F.first("__xq").alias("__xq"),
+        )
+        means = (
+            assigned.select(
+                F.col("__win.__c").alias("__c"),
+                F.posexplode("__xq").alias("pos", "x"),
+            )
+            .groupBy("__c", "pos")
+            .agg(F.floor(F.avg("x")).alias("m"))
+        )
+        cents = means.groupBy("__c").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("__cq")
+        )
+
+    # the fine stage's loop-invariant input: checkpoint BEFORE the
+    # loop, derive everything from the checkpoint (SCALE.md §18)
+    coarse = assigned.select(
+        F.col(id_col), F.col("__win.__c").alias("__c"), "__xq"
+    ).localCheckpoint(eager=True)
+    q.unpersist()
+
+    # fine seeds: the k2 smallest ids per cell; the window is
+    # PARTITIONED by cell (bounded per-partition work, never global)
+    ws = Window.partitionBy("__c").orderBy(id_col)
+    fcents = (
+        coarse.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= k2)
+        .select("__c", (F.col("__rn") - 1).alias("__sub"), F.col("__xq").alias("__cq"))
+    )
+    fassigned = None
+    for _ in range(iters):
+        cand = coarse.join(fcents, "__c").select(
+            id_col,
+            "__c",
+            "__xq",
+            F.struct(
+                _sq_dist(F.col("__xq"), F.col("__cq")).alias("dist_sq"),
+                F.col("__sub"),
+            ).alias("__cand"),
+        )
+        fassigned = cand.groupBy(id_col).agg(
+            F.min("__cand").alias("__win"),
+            # __c and __xq are functionally dependent on the id
+            F.first("__c").alias("__c"),
+            F.first("__xq").alias("__xq"),
+        )
+        fmeans = (
+            fassigned.select(
+                "__c",
+                F.col("__win.__sub").alias("__sub"),
+                F.posexplode("__xq").alias("pos", "x"),
+            )
+            .groupBy("__c", "__sub", "pos")
+            .agg(F.floor(F.avg("x")).alias("m"))
+        )
+        fcents = fmeans.groupBy("__c", "__sub").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("__cq")
+        )
+
+    out = fassigned.select(
+        F.col(id_col),
+        (F.col("__c") * F.lit(int(k2)) + F.col("__win.__sub"))
+        .cast("int")
+        .alias("cluster_id"),
+        F.col("__win.dist_sq").cast("bigint").alias("dist_sq"),
+    ).localCheckpoint(eager=True)
     return out

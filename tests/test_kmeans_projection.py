@@ -108,6 +108,96 @@ def test_random_projection_exact_integer_replay(spark):
     assert list(out["proj"]) == expect
 
 
+def test_two_level_k_derivation():
+    from omop_etl_spark.operators.kmeans import two_level_k
+
+    # the oracle-SF pin: sf0.01's n=500 must land on (8, 4) = 32 cells
+    assert two_level_k(500) == (8, 4)
+    for n in (0, 1, 149, 150, 500, 5_000, 150_000, 10**7, 10**10):
+        k1, k2 = two_level_k(n)
+        big_k = -(-max(1, n) // 150)
+        assert k1 >= 8 and k2 >= 4
+        assert k1 * k2 >= big_k  # enough cells for the target size
+        # both factors stay O(sqrt(K)): neither re-creates the flat form
+        assert k1 <= max(8, int(big_k**0.5) + 1)
+        assert k2 <= max(4, k1 + 1)
+    with pytest.raises(ValueError):
+        two_level_k(-1)
+
+
+def test_kmeans_two_level_equals_flat_when_one_coarse_cell(spark):
+    """k1=1 collapses the coarse stage to a single cell, so the fine
+    stage IS flat kmeans_assign(k=k2): identical assignments and
+    distances, cluster_id = 0 * k2 + sub."""
+    from omop_etl_spark.operators.kmeans import kmeans_assign_two_level
+
+    df = _blobs(spark)
+    flat = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_sq"])
+        for r in kmeans_assign(df, k=3, iters=2, scale=1000).collect()
+    )
+    two = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_sq"])
+        for r in kmeans_assign_two_level(
+            df, k1=1, k2=3, iters=2, scale=1000
+        ).collect()
+    )
+    assert flat == two
+
+
+def test_kmeans_two_level_recovers_blobs_and_is_deterministic(spark):
+    from omop_etl_spark.operators.kmeans import kmeans_assign_two_level
+
+    df = _blobs(spark)
+    out = kmeans_assign_two_level(df, k1=3, k2=2, iters=2, scale=1000)
+    rows_a = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_sq"]) for r in out.collect()
+    )
+    # composite ids live in [0, k1*k2) and decompose as c*k2 + sub
+    assert all(0 <= cid < 6 for _, cid, _ in rows_a)
+    # blob purity: no composite cell mixes two true blobs (cells may
+    # SPLIT a blob — that's the sub-clustering working)
+    j = out.join(df.select("vec_id", "true_label"), "vec_id")
+    mix = j.groupBy("cluster_id").agg(
+        F.countDistinct("true_label").alias("nlab")
+    )
+    assert mix.filter(F.col("nlab") > 1).count() == 0
+    # partitioning-invariant (exact integer pipeline)
+    rows_b = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_sq"])
+        for r in kmeans_assign_two_level(
+            df.repartition(7), k1=3, k2=2, iters=2, scale=1000
+        ).collect()
+    )
+    assert rows_a == rows_b
+
+
+def test_scoped_cosine_pairs_default_two_level_subset_of_exact(spark):
+    """The k=None default (two-level SemDeDup scoping) returns a
+    subset of the exact all-pairs result with identical scores."""
+    from omop_etl_spark.operators.similarity import (
+        cosine_pairs,
+        scoped_cosine_pairs,
+    )
+
+    df = _blobs(spark, per=20)
+    thr = 0.95
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_pairs(df, threshold=thr).collect()
+    }
+    scoped = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in scoped_cosine_pairs(df, threshold=thr).collect()
+    }
+    assert set(scoped) <= set(exact)
+    assert all(exact[p] == s for p, s in scoped.items())
+    # recall < 1 by contract (the floors give 32 cells on 60 rows, so
+    # each blob shatters across cells — only co-assigned pairs emerge);
+    # the operator must still surface real pairs, never invented ones
+    assert len(scoped) > 0
+
+
 @pytest.mark.slow
 def test_kmeans_bench_scale(spark):
     emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
