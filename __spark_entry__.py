@@ -11734,25 +11734,80 @@ FROM g GROUP BY user_id
 """
 
 
-# The r11 driver window (VERDICT r10 #1): the driver's CORRECTNESS gate
-# reads the FIRST 50 entries of queries().  This round rotates in the 25
-# queries whose last driver-green row is r05 (five SURVEY §2 ETL/SQL
-# gates + multimodal/text/window/events cohort) followed by the 25
-# stalest r06 greens.  Queries NEW in r11 are prepended (never-checked
-# beats stale, VERDICT r10 #8); an equal number of r06 backfill names
-# drops out of the window to keep it at exactly 50.
-_WINDOW_R11: list[str] = [
-    # -- new in r11 (never driver-verified) --
+# The r12 driver window (VERDICT r11 #2): the driver's CORRECTNESS gate
+# reads the FIRST 50 entries of queries().  Queries NEW in r12 lead
+# (never-checked beats stale), then the two gates whose operator form
+# changed this round (two-level SemDeDup assignment), then the entire
+# 31-query r06 cohort (the stalest greens), backfilled with the 15
+# stalest r07 greens to exactly 50.  After this round's driver run
+# nothing in the registry is older than r07.
+_WINDOW_R12: list[str] = [
+    # -- new in r12 (never driver-verified) --
+    "embed_kmeans2",
+    "events_sessionize_stream",
+    # -- operator form changed in r12 (two-level SemDeDup assignment) --
+    "embed_dedup_clusters",
+    "embed_semdedup",
+    # -- last driver-green r06 (31) --
+    "docs_training_export",
+    "docs_weighted_sample",
+    "dq_checks",
+    "embed_covariance",
+    "embed_norm_stats",
+    "embed_quantize",
+    "events_anomaly_mad",
+    "events_concurrency",
+    "events_funnel",
+    "events_hourly_distinct",
+    "events_missing_hours",
+    "events_multigrain",
+    "events_overlap_join",
+    "events_partition_checksums",
+    "events_salted_enrich",
+    "events_scd2_lookup",
+    "events_skew_agg",
+    "events_top_users",
+    "events_transitions",
+    "events_trend",
+    "events_winsorize",
+    "events_zorder",
+    "fuzzy_part_match",
+    "orders_above_avg",
+    "orders_checksum",
+    "orders_gaps",
+    "orders_market_basket",
+    "orders_snapshot_diff",
+    "part_golden_records",
+    "regional_supplier_volume",
+    "sketch_distinct_users",
+    # -- last driver-green r07 backfill (stalest-first, 15) --
+    "agg_filter_revenue",
+    "agg_order_priority",
+    "agg_promo_share",
+    "agg_returned_items",
+    "agg_shipping_priority",
+    "cust_balance_upsert",
+    "cust_dormant_rich",
+    "docs_containment_dup",
+    "docs_curate_incremental",
+    "docs_dup_spans",
+    "docs_incremental_dedup",
+    "docs_length_deciles",
+    "docs_mixture_sample",
+    "docs_oov_rate",
+    "docs_quality_calibrated",
+]
+
+# Driver-green in r11 (the r11 window minus the two embed gates that
+# rotate back INTO the r12 window) — the freshest rows in the registry,
+# so they sort to the very BACK, after the r10 greens.
+_GREEN_R11: list[str] = [
     "sketch_vocab_diff",
     "events_busy_time",
     "agg_weighted_quantiles",
     "docs_segment_pieces",
     "docs_learn_unigram",
     "docs_waterfill_mix",
-    # -- operator form changed in r11 (self-scaling SemDeDup k) --
-    "embed_dedup_clusters",
-    "embed_semdedup",
-    # -- last driver-green r05 (25) --
     "etl_query_table",
     "etl_required_filter",
     "etl_temp_table",
@@ -11778,7 +11833,6 @@ _WINDOW_R11: list[str] = [
     "text_stats",
     "text_token_counts",
     "window_rank",
-    # -- last driver-green r06 backfill (stalest-first) --
     "agg_cube",
     "corpus_source_similarity",
     "corpus_vocab",
@@ -11854,12 +11908,15 @@ _GREEN_R10: list[str] = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # order: r12 window (50) · stale mid (21 r07 + 44 r08, declaration
+    # order preserves last-green sort) · r10 greens · r11 greens
     reg = _registry()
-    front = set(_WINDOW_R11)
-    back = set(_GREEN_R10)
-    assert front <= set(reg) and back <= set(reg) and not (front & back)
-    mid = [k for k in reg if k not in front and k not in back]
-    return {k: reg[k] for k in [*_WINDOW_R11, *mid, *_GREEN_R10]}
+    front = set(_WINDOW_R12)
+    b10, b11 = set(_GREEN_R10), set(_GREEN_R11)
+    assert front <= set(reg) and b10 <= set(reg) and b11 <= set(reg)
+    assert not (front & b10) and not (front & b11) and not (b10 & b11)
+    mid = [k for k in reg if k not in front and k not in b10 and k not in b11]
+    return {k: reg[k] for k in [*_WINDOW_R12, *mid, *_GREEN_R10, *_GREEN_R11]}
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -49,8 +49,8 @@ PROBE = {
     "docs_soft_dedup_weights": "linear",
     "docs_leakage_safe_split": "linear",
     "parts_triangle_count": "O(E^1.5) contract (degree-ordered)",
-    "embed_dedup_clusters": "n^2/k contract (SemDeDup cluster-scoped "
-    "cosine since r10; k is the scale knob)",
+    "embed_dedup_clusters": "linear pair work + n*sqrt(K) assign "
+    "(two-level self-scaling cells since r12; no n^2 term)",
     "embed_project": "linear (d x d partials)",
     "etl_fk_remap": "linear (hash joins)",
     "docs_incremental_dedup": "linear",
@@ -104,8 +104,13 @@ PROBE = {
     "O(sources^2 k) sketch rows)",
     "events_busy_time": "linear (per-user islands windows; integer "
     "micros arithmetic)",
-    "embed_semdedup": "linear pair work since r11 (self-scaling k pins "
-    "cluster size ~150); residual growth is the N*k assign term",
+    "embed_semdedup": "linear pair work (self-scaling cells ~150 rows); "
+    "assign n*sqrt(K) since r12 (two-level) — no quadratic residual",
+    # round-12 additions
+    "embed_kmeans2": "n*sqrt(K) assign at both levels; sqrt(K)-row "
+    "broadcast (coarse) + cell-id equi-join (fine)",
+    "events_sessionize_stream": "linear (AvailableNow replay into "
+    "session_window; state per open session)",
     "agg_weighted_quantiles": "linear (weighted value-domain histogram; "
     "two-level bucketed cumsum over the distinct-price spine)",
     "docs_segment_pieces": "linear (distinct-word DP + backtrack, "
