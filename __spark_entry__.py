@@ -7138,6 +7138,84 @@ ORDER BY exact_count DESC, term
 """
 
 
+def _q_docs_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SEVERITY (operators/contamination.
+    contamination_spans): per document, contiguous runs of
+    benchmark-overlapping 5-grams — the same doc_id %% 17 stand-in
+    benchmark and n as the `docs_decontaminate` gate, so the two views
+    compose: that one flags, this one grades. Runs fold with the
+    islands trick over only the FLAGGED positions."""
+    from omop_etl_spark.operators.contamination import contamination_spans
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_spans(docs, bench, n=5).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_flagged_grams",
+        "n_spans",
+        "max_run_grams",
+    )
+
+
+ORACLE_DOCS_CONTAMINATION_SPANS = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pg AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+    THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+    ELSE [array_to_string(toks, ' ')] END AS gl FROM tok),
+g AS (SELECT doc_id, unnest(gl) AS gram, generate_subscripts(gl, 1) AS pos FROM pg),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+fl AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (gram)),
+isl AS (SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+        FROM fl),
+runs AS (SELECT doc_id, i, COUNT(*) AS rl FROM isl GROUP BY 1, 2),
+agg AS (SELECT doc_id, SUM(rl) AS nf, COUNT(*) AS ns, MAX(rl) AS mr
+        FROM runs GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(a.nf, 0) AS BIGINT) AS n_flagged_grams,
+       CAST(COALESCE(a.ns, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.mr, 0) AS BIGINT) AS max_run_grams
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q_docs_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out description-length influence per source
+    (operators/contamination.source_influence): each source's exact
+    marginal contribution to the corpus unigram code length under the
+    integer bits-cost schedule (length(bin(c)) — no libm anywhere),
+    plus its vocabulary monopoly. The data-valuation complement to the
+    pairwise TV drift gate: global marginal, one term-keyed join, no
+    pairwise blow-up."""
+    from omop_etl_spark.operators.contamination import source_influence
+
+    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    return source_influence(docs)
+
+
+ORACLE_DOCS_SOURCE_INFLUENCE = """
+WITH toks AS (
+  SELECT source AS src,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tc AS (SELECT src, term, CAST(COUNT(*) AS BIGINT) AS cs
+       FROM toks GROUP BY 1, 2),
+gc AS (SELECT term, CAST(SUM(cs) AS BIGINT) AS c FROM tc GROUP BY 1)
+SELECT src AS source,
+       CAST(SUM(cs) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * (48 - length(bin(c)))
+                - CASE WHEN c - cs > 0
+                       THEN (c - cs) * (48 - length(bin(c - cs)))
+                       ELSE 0 END) AS BIGINT) AS influence_bits,
+       CAST(SUM(CASE WHEN c = cs THEN 1 ELSE 0 END) AS BIGINT) AS monopoly_terms,
+       CAST(SUM(CASE WHEN c = cs THEN cs ELSE 0 END) AS BIGINT) AS monopoly_mass
+FROM tc JOIN gc USING (term)
+GROUP BY 1
+"""
+
+
 def _q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise total-variation distance between per-source term
     DISTRIBUTIONS — the distribution-shift monitor for a training mix
@@ -11745,6 +11823,8 @@ _WINDOW_R12: list[str] = [
     # -- new in r12 (never driver-verified) --
     "embed_kmeans2",
     "events_sessionize_stream",
+    "docs_source_influence",
+    "docs_contamination_spans",
     # -- operator form changed in r12 (two-level SemDeDup assignment) --
     "embed_dedup_clusters",
     "embed_semdedup",
@@ -11794,8 +11874,6 @@ _WINDOW_R12: list[str] = [
     "docs_incremental_dedup",
     "docs_length_deciles",
     "docs_mixture_sample",
-    "docs_oov_rate",
-    "docs_quality_calibrated",
 ]
 
 # Driver-green in r11 (the r11 window minus the two embed gates that
@@ -11927,6 +12005,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r12 --
         "embed_kmeans2": _q_embed_kmeans2,
         "events_sessionize_stream": _q_events_sessionize_stream,
+        "docs_source_influence": _q_docs_source_influence,
+        "docs_contamination_spans": _q_docs_contamination_spans,
         # -- new in r11 --
         "sketch_vocab_diff": _q_sketch_vocab_diff,
         "events_busy_time": _q_events_busy_time,
@@ -12228,6 +12308,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_project": _oracle_embed_project(),
         "embed_kmeans": _oracle_embed_kmeans(),
         "embed_kmeans2": _oracle_embed_kmeans2(),
+        "docs_source_influence": ORACLE_DOCS_SOURCE_INFLUENCE,
+        "docs_contamination_spans": ORACLE_DOCS_CONTAMINATION_SPANS,
         "agg_shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "agg_order_priority": ORACLE_ORDER_PRIORITY,
         "agg_filter_revenue": ORACLE_FILTER_REVENUE,

@@ -27,11 +27,13 @@ from .dedup import token_shingles
 from .util import spread
 
 __all__ = [
+    "contamination_spans",
     "cross_doc_dup_stats",
     "dup_span_stats",
     "decontaminate",
     "dedup_lines",
     "repetition_stats",
+    "source_influence",
     "source_overlap",
     "strip_boilerplate",
 ]
@@ -471,5 +473,164 @@ def dup_span_stats(
             F.coalesce(F.col("max_span_grams"), F.lit(0))
             .cast("bigint")
             .alias("max_span_grams"),
+        )
+    )
+
+
+def source_influence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    cost_ceiling: int = 48,
+) -> DataFrame:
+    """Leave-one-out DESCRIPTION-LENGTH influence of each corpus
+    source — the data-valuation primitive for "which slice, if
+    dropped, changes the corpus distribution most" when weighing a
+    training mix. Complements :func:`source_overlap` (pairwise set
+    overlap) and the TV-drift gate (pairwise distribution distance):
+    influence is each source's GLOBAL marginal contribution, computed
+    exactly, no retraining and no pairwise blow-up.
+
+    Model: the corpus unigram code with the integer cost schedule the
+    unigram learner uses (chunking.learn_unigram_vocab) — a term of
+    count ``c`` costs ``cost_ceiling - bits(c)`` bits per occurrence,
+    ``bits`` = binary digit count (``length(bin(c))``, exact in any
+    engine — no libm log anywhere). Corpus code length ``L = sum_t
+    c(t) * (C - bits(c(t)))``; dropping source ``s`` re-prices every
+    term it touches, so its influence folds to a single join on the
+    term key:
+
+        influence_bits(s) = sum over terms t with c_s(t) > 0 of
+            c(t)*(C - bits(c(t))) - (c(t)-c_s(t))*(C - bits(c(t)-c_s(t)))
+
+    Also reports each source's vocabulary MONOPOLY (terms appearing
+    nowhere else, and their token mass) — the irreplaceability view of
+    the same question.
+
+    Plan shape (all linear, Zipf-bounded term-TYPE frames): one
+    explode + hash-agg to per-(source, term) counts, one term-keyed
+    hash-agg to global counts, one equi-join on the term key, one
+    map-side-combined final agg per source. int64 headroom: the
+    per-term products are < c * cost_ceiling, safe past 10^17 corpus
+    tokens at the default ceiling.
+
+    Output: one row per source — ``(source, n_tokens, influence_bits,
+    monopoly_terms, monopoly_mass)``, all bigint.
+    """
+    if not 2 <= cost_ceiling <= 62:
+        raise ValueError("source_influence: cost_ceiling must be in 2..62")
+    c_lit = F.lit(int(cost_ceiling))
+
+    def bits(col):
+        return F.length(F.bin(col))
+
+    toks = spread(docs).select(
+        F.col(source_col).alias("__src"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("__term"),
+    )
+    tc = toks.groupBy("__src", "__term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cs")
+    )
+    gc = tc.groupBy("__term").agg(F.sum("__cs").alias("__c"))
+    joined = tc.join(gc, "__term")
+    rest = F.col("__c") - F.col("__cs")
+    delta = F.col("__c") * (c_lit - bits(F.col("__c"))) - F.when(
+        rest > 0, rest * (c_lit - bits(rest))
+    ).otherwise(F.lit(0))
+    return (
+        joined.groupBy("__src")
+        .agg(
+            F.sum("__cs").cast("bigint").alias("n_tokens"),
+            F.sum(delta).cast("bigint").alias("influence_bits"),
+            F.sum(F.when(rest == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("monopoly_terms"),
+            F.sum(F.when(rest == 0, F.col("__cs")).otherwise(0))
+            .cast("bigint")
+            .alias("monopoly_mass"),
+        )
+        .select(
+            F.col("__src").alias(source_col),
+            "n_tokens",
+            "influence_bits",
+            "monopoly_terms",
+            "monopoly_mass",
+        )
+    )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """SEVERITY view of :func:`decontaminate`: per training document,
+    the contiguous RUNS of benchmark-overlapping word n-grams — a
+    3-gram hit could be idiom, a 40-gram run is a verbatim leaked
+    answer, and the flag-only view cannot tell them apart. A run of
+    ``L`` consecutive overlapping n-grams witnesses a shared span of
+    ``L + n - 1`` tokens (when the document has at least ``n`` tokens).
+
+    Output: one row per input document — ``(id_col, n_flagged_grams,
+    n_spans, max_run_grams)``, zeros when clean. ``max_run_grams`` is
+    run length in GRAMS (exactly defined for every document, including
+    the shorter-than-``n`` whole-text-gram case where token algebra
+    would overstate).
+
+    Plan shape: the benchmark reduces to distinct 8-byte gram hashes
+    (strategy left to AQE, like :func:`decontaminate`); the corpus
+    side explodes POSITIONAL grams (no distinct — positions are the
+    point), semi-joins on the hash, and folds runs with the classic
+    islands trick (``pos - row_number()`` per document, a per-doc
+    window over only the FLAGGED positions — tiny next to the corpus).
+    All arithmetic is exact integers.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(token_shingles(bcol, n)).alias("__gram"))
+        .select(F.xxhash64("__gram").alias("__gh"))
+        .distinct()
+    )
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    pos = spread(docs).select(
+        F.col(id_col), F.posexplode(grams).alias("__pos", "__gram")
+    ).select(id_col, "__pos", F.xxhash64("__gram").alias("__gh"))
+    flagged = pos.join(bench_grams, "__gh").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = (
+        flagged.withColumn("__isl", F.col("__pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.sum("__len").cast("bigint").alias("n_flagged_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.max("__len").cast("bigint").alias("max_run_grams"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_flagged_grams", F.lit(0)).cast("bigint").alias(
+                "n_flagged_grams"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_run_grams", F.lit(0)).cast("bigint").alias(
+                "max_run_grams"
+            ),
         )
     )

@@ -111,6 +111,10 @@ PROBE = {
     "broadcast (coarse) + cell-id equi-join (fine)",
     "events_sessionize_stream": "linear (AvailableNow replay into "
     "session_window; state per open session)",
+    "docs_source_influence": "linear (Zipf-bounded term-type frames; "
+    "one term-keyed join, map-side-combined source agg)",
+    "docs_contamination_spans": "linear (positional gram explode; "
+    "islands window over FLAGGED positions only)",
     "agg_weighted_quantiles": "linear (weighted value-domain histogram; "
     "two-level bucketed cumsum over the distinct-price spine)",
     "docs_segment_pieces": "linear (distinct-word DP + backtrack, "

@@ -299,3 +299,91 @@ def test_dup_span_stats_within_doc_repetition(spark):
     got = dup_span_stats(df, n=3).collect()[0]
     assert got.n_dup_grams >= 2  # both "a b c" occurrences
     assert got.n_spans >= 1
+
+
+def test_source_influence_exact_vs_python_reference(spark):
+    """Leave-one-out description-length delta replays a brute-force
+    python model exactly (integer bits costs, no floats anywhere)."""
+    from omop_etl_spark.operators.contamination import source_influence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "the cat sat on the mat"),
+            (2, "web", "the dog sat"),
+            (3, "books", "a cat and a dog and a bird"),
+            (4, "books", "the bird sat on the cat"),
+            (5, "code", "x y x y zebra"),
+        ],
+        "doc_id int, source string, text string",
+    )
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["influence_bits"],
+            r["monopoly_terms"], r["monopoly_mass"],
+        )
+        for r in source_influence(docs).collect()
+    }
+
+    # brute-force reference
+    import collections
+    import re as _re
+
+    rows = docs.collect()
+    per = collections.defaultdict(collections.Counter)
+    for r in rows:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        per[r["source"]].update(toks)
+    glob = collections.Counter()
+    for c in per.values():
+        glob.update(c)
+
+    def bits(x):
+        return len(bin(x)) - 2
+
+    def code_len(counter):
+        return sum(c * (48 - bits(c)) for c in counter.values())
+
+    L = code_len(glob)
+    for src, cnt in per.items():
+        rest = glob - cnt  # Counter difference drops zeros
+        expect_inf = L - code_len(rest)
+        mono = [t for t in cnt if glob[t] == cnt[t]]
+        assert got[src] == (
+            sum(cnt.values()),
+            expect_inf,
+            len(mono),
+            sum(cnt[t] for t in mono),
+        ), src
+
+
+def test_contamination_spans_runs_and_severity(spark):
+    """Run structure: consecutive overlapping grams fold into islands;
+    a verbatim leak shows one long run, scattered idiom shows short
+    ones; clean docs report zeros."""
+    from omop_etl_spark.operators.contamination import contamination_spans
+
+    bench = spark.createDataFrame(
+        [(100, "q w e r t y u i o p")], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim 10-token leak embedded mid-doc: 8 consecutive
+            # 3-gram hits, one span
+            (1, "a b c q w e r t y u i o p d e"),
+            # two separated 3-token borrowings: 1-gram runs, two spans
+            (2, "q w e z z z r t y z z z"),
+            # clean
+            (3, "alpha beta gamma delta"),
+            # shorter than n: whole text is one gram, no bench match
+            (4, "xy zq"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_flagged_grams"], r["n_spans"], r["max_run_grams"])
+        for r in contamination_spans(docs, bench, n=3).collect()
+    }
+    assert got[1] == (8, 1, 8)
+    assert got[2] == (2, 2, 1)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (0, 0, 0)
