@@ -758,6 +758,63 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def _q_events_busy_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator, driver-verified end-to-end:
+    the events parquet replayed through the file source
+    (``Trigger.AvailableNow``) into ``streaming.events.
+    stream_interval_union`` — an ``applyInPandasWithState`` island
+    list per user (state bounded by the key's GAP structure, not row
+    count) — with the same deterministic busy-interval derivation as
+    the batch ``events_busy_time`` gate, and the SAME oracle: the
+    stream's final per-key emission equals the batch islands exactly
+    (prefix-equivalence is the operator's tested contract; this gate
+    makes the driver check it against DuckDB).
+
+    Append mode emits one row per key per micro-batch that touched
+    the key; the final state row is recovered WITHOUT batch ids:
+    ``covered`` (union size) is monotone per key, and equal covered
+    implies the identical island set, so max(struct(covered, ...))
+    is deterministic and equals the last emission."""
+    import uuid
+
+    from omop_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_interval_union,
+    )
+
+    src = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts"))
+    iv = src.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        us.alias("s"),
+        (us + (F.lit(30) + F.col("event_id") % 271) * F.lit(1000000))
+        .cast("bigint")
+        .alias("e"),
+    )
+    qn = f"busy_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_interval_union(iv, "user_id", "s", "e")
+        .writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    final = spark.table(qn).groupBy("user_id").agg(
+        F.max(F.struct("covered", "n_islands", "max_island")).alias("__w")
+    )
+    return final.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("__w.n_islands").cast("bigint").alias("n_islands"),
+        F.col("__w.covered").cast("bigint").alias("covered"),
+        F.col("__w.max_island").cast("bigint").alias("max_island"),
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event annotated with the customer's most
     recent order at event time (union-window plan: one shuffle, no
@@ -11825,6 +11882,7 @@ _WINDOW_R12: list[str] = [
     "events_sessionize_stream",
     "docs_source_influence",
     "docs_contamination_spans",
+    "events_busy_time_stream",
     # -- operator form changed in r12 (two-level SemDeDup assignment) --
     "embed_dedup_clusters",
     "embed_semdedup",
@@ -11873,7 +11931,6 @@ _WINDOW_R12: list[str] = [
     "docs_dup_spans",
     "docs_incremental_dedup",
     "docs_length_deciles",
-    "docs_mixture_sample",
 ]
 
 # Driver-green in r11 (the r11 window minus the two embed gates that
@@ -12007,6 +12064,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_stream": _q_events_sessionize_stream,
         "docs_source_influence": _q_docs_source_influence,
         "docs_contamination_spans": _q_docs_contamination_spans,
+        "events_busy_time_stream": _q_events_busy_time_stream,
         # -- new in r11 --
         "sketch_vocab_diff": _q_sketch_vocab_diff,
         "events_busy_time": _q_events_busy_time,
@@ -12236,6 +12294,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sketch_vocab_diff": ORACLE_SKETCH_VOCAB_DIFF,
         "events_busy_time": ORACLE_EVENTS_BUSY_TIME,
+        "events_busy_time_stream": ORACLE_EVENTS_BUSY_TIME,
         "agg_weighted_quantiles": ORACLE_AGG_WEIGHTED_QUANTILES,
         "docs_segment_pieces": _oracle_docs_segment_pieces(),
         "docs_learn_unigram": _oracle_docs_learn_unigram(),
