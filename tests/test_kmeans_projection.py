@@ -240,3 +240,25 @@ def test_pq_topk_orders_by_approx_distance(spark):
     dists = [r["approx_dist_sq"] for r in out]
     assert dists == sorted(dists)
     assert len(out) == 9 and 0 not in [r["vec_id"] for r in out]
+
+
+def test_kmeans_two_level_k2_exceeding_cell_size(spark):
+    """Cells smaller than k2 seed only what they have; every vector
+    still gets an assignment and composite ids stay disjoint."""
+    from omop_etl_spark.operators.kmeans import kmeans_assign_two_level
+
+    df = _blobs(spark, per=2)  # 6 vectors, k1=3 cells of ~2
+    out = kmeans_assign_two_level(df, k1=3, k2=5, iters=2, scale=1000)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert len({r["vec_id"] for r in rows}) == 6
+    assert all(0 <= r["cluster_id"] < 15 for r in rows)
+
+
+def test_kmeans_two_level_rejects_bad_k(spark):
+    from omop_etl_spark.operators.kmeans import kmeans_assign_two_level
+
+    df = _blobs(spark, per=2)
+    for k1, k2 in [(0, 4), (4, 0), (-1, 2)]:
+        with pytest.raises(ValueError):
+            kmeans_assign_two_level(df, k1=k1, k2=k2)
