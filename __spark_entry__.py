@@ -11115,8 +11115,10 @@ def _q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_level_k,
     )
 
+    # count the RAW scan (Catalyst serves count(*) from parquet footer
+    # metadata); counting after spread() would pay a read + shuffle
+    k1, k2 = two_level_k(spark.read.parquet(f"{sf_dir}/embeddings.parquet").count())
     emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
-    k1, k2 = two_level_k(emb.count())
     asn = kmeans_assign_two_level(emb, k1=k1, k2=k2, iters=2).select(
         "vec_id", "cluster_id"
     )
