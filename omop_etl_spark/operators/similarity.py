@@ -463,6 +463,7 @@ def scoped_cosine_pairs(
     k: int | None = None,
     iters: int = 2,
     target_cluster_rows: int = 150,
+    max_cell: int = 4096,
 ) -> DataFrame:
     """SemDeDup-scoped cosine near-duplicate pairs — the at-scale
     DEFAULT router for semantic dedup (Abbas et al. 2023,
@@ -490,10 +491,25 @@ def scoped_cosine_pairs(
     vectors overwhelmingly co-assign. For exact recall on a BOUNDED
     input use :func:`cosine_pairs`.
 
+    **Oversized-cell cap** (``max_cell``): the size derivation pins
+    the EXPECTED cell at ~``target_cluster_rows``, but k-means does
+    not balance cells — a web-scale blob of (near-)identical vectors
+    lands in ONE cell and its all-pairs term is quadratic again. A
+    cell above ``max_cell`` members is therefore STAR-LINKED (the
+    same trade as ``minhash_lsh_pairs``'s bucket cap): every member
+    scores only against the cell's minimum-id hub, so per-cell work
+    is linear, every member of a genuine dup blob still lands in a
+    verified ≥-threshold pair, and connected components over the
+    output recover the full group. All-pairs behavior is unchanged
+    for cells at or under the cap; a non-hub pair inside an oversized
+    cell is not reported (recall caveat, acceptable for dedup —
+    oversized cells in practice ARE dup blobs).
+
     Same output shape as :func:`cosine_pairs` (``id_a < id_b``,
     ``score`` = cosine rounded to ``round_digits``), so downstream
     clustering (``assign_clusters``) is drop-in. The assigned+normed
-    frame is checkpointed once — both self-join sides read it.
+    frame is checkpointed once — the cell-stats window and both join
+    branches read it, all on the same ``cluster_id`` shuffle key.
 
     Resource contract (ADVICE r10): that local checkpoint's blocks
     outlive this call (``unpersist()`` cannot release checkpoint
@@ -526,29 +542,42 @@ def scoped_cosine_pairs(
         asn = kmeans_assign(
             df, id_col=id_col, vec_col=vec_col, k=k, iters=iters
         ).select(id_col, "cluster_id")
+    if max_cell < 2:
+        raise ValueError("scoped_cosine_pairs: max_cell must be >= 2")
     v = df.select(
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", norm(F.col("__v")))
+    # one window pass on the cell key (same shuffle key the self-join
+    # needs) annotates cell size + hub id (minhash_lsh_pairs pattern)
+    wc = Window.partitionBy("cluster_id")
     withc = (
         asn.join(v, asn[id_col] == v["__id"])
         .select("cluster_id", "__id", "__v", "__n")
+        .withColumn("__csz", F.count(F.lit(1)).over(wc))
+        .withColumn("__hub", F.min("__id").over(wc))
         .localCheckpoint(eager=True)
     )
-    a = withc.select(
-        F.col("cluster_id").alias("__ca"),
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
+
+    def side(src: DataFrame, c: str, suf: str) -> DataFrame:
+        return src.select(
+            F.col("cluster_id").alias(c),
+            F.col("__id").alias(f"id_{suf}"),
+            F.col("__v").alias(f"__v{suf}"),
+            F.col("__n").alias(f"__n{suf}"),
+        )
+
+    small = withc.filter(F.col("__csz") <= max_cell)
+    a, b = side(small, "__ca", "a"), side(small, "__cb", "b")
+    pairs_small = a.join(
+        b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b"))
     )
-    b = withc.select(
-        F.col("cluster_id").alias("__cb"),
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
+    big = withc.filter(F.col("__csz") > max_cell)
+    hubs = side(big.filter(F.col("__id") == F.col("__hub")), "__ca", "a")
+    members = side(big.filter(F.col("__id") != F.col("__hub")), "__cb", "b")
+    pairs_big = hubs.join(members, F.col("__ca") == F.col("__cb"))
     out = (
-        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
+        pairs_small.unionByName(pairs_big)
         .withColumn(
             "__s",
             dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),

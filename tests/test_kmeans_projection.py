@@ -262,3 +262,36 @@ def test_kmeans_two_level_rejects_bad_k(spark):
     for k1, k2 in [(0, 4), (4, 0), (-1, 2)]:
         with pytest.raises(ValueError):
             kmeans_assign_two_level(df, k1=k1, k2=k2)
+
+
+def test_scoped_cosine_pairs_oversized_cell_star_link(spark):
+    """A dup blob bigger than max_cell star-links to the hub: pair
+    count is linear (n-1, not n(n-1)/2), every member still appears,
+    connected components recover ONE group, and scores stay exact."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.similarity import scoped_cosine_pairs
+
+    n = 40
+    vec = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    pairs = scoped_cosine_pairs(
+        df, threshold=0.9, k=1, iters=1, max_cell=10
+    ).collect()
+    # star: hub = min id = 0, one pair per other member
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 and r["score"] == 1.0 for r in pairs)
+    assert {r["id_b"] for r in pairs} == set(range(1, n))
+    cl = assign_clusters(
+        df,
+        scoped_cosine_pairs(df, threshold=0.9, k=1, iters=1, max_cell=10),
+        id_col="vec_id",
+    ).collect()
+    assert {r["cluster_id"] for r in cl} == {0}
+    assert sum(r["is_survivor"] for r in cl) == 1
+    # at-or-under the cap: all-pairs behavior unchanged
+    full = scoped_cosine_pairs(
+        df, threshold=0.9, k=1, iters=1, max_cell=n
+    ).count()
+    assert full == n * (n - 1) // 2
