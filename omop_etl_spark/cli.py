@@ -123,6 +123,15 @@ def _cmd_compile(args) -> int:
         # <stem>.sql per rules FILE — named by the filename stem, not
         # the yaml `name:` field (two files may share a table name),
         # no cross-file dep resolution
+        # existence check BEFORE any side effect (ADVICE r12): the
+        # per-file branch skips load_rules_dir's clean error, so a
+        # missing rules path would otherwise mkdir the output dir and
+        # then crash with a raw FileNotFoundError from path.iterdir()
+        if not path.exists():
+            print(
+                f"error: rules path {path} does not exist", file=sys.stderr
+            )
+            return 2
         out_dir = Path(args.output or "sql")
         if out_dir.exists() and not out_dir.is_dir():
             print(

@@ -454,6 +454,12 @@ def cosine_pairs(
     )
 
 
+# sentinel: "apply the default oversized-cell cap policy" — resolved
+# inside scoped_cosine_pairs to 4096 on the self-scaling (k=None) path
+# and to None (no cap) on the explicit-k calibration path
+_MAX_CELL_AUTO: int = -1
+
+
 def scoped_cosine_pairs(
     df: DataFrame,
     threshold: float,
@@ -463,7 +469,7 @@ def scoped_cosine_pairs(
     k: int | None = None,
     iters: int = 2,
     target_cluster_rows: int = 150,
-    max_cell: int = 4096,
+    max_cell: int | None = _MAX_CELL_AUTO,
 ) -> DataFrame:
     """SemDeDup-scoped cosine near-duplicate pairs — the at-scale
     DEFAULT router for semantic dedup (Abbas et al. 2023,
@@ -505,6 +511,14 @@ def scoped_cosine_pairs(
     cell is not reported (recall caveat, acceptable for dedup —
     oversized cells in practice ARE dup blobs).
 
+    Cap DEFAULT policy (ADVICE r12): left unspecified, the cap is
+    4096 on the self-scaling ``k=None`` path and **None (no cap)** on
+    the explicit-``k`` path — explicit-k callers are the
+    bounded-input calibration/recall audits, where silently dropping
+    non-hub pairs would skew the audit. Pass ``max_cell=<int>``
+    explicitly to cap either path, or ``max_cell=None`` to disable
+    the cap on the self-scaling path (NOT recommended at scale).
+
     Same output shape as :func:`cosine_pairs` (``id_a < id_b``,
     ``score`` = cosine rounded to ``round_digits``), so downstream
     clustering (``assign_clusters``) is drop-in. The assigned+normed
@@ -527,6 +541,12 @@ def scoped_cosine_pairs(
     """
     from .kmeans import kmeans_assign, kmeans_assign_two_level, two_level_k
 
+    if max_cell == _MAX_CELL_AUTO:
+        max_cell = 4096 if k is None else None
+    # validate BEFORE the count/kmeans work (ADVICE r12: a bad cap
+    # used to surface only after the full clustering pass had run)
+    if max_cell is not None and max_cell < 2:
+        raise ValueError("scoped_cosine_pairs: max_cell must be >= 2")
     if k is None:
         # count BEFORE spread(): on a parquet scan Catalyst serves
         # count(*) from footer metadata; after the repartition it
@@ -542,23 +562,10 @@ def scoped_cosine_pairs(
         asn = kmeans_assign(
             df, id_col=id_col, vec_col=vec_col, k=k, iters=iters
         ).select(id_col, "cluster_id")
-    if max_cell < 2:
-        raise ValueError("scoped_cosine_pairs: max_cell must be >= 2")
     v = df.select(
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", norm(F.col("__v")))
-    # one window pass on the cell key (same shuffle key the self-join
-    # needs) annotates cell size + hub id (minhash_lsh_pairs pattern)
-    wc = Window.partitionBy("cluster_id")
-    withc = (
-        asn.join(v, asn[id_col] == v["__id"])
-        .select("cluster_id", "__id", "__v", "__n")
-        .withColumn("__csz", F.count(F.lit(1)).over(wc))
-        .withColumn("__hub", F.min("__id").over(wc))
-        .localCheckpoint(eager=True)
-    )
-
     def side(src: DataFrame, c: str, suf: str) -> DataFrame:
         return src.select(
             F.col("cluster_id").alias(c),
@@ -567,17 +574,47 @@ def scoped_cosine_pairs(
             F.col("__n").alias(f"__n{suf}"),
         )
 
-    small = withc.filter(F.col("__csz") <= max_cell)
-    a, b = side(small, "__ca", "a"), side(small, "__cb", "b")
-    pairs_small = a.join(
-        b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b"))
-    )
-    big = withc.filter(F.col("__csz") > max_cell)
-    hubs = side(big.filter(F.col("__id") == F.col("__hub")), "__ca", "a")
-    members = side(big.filter(F.col("__id") != F.col("__hub")), "__cb", "b")
-    pairs_big = hubs.join(members, F.col("__ca") == F.col("__cb"))
+    if max_cell is None:
+        # uncapped (explicit-k calibration default): plain
+        # within-cell all-pairs — no size/hub window needed
+        withc = (
+            asn.join(v, asn[id_col] == v["__id"])
+            .select("cluster_id", "__id", "__v", "__n")
+            .localCheckpoint(eager=True)
+        )
+        a, b = side(withc, "__ca", "a"), side(withc, "__cb", "b")
+        pairs = a.join(
+            b,
+            (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")),
+        )
+    else:
+        # one window pass on the cell key (same shuffle key the
+        # self-join needs) annotates cell size + hub id
+        # (minhash_lsh_pairs pattern)
+        wc = Window.partitionBy("cluster_id")
+        withc = (
+            asn.join(v, asn[id_col] == v["__id"])
+            .select("cluster_id", "__id", "__v", "__n")
+            .withColumn("__csz", F.count(F.lit(1)).over(wc))
+            .withColumn("__hub", F.min("__id").over(wc))
+            .localCheckpoint(eager=True)
+        )
+        small = withc.filter(F.col("__csz") <= max_cell)
+        a, b = side(small, "__ca", "a"), side(small, "__cb", "b")
+        pairs_small = a.join(
+            b,
+            (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        big = withc.filter(F.col("__csz") > max_cell)
+        hubs = side(big.filter(F.col("__id") == F.col("__hub")), "__ca", "a")
+        members = side(
+            big.filter(F.col("__id") != F.col("__hub")), "__cb", "b"
+        )
+        pairs = pairs_small.unionByName(
+            hubs.join(members, F.col("__ca") == F.col("__cb"))
+        )
     out = (
-        pairs_small.unionByName(pairs_big)
+        pairs
         .withColumn(
             "__s",
             dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),

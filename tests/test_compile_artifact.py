@@ -182,6 +182,22 @@ def test_cli_no_one_file_output_is_a_file_errors_cleanly(tmp_path):
     assert out.read_text() == "occupied"
 
 
+def test_cli_no_one_file_missing_rules_path_errors_cleanly(tmp_path):
+    """ADVICE r12: with --no-one-file the lazy-load path skips
+    load_rules_dir's clean error, so a nonexistent rules path must be
+    caught BEFORE the output dir is created — a clean rc=2, no raw
+    FileNotFoundError from path.iterdir(), no side-effect mkdir."""
+    from omop_etl_spark.cli import main
+
+    rules = tmp_path / "does_not_exist"
+    out = tmp_path / "sql_out"
+    rc = main(
+        ["compile", "--rules", str(rules), "--output", str(out), "--no-one-file"]
+    )
+    assert rc == 2
+    assert not out.exists()
+
+
 def test_cli_no_one_file_skips_cross_file_dep_resolution(tmp_path):
     """ADVICE r11: --no-one-file performs no cross-file dependency
     resolution (reference __main__.py:34-49), so a rules file naming an

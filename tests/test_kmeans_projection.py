@@ -295,3 +295,24 @@ def test_scoped_cosine_pairs_oversized_cell_star_link(spark):
         df, threshold=0.9, k=1, iters=1, max_cell=n
     ).count()
     assert full == n * (n - 1) // 2
+    # ADVICE r12: the explicit-k (calibration) path defaults to NO cap
+    # — same all-pairs count without naming max_cell at all
+    assert (
+        scoped_cosine_pairs(df, threshold=0.9, k=1, iters=1).count() == full
+    )
+
+
+def test_scoped_cosine_pairs_bad_max_cell_raises_before_work(spark):
+    """ADVICE r12: an invalid max_cell must raise up front, before the
+    count/kmeans pass runs (the old check sat after the clustering)."""
+    from omop_etl_spark.operators.similarity import scoped_cosine_pairs
+
+    # a frame whose evaluation would EXPLODE if any job ran — the
+    # validation must fire without triggering it
+    df = spark.range(1).selectExpr(
+        "id AS vec_id",
+        "array(CAST(assert_true(false) IS NULL AS DOUBLE)) AS embedding",
+    )
+    for bad in (1, 0, -5):
+        with pytest.raises(ValueError, match="max_cell"):
+            scoped_cosine_pairs(df, threshold=0.5, k=2, max_cell=bad)
