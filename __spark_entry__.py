@@ -11227,6 +11227,79 @@ FROM fl GROUP BY 1
     )
 
 
+def _q_embed_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oversized-cell STAR-LINK branch of
+    ``similarity.scoped_cosine_pairs`` (VERDICT r12 #2), driver-gated
+    with a cap that BINDS at every test SF: flat ``k=8`` Lloyd (the
+    ``embed_kmeans`` oracle chain) puts sf0.01's 500 vectors into
+    cells of 52–74 members, so ``max_cell=62`` splits the corpus into
+    all-pairs cells (≤62) AND star-linked cells (>62) — both join
+    branches execute and are value-replayed. In a star-linked cell
+    every member scores only against the min-id hub (linear per-cell
+    work, the k-means-doesn't-balance-cells defense: a web-scale dup
+    blob lands in ONE cell and would otherwise be quadratic again);
+    connected components over the union then recover full groups —
+    the CC step is the recovery contract the cap relies on, so the
+    gate replays it too (``assign_clusters``, min-id label
+    propagation). Threshold 0.2 keeps a non-trivial edge set on the
+    synthetic corpus (max pairwise cosine ~0.5, no planted dups).
+    Output: per-vector CC cluster id + survivor flag — all integers,
+    hash-stable."""
+    from omop_etl_spark.operators.cluster import assign_clusters
+    from omop_etl_spark.operators.similarity import scoped_cosine_pairs
+
+    emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
+    pairs = scoped_cosine_pairs(emb, threshold=0.2, k=8, iters=2, max_cell=62)
+    return assign_clusters(emb, pairs, id_col="vec_id").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_survivor",
+    )
+
+
+def _oracle_embed_semdedup_capped() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _kmeans_oracle_ctes(k=8)
+        + """,
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT e.vec_id, w2.cluster_id, e.v
+       FROM e JOIN w2 ON e.vec_id = w2.vec_id),
+st AS (SELECT vec_id, cluster_id, v,
+              COUNT(*) OVER (PARTITION BY cluster_id) AS csz,
+              MIN(vec_id) OVER (PARTITION BY cluster_id) AS hub
+       FROM sc),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM st a JOIN st b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE a.csz <= 62
+  UNION ALL
+  SELECT a.vec_id, b.vec_id, a.v, b.v
+  FROM st a JOIN st b ON a.cluster_id = b.cluster_id
+  WHERE a.csz > 62 AND a.vec_id = a.hub AND b.vec_id <> b.hub
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE list_dot_product(va, vb) /
+        (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.id = e2.v
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM reach GROUP BY id
+"""
+    )
+
+
 ORACLE_EVENTS_TOP_PATHS = """
 WITH o AS (
   SELECT user_id, ts, event_id, event_type,
@@ -12061,6 +12134,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders it into the r11 driver window above.  See
     # LOCALCHECK_r11.md for the per-entry last-driver-green manifest.
     return {
+        # -- new in r13 --
+        "embed_semdedup_capped": _q_embed_semdedup_capped,
         # -- new in r12 --
         "embed_kmeans2": _q_embed_kmeans2,
         "events_sessionize_stream": _q_events_sessionize_stream,
@@ -12483,6 +12558,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_pq_topk": _oracle_embed_pq_topk(),
         "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
         "embed_semdedup": _oracle_embed_semdedup(),
+        "embed_semdedup_capped": _oracle_embed_semdedup_capped(),
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
