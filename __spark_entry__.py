@@ -815,6 +815,74 @@ def _q_events_busy_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_latest_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING last-writer-wins state (VERDICT r12 #7): the events
+    parquet replayed through the file source (``Trigger.AvailableNow``)
+    into ``streaming.events.stream_latest_state`` — the continuously
+    maintained CDC/SCD1 'current value' table (the batch engine's LWW
+    column rule, SURVEY §2.1 #8, as an ``applyInPandasWithState``
+    operator with one (ord, value) pair of state per live key).
+
+    Oracle = the batch argmax: per user, the event_type at the maximum
+    ts, ord ties broken by the GREATER value string (the operator's
+    documented batching-independent total order; DuckDB replays it as
+    ``MAX(val)`` over the max-ord rows — NULL loses under both). The
+    final per-key row is recovered from the append-mode emissions
+    without batch ids: the state is monotone under that same total
+    order, so ``max(struct(ord, value))`` IS the last emission (the
+    busy-time recovery pattern; struct comparison sorts NULL first,
+    the same NULL-loses rule)."""
+    import uuid
+
+    from omop_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_latest_state,
+    )
+
+    src = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    lww = src.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("ts")).alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+    )
+    qn = f"lww_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_latest_state(
+            lww, "user_id", "last_ts_us", "last_event_type"
+        )
+        .writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    final = spark.table(qn).groupBy("user_id").agg(
+        F.max(F.struct("last_ts_us", "last_event_type")).alias("__w")
+    )
+    return final.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("__w.last_ts_us").cast("bigint").alias("last_ts_us"),
+        F.col("__w.last_event_type").alias("last_event_type"),
+    )
+
+
+ORACLE_EVENTS_LATEST_STATE_STREAM = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ord, event_type AS val FROM events
+),
+m AS (SELECT user_id, MAX(ord) AS last_ts_us FROM o GROUP BY 1)
+SELECT CAST(o.user_id AS BIGINT) AS user_id,
+       CAST(m.last_ts_us AS BIGINT) AS last_ts_us,
+       MAX(o.val) AS last_event_type
+FROM o JOIN m ON o.user_id = m.user_id AND o.ord = m.last_ts_us
+GROUP BY 1, 2
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event annotated with the customer's most
     recent order at event time (union-window plan: one shuffle, no
@@ -12136,6 +12204,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r13 --
         "embed_semdedup_capped": _q_embed_semdedup_capped,
+        "events_latest_state_stream": _q_events_latest_state_stream,
         # -- new in r12 --
         "embed_kmeans2": _q_embed_kmeans2,
         "events_sessionize_stream": _q_events_sessionize_stream,
@@ -12559,6 +12628,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
         "embed_semdedup": _oracle_embed_semdedup(),
         "embed_semdedup_capped": _oracle_embed_semdedup_capped(),
+        "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE_STREAM,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
