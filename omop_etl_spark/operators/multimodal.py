@@ -6,11 +6,14 @@ Arrow-batched ``mapInPandas`` so payload bytes never round-trip through
 row-at-a-time Python. The decode stage takes an injected decoder
 callable: :func:`png_decoder` / :func:`wav_decoder` are REAL
 pure-stdlib parsers (IHDR/acTL/IDAT chunks; ``wave`` PCM), tested on
-generated media in this container; :func:`pil_decoder` /
-:func:`pil_resizer` are import-gated Pillow adapters for the general
-image case (Pillow is absent here, so they raise
-``NotImplementedError`` until the executors have it);
-:func:`media_decoder` dispatches on magic bytes across all of them.
+generated media in this container, and :func:`png_pixels` /
+:func:`png_resizer` / :func:`png_encode` extend that to a full
+decode→bilinear-resample→re-encode path (unfiltered scanlines, numpy
+resample) with no Pillow; :func:`pil_decoder` / :func:`pil_resizer`
+are import-gated Pillow adapters for the general image case (Pillow
+is absent here, so they raise ``NotImplementedError`` until the
+executors have it); :func:`media_decoder` / :func:`media_resizer`
+dispatch on magic bytes across all of them.
 :func:`fake_decoder` remains the deterministic stand-in the oracle
 gates use — driver testdata payloads are synthetic bytes, not media.
 
@@ -48,8 +51,12 @@ __all__ = [
     "fake_resizer",
     "fake_frame_extractor",
     "png_decoder",
+    "png_pixels",
+    "png_encode",
+    "png_resizer",
     "wav_decoder",
     "media_decoder",
+    "media_resizer",
     "pil_decoder",
     "pil_resizer",
 ]
@@ -240,6 +247,167 @@ def pil_resizer(payload: bytes, width: int, height: int) -> bytes:
         return buf.getvalue()
 
 
+def png_pixels(payload: bytes):
+    """REAL pure-stdlib+numpy PNG pixel decode (VERDICT r12 #5): IHDR →
+    inflate IDAT → unfilter the scanlines (all five PNG filter types:
+    None/Sub/Up/Average/Paeth) → ``numpy uint8`` array of shape
+    ``(height, width, channels)``. Supports the non-interlaced 8-bit
+    color types (0 gray, 2 RGB, 4 gray+alpha, 6 RGBA) — covers
+    everything :func:`png_encode` and the test fixtures emit; raises
+    ``ValueError`` on other depths, palette images, or Adam7 interlace
+    (those fall to the Pillow fast path via :func:`media_resizer`).
+
+    The unfilter loop is per-scanline sequential (each filter is a
+    running recurrence along the row) but each row step is a numpy
+    whole-row op except Sub/Paeth's byte recurrence — acceptable for
+    the FALLBACK path; Pillow remains the production fast path.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("png_pixels: not a PNG payload")
+    width = height = None
+    depth = ctype_code = interlace = None
+    idat = b""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("png_pixels: truncated IHDR")
+            width, height, depth, ctype_code, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("png_pixels: missing IHDR")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_code)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            f"png_pixels: unsupported PNG (depth={depth} color={ctype_code} "
+            f"interlace={interlace}); use the Pillow adapter"
+        )
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as ex:
+        raise ValueError(f"png_pixels: bad IDAT stream: {ex}") from ex
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("png_pixels: IDAT shorter than the scanline grid")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        cur = row.astype(np.int32)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub: byte recurrence on the row itself
+            cur = cur.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up: whole-row vector add
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = cur.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = cur.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"png_pixels: unknown filter type {ftype}")
+        prev = cur.astype(np.uint8)
+        out[y] = prev
+    return out.reshape(height, width, channels)
+
+
+def png_encode(pixels) -> bytes:
+    """Encode a ``(height, width, channels)`` uint8 array as a PNG
+    (filter 0 scanlines, one zlib stream) — the inverse of
+    :func:`png_pixels` for the supported color types (1/2/3/4
+    channels → gray / gray+alpha / RGB / RGBA)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("png_encode: expected (h, w, 1|2|3|4) uint8 array")
+    h, w, ch = px.shape
+    ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # filter byte 0 per row, then one zlib stream over the grid
+    grid = np.hstack([np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * ch)])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(grid.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Pure stdlib+numpy bilinear PNG resize (VERDICT r12 #5) — the
+    fallback that makes the resize path executable without Pillow:
+    :func:`png_pixels` → vectorized bilinear resample (half-pixel-
+    center source mapping with edge clamp, the standard convention) →
+    :func:`png_encode`. Deterministic: float64 interpolation weights,
+    ``rint`` to uint8. Inject into :func:`resize_media` directly, or
+    via :func:`media_resizer` for magic-byte dispatch with the Pillow
+    fast path."""
+    import numpy as np
+
+    if width < 1 or height < 1:
+        raise ValueError("png_resizer: target dims must be >= 1")
+    px = png_pixels(payload).astype(np.float64)
+    sh, sw = px.shape[0], px.shape[1]
+    # half-pixel-center mapping, clamped to the source grid
+    sx = np.clip((np.arange(width) + 0.5) * (sw / width) - 0.5, 0, sw - 1)
+    sy = np.clip((np.arange(height) + 0.5) * (sh / height) - 0.5, 0, sh - 1)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    fx = (sx - x0)[None, :, None]
+    fy = (sy - y0)[:, None, None]
+    top = px[y0][:, x0] * (1 - fx) + px[y0][:, x1] * fx
+    bot = px[y1][:, x0] * (1 - fx) + px[y1][:, x1] * fx
+    res = top * (1 - fy) + bot * fy
+    return png_encode(np.rint(res).astype(np.uint8))
+
+
 def media_decoder(payload: bytes, media_type: str) -> dict:
     """Magic-byte dispatch decoder: PNG and WAV payloads decode with
     the pure-stdlib parsers above; anything else falls through to
@@ -253,6 +421,22 @@ def media_decoder(payload: bytes, media_type: str) -> dict:
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return wav_decoder(p, media_type)
     return pil_decoder(p, media_type)
+
+
+def media_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Magic-byte dispatch resizer, the :func:`media_decoder` twin:
+    8-bit non-interlaced PNGs resize with the pure stdlib+numpy
+    :func:`png_resizer`; everything else (JPEG/GIF/WebP, palette or
+    16-bit PNGs) falls through to the import-gated Pillow fast path.
+    The falls-through-on-ValueError shape means installing Pillow on
+    the executors widens coverage with no plumbing change."""
+    p = payload or b""
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return png_resizer(p, width, height)
+        except ValueError:
+            pass  # unsupported PNG flavor: try Pillow below
+    return pil_resizer(p, width, height)
 
 
 def decode_and_extract(
