@@ -7,7 +7,48 @@ via ``SparkSession.builder.config`` as usual.
 
 from __future__ import annotations
 
-__all__ = ["recommended_conf", "apply_recommended"]
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    from pyspark.sql import DataFrame
+
+__all__ = ["recommended_conf", "apply_recommended", "checkpoint"]
+
+#: session conf that flips every iterative operator's checkpoint from
+#: eager-local to RELIABLE (VERDICT r12 #6): local checkpoints are
+#: faster (measured 5-8% on the dedup gates) but non-reliable — lose an
+#: executor holding blocks and downstream stages cannot recompute. On a
+#: cluster with elastic/spot executors set this to "true" AND call
+#: ``spark.sparkContext.setCheckpointDir(...)`` once; every operator
+#: switches with no code edit.
+RELIABLE_CHECKPOINT_CONF = "spark.omop_etl.checkpoint.reliable"
+
+
+def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
+    """Checkpoint ``df`` per the session's reliability contract.
+
+    Default: ``localCheckpoint(eager=...)`` — executor-local blocks, no
+    DFS round-trip, the right trade on a stable cluster (and the only
+    mode on local[*], which has no partial-executor-loss failure mode).
+    With :data:`RELIABLE_CHECKPOINT_CONF` set to ``"true"``, uses
+    reliable ``.checkpoint(eager=...)`` against the context's
+    checkpoint directory instead, and raises a clear error if no
+    checkpoint dir is set (failing loudly beats silently running
+    non-reliable after the caller asked for reliable).
+
+    The eager/lazy decision stays with the CALLER (it is a per-loop
+    job-count trade, SCALE.md §18); only the storage reliability is
+    conf-driven.
+    """
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false") == "true":
+        if spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                f"{RELIABLE_CHECKPOINT_CONF}=true but no checkpoint dir; "
+                "call spark.sparkContext.setCheckpointDir(<DFS path>) first"
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def recommended_conf(cores: int = 32) -> dict[str, str]:

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 __all__ = [
     "DEFAULT_MERGES",
     "BASE_SYMBOLS",
@@ -280,7 +282,7 @@ def learn_merges(
     syms = words.select(
         F.split(F.col(word_col), "").alias("__syms"),
         F.col(count_col).cast("bigint").alias("__n"),
-    ).localCheckpoint(eager=True)
+    ).transform(_checkpoint)
     empty = F.expr("CAST(array() AS ARRAY<STRING>)")
     merges: list[tuple[str, str, int]] = []
     for _ in range(k):
@@ -330,7 +332,7 @@ def learn_merges(
         # eager wins — there the frame is re-read several times per
         # round; here exactly once.  The final round's checkpoint is
         # never materialized at all.
-        syms = syms.select(fold.alias("__syms"), "__n").localCheckpoint(eager=False)
+        syms = syms.select(fold.alias("__syms"), "__n").transform(_checkpoint, eager=False)
     return merges
 
 

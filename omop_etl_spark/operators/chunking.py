@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 from .util import spread
 
 __all__ = [
@@ -1021,8 +1023,8 @@ def learn_unigram_vocab(
     # at the 10x tiling pre-fix), and the per-round vocab/usage frames
     # (vocab-bounded KBs) checkpoint each iterate so round r+1's plan
     # starts from materialized state instead of re-deriving round r.
-    words = words.select(word_col, count_col).localCheckpoint(eager=True)
-    cur = pieces.select(piece_col, cost_col).localCheckpoint(eager=True)
+    words = words.select(word_col, count_col).transform(_checkpoint)
+    cur = pieces.select(piece_col, cost_col).transform(_checkpoint)
     usage = None
     for _ in range(rounds):
         # The checkpoint between segmentation and explode is
@@ -1037,7 +1039,7 @@ def learn_unigram_vocab(
             words, cur, word_col, piece_col, cost_col,
             max_piece_len, max_word_len,
             _op_name="learn_unigram_vocab",
-        ).localCheckpoint(eager=True)
+        ).transform(_checkpoint)
         usage = (
             seg.select(
                 F.explode("seg_pieces").alias(piece_col),
@@ -1045,7 +1047,7 @@ def learn_unigram_vocab(
             )
             .groupBy(piece_col)
             .agg(F.sum("__w").alias("usage"))
-            .localCheckpoint(eager=True)
+            .transform(_checkpoint)
         )
         cur = (
             cur.select(piece_col)
@@ -1058,7 +1060,7 @@ def learn_unigram_vocab(
                     f"+ length({piece_col})"
                 ).alias(cost_col),
             )
-            .localCheckpoint(eager=True)
+            .transform(_checkpoint)
         )
     return (
         cur.join(usage, piece_col, "left")

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 __all__ = ["connected_components", "assign_clusters"]
 
 
@@ -93,7 +95,7 @@ def connected_components(
     first aligned round ≥ K+1, i.e. 1-2 extra full shuffle rounds to
     save ~K/2 one-row collects.
     """
-    b = _canonical(edges, src, dst).localCheckpoint()
+    b = _canonical(edges, src, dst).transform(_checkpoint)
     sig = _signature(b)
     narrow: int | None = None
     if rows_per_partition:
@@ -141,7 +143,7 @@ def _cc_loop(
             .select(F.col("small").alias("big"), F.col("m").alias("small"))
             .union(star.select("big", F.col("m").alias("small")))
         )
-        b_next = _nw(b_next, "big", "small").distinct().localCheckpoint()
+        b_next = _nw(b_next, "big", "small").distinct().transform(_checkpoint)
         next_sig = _signature(b_next)
         b.unpersist()
         b = b_next

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 __all__ = [
     "out_degrees",
     "pagerank",
@@ -114,7 +116,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(_checkpoint, eager=False)
     return ranks
 
 
@@ -157,7 +159,7 @@ def count_triangles(
         edges.select(lo.alias("u"), hi.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_checkpoint)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -176,7 +178,7 @@ def count_triangles(
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("ra"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("rb"),
-    ).localCheckpoint(eager=True)
+    ).transform(_checkpoint)
     e1 = oriented.select(
         F.col("a"), F.col("b").alias("w1"), F.col("rb").alias("r1")
     )
@@ -240,13 +242,13 @@ def bfs_hops(
         e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_checkpoint)
     )
     visited = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0).cast("int"))
-        .localCheckpoint(eager=True)
+        .transform(_checkpoint)
     )
     frontier = visited.select("node")
     for h in range(1, max_hops + 1):
@@ -258,7 +260,7 @@ def bfs_hops(
         new = (
             nbrs.join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h).cast("int"))
-            .localCheckpoint(eager=True)
+            .transform(_checkpoint)
         )
         if new.isEmpty():
             break
@@ -313,13 +315,13 @@ def sssp(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
         )
         .filter(F.col("a") != F.col("b"))
-        .localCheckpoint(eager=True)
+        .transform(_checkpoint)
     )
     dist = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .transform(_checkpoint)
     )
     for _ in range(max_rounds):
         relaxed = (
@@ -333,7 +335,7 @@ def sssp(
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(_checkpoint)
         )
     return dist
 
@@ -368,13 +370,13 @@ def kcore_peel(
     # set (an eager, executor-local materialization, same policy as
     # cluster.py's CC loop) makes every round one aggregate + two
     # joins over a flat scan.
-    b = edges.localCheckpoint()
+    b = edges.transform(_checkpoint)
     for _ in range(rounds):
         deg = b.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select(src)
         nxt = b.join(keep, src, "left_semi").join(
             keep.withColumnRenamed(src, dst), dst, "left_semi"
-        ).localCheckpoint()
+        ).transform(_checkpoint)
         # No explicit unpersist: DataFrame.unpersist() does not
         # release localCheckpoint RDD blocks (it's a no-op here —
         # ADVICE r8). Superseded rounds' blocks are reclaimed by the
@@ -416,10 +418,10 @@ def label_propagation(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_checkpoint)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).transform(_checkpoint)
     for _ in range(rounds):
         msgs = (
             e.join(labels.withColumnRenamed("node", "s"), "s")
@@ -438,7 +440,7 @@ def label_propagation(
             nodes.join(labels, "node")
             .join(picked, "node", "left")
             .select("node", F.coalesce("__new", "label").alias("label"))
-            .localCheckpoint()
+            .transform(_checkpoint)
         )
     return labels
 
@@ -486,13 +488,13 @@ def markov_stationary(
     edges = transitions.select(
         F.col(src).alias("__u"), F.col(dst).alias("__w"),
         F.col(weight).cast("bigint").alias("__n"),
-    ).localCheckpoint(eager=True)
+    ).transform(_checkpoint)
     deg = edges.groupBy("__u").agg(F.sum("__n").alias("__deg"))
-    e = edges.join(F.broadcast(deg), "__u").localCheckpoint(eager=True)
+    e = edges.join(F.broadcast(deg), "__u").transform(_checkpoint)
     states = (
         edges.select(F.col("__u").alias("__s"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_checkpoint)
     )
     v = states.select("__s", F.lit(scale).cast("bigint").alias("__v"))
     for _ in range(rounds):
@@ -516,7 +518,7 @@ def markov_stationary(
         )
         # state-count-bounded iterate; checkpoint kills exponential
         # join-lineage replanning (same pattern as kcore_peel).
-        v = v.localCheckpoint(eager=False)
+        v = v.transform(_checkpoint, eager=False)
     return v.select(F.col("__s").alias("state"), F.col("__v").alias("stationary_scaled"))
 
 

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 from .similarity import _as_double
 
 __all__ = ["kmeans_assign", "kmeans_assign_two_level", "two_level_k"]
@@ -165,7 +167,7 @@ def kmeans_assign(
         F.col(id_col),
         F.col("__win.cluster_id").cast("int").alias("cluster_id"),
         F.col("__win.dist_sq").cast("bigint").alias("dist_sq"),
-    ).localCheckpoint(eager=True)
+    ).transform(_checkpoint)
     q.unpersist()
     return out
 
@@ -268,7 +270,7 @@ def kmeans_assign_two_level(
     # loop, derive everything from the checkpoint (SCALE.md §18)
     coarse = assigned.select(
         F.col(id_col), F.col("__win.__c").alias("__c"), "__xq"
-    ).localCheckpoint(eager=True)
+    ).transform(_checkpoint)
     q.unpersist()
 
     # fine seeds: the k2 smallest ids per cell; the window is
@@ -318,5 +320,5 @@ def kmeans_assign_two_level(
         .cast("int")
         .alias("cluster_id"),
         F.col("__win.dist_sq").cast("bigint").alias("dist_sq"),
-    ).localCheckpoint(eager=True)
+    ).transform(_checkpoint)
     return out

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 from .util import spread
 
 __all__ = [
@@ -280,7 +282,7 @@ def pq_topk(
                 lambda st: st["mx"],
             ).alias("cq")
         )
-    cents = cents.localCheckpoint(eager=True)
+    cents = cents.transform(_checkpoint)
 
     codes = assign(cents).select(
         "vid", "s", F.col("__win.cid").alias("code")
@@ -531,10 +533,13 @@ def scoped_cosine_pairs(
     frame is GC'd, so repeated calls leak only until the caller drops
     the previous result. Local checkpoints are also non-reliable —
     lose an executor holding blocks and downstream stages cannot
-    recompute; at cluster scale with elastic executors prefer a
-    reliable ``setCheckpointDir`` + ``.checkpoint()`` (the eager
-    local form is kept here because it measured 5-8% faster on the
-    dedup gates and local[*] has no partial-executor-loss mode).
+    recompute; at cluster scale with elastic executors set
+    ``spark.omop_etl.checkpoint.reliable=true`` plus a
+    ``setCheckpointDir`` and every operator checkpoint (this one
+    included) switches to reliable ``.checkpoint()`` with no code
+    edit (``conf.checkpoint``, VERDICT r12 #6; the eager local
+    default is kept because it measured 5-8% faster on the dedup
+    gates and local[*] has no partial-executor-loss mode).
     ``kmeans_assign`` releases its own corpus persist before
     returning, so the checkpoint is this operator's only retained
     state.
@@ -580,7 +585,7 @@ def scoped_cosine_pairs(
         withc = (
             asn.join(v, asn[id_col] == v["__id"])
             .select("cluster_id", "__id", "__v", "__n")
-            .localCheckpoint(eager=True)
+            .transform(_checkpoint)
         )
         a, b = side(withc, "__ca", "a"), side(withc, "__cb", "b")
         pairs = a.join(
@@ -597,7 +602,7 @@ def scoped_cosine_pairs(
             .select("cluster_id", "__id", "__v", "__n")
             .withColumn("__csz", F.count(F.lit(1)).over(wc))
             .withColumn("__hub", F.min("__id").over(wc))
-            .localCheckpoint(eager=True)
+            .transform(_checkpoint)
         )
         small = withc.filter(F.col("__csz") <= max_cell)
         a, b = side(small, "__ca", "a"), side(small, "__cb", "b")

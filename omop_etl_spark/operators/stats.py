@@ -28,6 +28,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 __all__ = [
     "quantized_comoments",
     "quantized_covariance",
@@ -265,7 +267,7 @@ def power_iteration_top_eigen(
     # and deriving the start vector FROM the checkpoint means the
     # upstream executes exactly once.  Done inside the operator so
     # every caller inherits it.
-    m = m.localCheckpoint(eager=True)
+    m = m.transform(_checkpoint)
     v = (
         m.select(F.col("__mi").alias("__vi"))
         .distinct()
@@ -294,7 +296,7 @@ def power_iteration_top_eigen(
         # d-row iterate; checkpoint kills the exponential join-lineage
         # replanning that otherwise dominates past a handful of rounds
         # (same pattern as graph.kcore_peel / label_propagation).
-        v = v.localCheckpoint(eager=False)
+        v = v.transform(_checkpoint, eager=False)
     return v.select(F.col("__vi").alias(i_col), F.col("__v").alias("v"))
 
 
@@ -337,7 +339,7 @@ def robust_group_stats(
     counts = (
         df.groupBy(*gcols, value_col)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .transform(_checkpoint)
     )
     cuts = exact_quantile_cuts(
         counts, gcols, value_col, [lo, 0.5, hi], count_col="__c"

@@ -65,3 +65,32 @@ def test_zorder_key_timestamp_column(spark):
     ).select("k", F.col("t").cast("timestamp").alias("t"))
     out = zorder_key(df, ["k", "t"], bits=8).collect()
     assert all(r["zkey"] is not None and r["zkey"] >= 0 for r in out)
+
+
+def test_checkpoint_conf_switch(spark, tmp_path):
+    """VERDICT r12 #6: the reliable-checkpoint contract is a session
+    conf, not a code edit. Default = localCheckpoint; with the flag on
+    and a checkpoint dir set, operators checkpoint RELIABLY (files
+    land under the dir); flag on without a dir fails loudly."""
+    import pytest
+
+    from omop_etl_spark.conf import RELIABLE_CHECKPOINT_CONF, checkpoint
+
+    df = spark.range(100).withColumnRenamed("id", "n")
+    # default path: local, no dir needed, values preserved
+    assert checkpoint(df).count() == 100
+    had_dir = spark.sparkContext.getCheckpointDir() is not None
+    try:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+        if not had_dir:
+            with pytest.raises(ValueError, match="checkpoint dir"):
+                checkpoint(df)
+        ckdir = tmp_path / "ck"
+        spark.sparkContext.setCheckpointDir(str(ckdir))
+        out = checkpoint(df)
+        assert out.count() == 100
+        assert any(ckdir.rglob("*")), "reliable checkpoint wrote nothing"
+        # lazy reliable checkpoints too (caller keeps the eager choice)
+        assert checkpoint(df, eager=False).count() == 100
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
