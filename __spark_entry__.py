@@ -12012,24 +12012,80 @@ FROM g GROUP BY user_id
 """
 
 
-# The r12 driver window (VERDICT r11 #2): the driver's CORRECTNESS gate
-# reads the FIRST 50 entries of queries().  Queries NEW in r12 lead
-# (never-checked beats stale), then the two gates whose operator form
-# changed this round (two-level SemDeDup assignment), then the entire
-# 31-query r06 cohort (the stalest greens), backfilled with the 15
-# stalest r07 greens to exactly 50.  After this round's driver run
-# nothing in the registry is older than r07.
-_WINDOW_R12: list[str] = [
-    # -- new in r12 (never driver-verified) --
+# The r13 driver window (VERDICT r12 #1): the driver's CORRECTNESS gate
+# reads the FIRST 50 entries of queries().  Queries NEW in r13 lead
+# (never-checked beats stale; embed_semdedup_capped driver-gates the
+# star-link branch, VERDICT r12 #2), then the entire 24-query r07
+# cohort (the stalest greens), backfilled with the 24 stalest r08
+# greens to exactly 50.  After this round's driver run nothing in the
+# registry is older than r08, and the 20 r08 entries left below the
+# window rotate in r14.
+_WINDOW_R13: list[str] = [
+    # -- new in r13 (never driver-verified) --
+    "embed_semdedup_capped",
+    "events_latest_state_stream",
+    # -- last driver-green r07 (24) --
+    "docs_mixture_sample",
+    "docs_oov_rate",
+    "docs_quality_calibrated",
+    "docs_quality_gate",
+    "docs_rare_tokens",
+    "docs_source_stats",
+    "docs_top_terms_per_source",
+    "docs_unigram_logprob",
+    "docs_weighted_per_source",
+    "embed_kmeans",
+    "embed_project",
+    "events_anomaly_zscore",
+    "events_burst_dedup",
+    "events_retention",
+    "events_rolling_3d",
+    "events_user_pagerank",
+    "orders_cdc_apply",
+    "orders_large_volume",
+    "part_min_cost_supplier",
+    "part_value_concentration",
+    "parts_triangle_count",
+    "sketch_term_counts",
+    "supplier_dominant_parts",
+    "top_supplier_quarter",
+    # -- last driver-green r08 backfill (stalest-first, 24) --
+    "agg_cust_distribution",
+    "agg_disjunctive_pred",
+    "agg_market_share",
+    "agg_shipped_last",
+    "agg_small_qty_revenue",
+    "agg_volume_shipping",
+    "corpus_source_drift",
+    "corpus_source_overlap",
+    "corpus_vocab_coverage",
+    "docs_bigram_surprisal",
+    "docs_bpe_fertility",
+    "docs_cdc_chunks",
+    "docs_char_classes",
+    "docs_cross_dup",
+    "docs_curate_full",
+    "docs_dedup_lines",
+    "docs_distinctive_terms",
+    "docs_encode_bpe",
+    "docs_pack_bpe",
+    "events_attribution",
+    "events_autocorr",
+    "events_changepoint",
+    "events_ema",
+    "events_kcore",
+]
+
+# Driver-green in r12 (the full r12 window) — the freshest rows in the
+# registry, so they sort to the very BACK, after the r11 greens.
+_GREEN_R12: list[str] = [
     "embed_kmeans2",
     "events_sessionize_stream",
     "docs_source_influence",
     "docs_contamination_spans",
     "events_busy_time_stream",
-    # -- operator form changed in r12 (two-level SemDeDup assignment) --
     "embed_dedup_clusters",
     "embed_semdedup",
-    # -- last driver-green r06 (31) --
     "docs_training_export",
     "docs_weighted_sample",
     "dq_checks",
@@ -12061,7 +12117,6 @@ _WINDOW_R12: list[str] = [
     "part_golden_records",
     "regional_supplier_volume",
     "sketch_distinct_users",
-    # -- last driver-green r07 backfill (stalest-first, 15) --
     "agg_filter_revenue",
     "agg_order_priority",
     "agg_promo_share",
@@ -12075,6 +12130,7 @@ _WINDOW_R12: list[str] = [
     "docs_incremental_dedup",
     "docs_length_deciles",
 ]
+
 
 # Driver-green in r11 (the r11 window minus the two embed gates that
 # rotate back INTO the r12 window) — the freshest rows in the registry,
@@ -12186,21 +12242,27 @@ _GREEN_R10: list[str] = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # order: r12 window (50) · stale mid (21 r07 + 44 r08, declaration
-    # order preserves last-green sort) · r10 greens · r11 greens
+    # order: r13 window (50) · stale mid (20 r08, declaration order
+    # preserves last-green sort) · r10 greens · r11 greens · r12 greens
     reg = _registry()
-    front = set(_WINDOW_R12)
-    b10, b11 = set(_GREEN_R10), set(_GREEN_R11)
-    assert front <= set(reg) and b10 <= set(reg) and b11 <= set(reg)
-    assert not (front & b10) and not (front & b11) and not (b10 & b11)
-    mid = [k for k in reg if k not in front and k not in b10 and k not in b11]
-    return {k: reg[k] for k in [*_WINDOW_R12, *mid, *_GREEN_R10, *_GREEN_R11]}
+    front = set(_WINDOW_R13)
+    backs = [set(_GREEN_R10), set(_GREEN_R11), set(_GREEN_R12)]
+    assert front <= set(reg) and all(b <= set(reg) for b in backs)
+    taken = front.copy()
+    for b in backs:
+        assert not (taken & b)
+        taken |= b
+    mid = [k for k in reg if k not in taken]
+    return {
+        k: reg[k]
+        for k in [*_WINDOW_R13, *mid, *_GREEN_R10, *_GREEN_R11, *_GREEN_R12]
+    }
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order here is the HISTORICAL order (r9 window first);
-    # queries() reorders it into the r11 driver window above.  See
-    # LOCALCHECK_r11.md for the per-entry last-driver-green manifest.
+    # queries() reorders it into the r13 driver window above.  See
+    # LOCALCHECK_r13.md for the per-entry last-driver-green manifest.
     return {
         # -- new in r13 --
         "embed_semdedup_capped": _q_embed_semdedup_capped,

@@ -1,18 +1,29 @@
 """Scale-growth probe (VERDICT r7 #4): measure, don't argue.
 
 Times the heaviest registry queries at sf0.1 (driver data) and at the
-generated distribution-preserving sf1 (scripts/gen_scale_testdata.py,
-10x rows, constant dup-rate/fan-out) on the same local[32] session,
-then reports the time ratio per query. On a fixed 32-thread box a
-scan-bound query should grow ~<=10x for 10x data; the per-query
+generated distribution-preserving tilings (scripts/gen_scale_testdata.py,
+10x/30x rows, constant dup-rate/fan-out) on the same local[32]
+session, then reports the time ratio per query. On a fixed 32-thread
+box a scan-bound query should grow ~<=10x for 10x data; the per-query
 ``expect`` notes the operators whose CONTRACT is super-linear (exact
 all-pairs cosine is O(n^2) by definition) so the table separates
 "algorithm is quadratic on purpose" from "plan fell over".
 
+ALL tiers are measured in ONE run (VERDICT r12 "What's wrong" #1: a
+marginal that divides a 30x numerator from one run by a 10x
+denominator from another mixes warm-up states and box load — r11's
+phantom 4.7x), and the 1-minute load average is sampled BEFORE the
+run starts (#2: a local[32] probe drives load1 to ~20-30 by itself,
+so ``load1_at_end`` cannot certify quietness; ``load1_before`` can).
+
 Writes SCALEPROBE.json (full numbers) and prints a markdown table for
 SCALE.md.
 
-Usage: python scripts/scale_probe.py [out_json]
+Usage: python scripts/scale_probe.py [out_json] [query ...]
+Tiers come from SPARK_GRAFT_PROBE_TIERS, comma-separated
+``label=path`` pairs (first tier is the ratio denominator); default
+``sf0_1=/root/testdata/sf0.1,sf1=<repo>/testdata_sf1``. The legacy
+SPARK_GRAFT_PROBE_BIG_DIR env (single big side) is still honored.
 """
 
 from __future__ import annotations
@@ -36,6 +47,22 @@ SF1 = os.environ.get(
     "SPARK_GRAFT_PROBE_BIG_DIR",
     str(Path(__file__).resolve().parent.parent / "testdata_sf1"),
 )
+
+
+def _tiers() -> list[tuple[str, str]]:
+    """Ordered (label, dir) measurement tiers; first = denominator."""
+    spec = os.environ.get("SPARK_GRAFT_PROBE_TIERS")
+    if spec:
+        out = []
+        for part in spec.split(","):
+            label, _, path = part.partition("=")
+            if not path:
+                raise SystemExit(
+                    f"bad SPARK_GRAFT_PROBE_TIERS entry {part!r}: want label=path"
+                )
+            out.append((label.strip(), path.strip()))
+        return out
+    return [("sf0_1", SF01), ("sf1", SF1)]
 
 #: query -> expected growth note ("linear" unless the operator's
 #: contract is inherently super-linear in n)
@@ -128,6 +155,11 @@ PROBE = {
     "math on the sources-bounded frame)",
     "docs_greedy_chain": "linear-ish (bigram-type model checkpointed; "
     "decode steps join sources-bounded frames)",
+    # round-13 additions
+    "embed_semdedup_capped": "linear per-cell work (flat k=8 pinned; "
+    "oversized cells star-link to the hub instead of all-pairs)",
+    "events_latest_state_stream": "linear (AvailableNow replay into "
+    "applyInPandasWithState LWW; one (ord,value) pair of state per key)",
 }
 
 
@@ -139,6 +171,13 @@ def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALEPROBE.json"
     only = set(sys.argv[2:])
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    tiers = _tiers()
+    try:
+        # sampled BEFORE any Spark work: the only unambiguous quiet
+        # signal (the probe itself drives load1 to ~20-30 on local[32])
+        load1_before = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1_before = -1.0
     from omop_etl_spark.conf import apply_recommended
 
     spark = (
@@ -171,19 +210,34 @@ def main() -> None:
         return round(best, 3)
 
     rows = []
+    base_label = tiers[0][0]
     for name, note in PROBE.items():
         if only and name not in only:
             continue
         try:
-            t01 = timed(qs[name], SF01)
-            t1 = timed(qs[name], SF1)
-            ratio = round(t1 / t01, 1) if t01 > 0 else -1.0
-            rows.append(
-                {"query": name, "sf0_1_s": t01, "sf1_s": t1, "ratio": ratio,
-                 "expect": note}
-            )
-            print(f"# {name}: {t01}s -> {t1}s  ({ratio}x)  [{note}]",
-                  file=sys.stderr, flush=True)
+            # every tier timed back-to-back in THIS run: ratios and
+            # marginals always compare same-warm-up, same-load numbers
+            row: dict = {"query": name}
+            prev_t = prev_label = None
+            for label, d in tiers:
+                t = timed(qs[name], d)
+                row[f"{label}_s"] = t
+                base_t = row[f"{base_label}_s"]
+                if label != base_label:
+                    row[f"ratio_{label}"] = (
+                        round(t / base_t, 1) if base_t > 0 else -1.0
+                    )
+                if prev_t is not None:
+                    row[f"marginal_{prev_label}_to_{label}"] = (
+                        round(t / prev_t, 1) if prev_t > 0 else -1.0
+                    )
+                prev_t, prev_label = t, label
+            if len(tiers) == 2:  # legacy field names kept for SCALE.md diffs
+                row["ratio"] = row.get(f"ratio_{tiers[1][0]}", -1.0)
+            row["expect"] = note
+            rows.append(row)
+            series = " -> ".join(f"{row[f'{lb}_s']}s" for lb, _ in tiers)
+            print(f"# {name}: {series}  [{note}]", file=sys.stderr, flush=True)
         except Exception as exc:  # noqa: BLE001
             rows.append({"query": name, "error": f"{type(exc).__name__}: {exc}"[:200]})
             print(f"# {name}: FAILED {exc}", file=sys.stderr, flush=True)
@@ -196,19 +250,23 @@ def main() -> None:
         prev = json.loads(Path(out_json).read_text())
         kept = [r for r in prev.get("rows", []) if r.get("query") not in only]
         rows = kept + rows
-    doc = {"cpus": int(cpus), "runs_best_of": runs, "load1_at_end": load1,
-           "sf1_dir": SF1, "rows": rows}
+    doc = {"cpus": int(cpus), "runs_best_of": runs,
+           "load1_before": load1_before, "load1_at_end": load1,
+           "tiers": {label: d for label, d in tiers}, "rows": rows}
     Path(out_json).write_text(json.dumps(doc, indent=1) + "\n")
 
-    print("| query | sf0.1 s | sf1 s | ratio | expected shape |")
-    print("| --- | --- | --- | --- | --- |")
+    hdr = " | ".join(f"{lb} s" for lb, _ in tiers)
+    print(f"| query | {hdr} | ratio | expected shape |")
+    print("| --- |" + " --- |" * (len(tiers) + 2))
     for r in rows:
         if "error" in r:
             print(f"| {r['query']} | ERROR | | | {r['error']} |")
         else:
+            cells = " | ".join(str(r.get(f"{lb}_s", "")) for lb, _ in tiers)
+            last = tiers[-1][0]
             print(
-                f"| {r['query']} | {r['sf0_1_s']} | {r['sf1_s']} "
-                f"| {r['ratio']}x | {r['expect']} |"
+                f"| {r['query']} | {cells} "
+                f"| {r.get(f'ratio_{last}', r.get('ratio', ''))}x | {r['expect']} |"
             )
     spark.stop()
 
