@@ -217,6 +217,54 @@ def test_stream_latest_state_survives_out_of_order_batches(spark, tmp_path):
     assert final == {"a": (100, "new_a"), "b": (10, "new_b")}
 
 
+def test_stream_latest_state_max_struct_recovery(spark, tmp_path):
+    """The driver gate's final-state recovery contract
+    (events_latest_state_stream): with append-mode emissions across
+    MULTIPLE micro-batches, ``max(struct(ord, value))`` equals the last
+    emission per key — valid because the state is monotone under the
+    operator's own (ord, value-with-NULL-losing) total order. Probed
+    here including the NULL-tie case (struct comparison sorts NULL
+    first, so NULL loses in max — the same rule as the operator)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from omop_etl_spark.streaming import stream_latest_state
+
+    d = tmp_path / "lww_rec"
+    d.mkdir()
+    pd.DataFrame(
+        {"k": ["a", "b", "c"], "o": [7, 5, 1], "v": [None, "mid_b", "c1"]}
+    ).to_parquet(d / "f1.parquet")
+    pd.DataFrame(
+        {"k": ["a", "b", "c"], "o": [7, 9, 2], "v": ["tie_a", "new_b", None]}
+    ).to_parquet(d / "f2.parquet")
+    stream = (
+        spark.readStream.schema("k string, o long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_latest_state(stream, "k", "o", "v")
+        .writeStream.format("memory")
+        .queryName("lww_rec")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["k"]: (r["o"], r["v"])
+        for r in spark.table("lww_rec")
+        .groupBy("k")
+        .agg(F.max(F.struct("o", "v")).alias("w"))
+        .select("k", "w.o", "w.v")
+        .collect()
+    }
+    # a: ord tie 7 — the non-NULL value wins in state AND in recovery;
+    # b: higher ord wins; c: higher ord wins even with a NULL value
+    assert got == {"a": (7, "tie_a"), "b": (9, "new_b"), "c": (2, None)}
+
+
 def test_read_fixed_width(spark, tmp_path):
     from omop_etl_spark.sources import read_fixed_width
 
