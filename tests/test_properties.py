@@ -454,3 +454,35 @@ def test_containment_boilerplate_skew_stress(spark):
         for r in containment_pairs(df, threshold=0.8).collect()
     }
     assert got == {p: 1.0 for p in planted}
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    tw=st.integers(min_value=1, max_value=12),
+    th=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_encode_pixels_roundtrip_and_resize_bounds(w, h, ch, seed, tw, th):
+    """Pure-python PNG path properties (no Spark): encode→decode is the
+    identity on any uint8 grid across all four supported color types;
+    resize always lands at the target dims with values inside the
+    source's [min, max] envelope (bilinear is a convex combination,
+    up to the final rint)."""
+    import numpy as np
+
+    from omop_etl_spark.operators.multimodal import (
+        png_encode,
+        png_pixels,
+        png_resizer,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert (png_pixels(png_encode(px)) == px).all()
+    out = png_pixels(png_resizer(png_encode(px), tw, th))
+    assert out.shape == (th, tw, ch)
+    lo, hi = int(px.min()), int(px.max())
+    assert int(out.min()) >= lo and int(out.max()) <= hi
