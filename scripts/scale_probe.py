@@ -75,7 +75,6 @@ PROBE = {
     "docs_containment_dup": "linear (prefix-filtered candidates)",
     "docs_soft_dedup_weights": "linear",
     "docs_leakage_safe_split": "linear",
-    "parts_triangle_count": "O(E^1.5) contract (degree-ordered)",
     "embed_dedup_clusters": "linear pair work + n*sqrt(K) assign "
     "(two-level self-scaling cells since r12; no n^2 term)",
     "embed_project": "linear (d x d partials)",
@@ -112,7 +111,6 @@ PROBE = {
     "parts_bfs_hops": "linear-ish (per-level frontier joins on checkpointed edges)",
     "embed_pq_topk": "linear (broadcast codebooks; search scans codes only)",
     "parts_triangle_count": "E^1.5 bound (degree-ordered wedges; frames checkpointed)",
-    "embed_semdedup": "n^2/k contract (cluster-scoped exact cosine)",
     "events_top_paths": "linear (shared user-keyed shuffle; bounded path domain)",
     # round-9 batch 2 (this session)
     "parts_sssp_nearest": "linear-ish (3 relax rounds: node-bounded dist "
