@@ -80,6 +80,12 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.warehouse.dir", "/tmp/check-wh")
         .config("spark.ui.enabled", "false")
+        # match bench's session shape: the default ~1g driver heap is
+        # marginal for broadcast builds once this harness points at the
+        # 10x/30x tilings (a sf1 run OOM'd a build that bench/probe —
+        # both 8-16g — run fine); correctness checks should never fail
+        # on harness heap
+        .config("spark.driver.memory", "8g")
         .appName("correctness-check")
         .getOrCreate()
     )
@@ -88,7 +94,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in entrymod.TPCH_TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # Spark-written table: a DIRECTORY of part files (the
+            # gen_scale_testdata tilings) — DuckDB needs the glob form
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif p.exists():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     queries = entrymod.queries()
