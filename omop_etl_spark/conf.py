@@ -36,16 +36,48 @@ def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
     checkpoint dir is set (failing loudly beats silently running
     non-reliable after the caller asked for reliable).
 
+    **Reliable-mode cost contract** (ADVICE r13): every call writes the
+    full frame to the checkpoint dir — in an iterative operator
+    (``learn_merges``, ``kcore_peel``, the CC loops) that is one DFS
+    write of the working frame PER ROUND, a real write-amplification
+    cost that is the price of surviving executor loss mid-loop. And
+    superseded rounds' files are NOT reclaimed by default: the
+    ContextCleaner deletes a reliable checkpoint's files on RDD GC only
+    when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    context conf, set at session BUILD time — :func:`recommended_conf`
+    includes it). Without it a thousand-round loop grows the checkpoint
+    dir without bound; this function warns once per session when it
+    detects that combination.
+
     The eager/lazy decision stays with the CALLER (it is a per-loop
     job-count trade, SCALE.md §18); only the storage reliability is
     conf-driven.
     """
     spark = df.sparkSession
     if spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false") == "true":
-        if spark.sparkContext.getCheckpointDir() is None:
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
             raise ValueError(
                 f"{RELIABLE_CHECKPOINT_CONF}=true but no checkpoint dir; "
                 "call spark.sparkContext.setCheckpointDir(<DFS path>) first"
+            )
+        if (
+            sc.getConf().get(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+            )
+            != "true"
+        ):
+            import warnings
+
+            warnings.warn(
+                f"{RELIABLE_CHECKPOINT_CONF}=true but "
+                "spark.cleaner.referenceTracking.cleanCheckpoints is not "
+                "enabled: superseded iteration checkpoints are never "
+                "deleted, so long loops grow the checkpoint dir without "
+                "bound. Set it to 'true' at session build time "
+                "(recommended_conf() includes it).",
+                RuntimeWarning,
+                stacklevel=2,
             )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
@@ -64,6 +96,12 @@ def recommended_conf(cores: int = 32) -> dict[str, str]:
     * Arrow enabled (pandas-UDF operators are Arrow-batched) with a
       bounded batch size so wide binary/multimodal rows cannot blow up
       a single batch.
+    * ``cleanCheckpoints`` on: reliable-mode iterative operators
+      (``conf.checkpoint``) replace their checkpoint every round; with
+      the cleaner off the superseded rounds' DFS files are never
+      deleted and a long loop grows the dir without bound (ADVICE
+      r13). Harmless when reliable mode is off (local checkpoints are
+      cleaner-managed regardless).
     * Runtime bloom-filter join reduction stays at Spark defaults
       (enabled; application-side threshold 10 GiB): on a 100 TB fact
       scan joined to a selectively-filtered dimension, Spark builds a
@@ -81,6 +119,7 @@ def recommended_conf(cores: int = 32) -> dict[str, str]:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.parquet.compression.codec": "snappy",
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     }
 
 

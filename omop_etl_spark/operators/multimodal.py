@@ -430,6 +430,12 @@ def media_resizer(payload: bytes, width: int, height: int) -> bytes:
     16-bit PNGs) falls through to the import-gated Pillow fast path.
     The falls-through-on-ValueError shape means installing Pillow on
     the executors widens coverage with no plumbing change."""
+    # validate target dims HERE, before dispatch (ADVICE r13): a
+    # caller bug must raise the clear dims message, not fall through
+    # the PNG branch's ValueError swallow and resurface as a
+    # misleading "install Pillow" NotImplementedError
+    if width < 1 or height < 1:
+        raise ValueError("media_resizer: target dims must be >= 1")
     p = payload or b""
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         try:

@@ -458,8 +458,11 @@ def cosine_pairs(
 
 # sentinel: "apply the default oversized-cell cap policy" — resolved
 # inside scoped_cosine_pairs to 4096 on the self-scaling (k=None) path
-# and to None (no cap) on the explicit-k calibration path
-_MAX_CELL_AUTO: int = -1
+# and to None (no cap) on the explicit-k calibration path. A private
+# object (not an int, ADVICE r13): every caller-passed integer < 2 —
+# including -1 — uniformly raises the max_cell ValueError instead of
+# one magic value silently selecting the AUTO policy.
+_MAX_CELL_AUTO: object = object()
 
 
 def scoped_cosine_pairs(
@@ -471,7 +474,7 @@ def scoped_cosine_pairs(
     k: int | None = None,
     iters: int = 2,
     target_cluster_rows: int = 150,
-    max_cell: int | None = _MAX_CELL_AUTO,
+    max_cell: "int | None | object" = _MAX_CELL_AUTO,
 ) -> DataFrame:
     """SemDeDup-scoped cosine near-duplicate pairs — the at-scale
     DEFAULT router for semantic dedup (Abbas et al. 2023,
@@ -546,11 +549,28 @@ def scoped_cosine_pairs(
     """
     from .kmeans import kmeans_assign, kmeans_assign_two_level, two_level_k
 
-    if max_cell == _MAX_CELL_AUTO:
+    if max_cell is _MAX_CELL_AUTO:
         max_cell = 4096 if k is None else None
+        if max_cell is None:
+            # the r12→r13 contract change (explicit-k default went
+            # from 4096-cap to NO cap so calibration audits aren't
+            # skewed) is loud at the call site, not just in the
+            # docstring (ADVICE r13): an existing explicit-k call at
+            # scale regains O(cell^2) pair work and should notice
+            import warnings
+
+            warnings.warn(
+                "scoped_cosine_pairs: explicit-k path now defaults to "
+                "NO oversized-cell cap (was 4096) so bounded-input "
+                "calibration sees every pair; pass max_cell=<int> to "
+                "cap, at scale where a dup blob could land in one cell",
+                stacklevel=2,
+            )
     # validate BEFORE the count/kmeans work (ADVICE r12: a bad cap
     # used to surface only after the full clustering pass had run)
-    if max_cell is not None and max_cell < 2:
+    if max_cell is not None and (
+        not isinstance(max_cell, int) or max_cell < 2
+    ):
         raise ValueError("scoped_cosine_pairs: max_cell must be >= 2")
     if k is None:
         # count BEFORE spread(): on a parquet scan Catalyst serves

@@ -246,7 +246,24 @@ def main() -> None:
         load1 = -1.0
     if only and Path(out_json).exists():
         prev = json.loads(Path(out_json).read_text())
-        kept = [r for r in prev.get("rows", []) if r.get("query") not in only]
+        # only merge kept rows measured under the SAME tier spec —
+        # rows keyed by other tiers would render blank/misaligned
+        # cells and mix incomparable numbers (ADVICE r13)
+        want = {f"{lb}_s" for lb, _ in tiers}
+        kept = [
+            r
+            for r in prev.get("rows", [])
+            if r.get("query") not in only
+            and ("error" in r or want <= set(r))
+        ]
+        dropped = len(prev.get("rows", [])) - len(kept) - sum(
+            1 for r in prev.get("rows", []) if r.get("query") in only
+        )
+        if dropped:
+            print(
+                f"# dropped {dropped} kept row(s) with stale tier keys",
+                file=sys.stderr,
+            )
         rows = kept + rows
     doc = {"cpus": int(cpus), "runs_best_of": runs,
            "load1_before": load1_before, "load1_at_end": load1,
@@ -258,7 +275,11 @@ def main() -> None:
     print("| --- |" + " --- |" * (len(tiers) + 2))
     for r in rows:
         if "error" in r:
-            print(f"| {r['query']} | ERROR | | | {r['error']} |")
+            # ERROR fills the first tier cell; the remaining tier
+            # cells + the ratio cell stay empty so the row aligns
+            # with the header at any tier count (ADVICE r13)
+            filler = "  |" * len(tiers)
+            print(f"| {r['query']} | ERROR |{filler} {r['error']} |")
         else:
             cells = " | ".join(str(r.get(f"{lb}_s", "")) for lb, _ in tiers)
             last = tiers[-1][0]

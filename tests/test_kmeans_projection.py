@@ -313,6 +313,35 @@ def test_scoped_cosine_pairs_bad_max_cell_raises_before_work(spark):
         "id AS vec_id",
         "array(CAST(assert_true(false) IS NULL AS DOUBLE)) AS embedding",
     )
-    for bad in (1, 0, -5):
+    # -1 included (ADVICE r13): the AUTO sentinel is a private object
+    # now, so EVERY integer < 2 raises uniformly — no magic int value
+    # silently selects the default-cap policy
+    for bad in (1, 0, -1, -5):
         with pytest.raises(ValueError, match="max_cell"):
             scoped_cosine_pairs(df, threshold=0.5, k=2, max_cell=bad)
+
+
+def test_scoped_cosine_pairs_explicit_k_uncapped_warns(spark):
+    """ADVICE r13: the explicit-k path resolving the default cap to
+    None (the r13 contract change from a 4096 cap) must be loud at the
+    call site — existing explicit-k callers at scale silently regain
+    O(cell^2) pair work otherwise. Passing max_cell explicitly, or
+    using the self-scaling k=None path, stays silent."""
+    import warnings
+
+    from omop_etl_spark.operators.similarity import scoped_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.warns(UserWarning, match="NO oversized-cell cap"):
+        scoped_cosine_pairs(df, threshold=0.9, k=1, iters=1).count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # explicit cap on the explicit-k path: no warning
+        scoped_cosine_pairs(
+            df, threshold=0.9, k=1, iters=1, max_cell=10
+        ).count()
+        # self-scaling path (cap resolves to 4096): no warning
+        scoped_cosine_pairs(df, threshold=0.9, iters=1).count()

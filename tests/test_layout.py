@@ -87,10 +87,23 @@ def test_checkpoint_conf_switch(spark, tmp_path):
                 checkpoint(df)
         ckdir = tmp_path / "ck"
         spark.sparkContext.setCheckpointDir(str(ckdir))
-        out = checkpoint(df)
+        # the test session was built WITHOUT cleanCheckpoints, so
+        # reliable mode must warn about unbounded checkpoint-dir
+        # growth in iterative loops (ADVICE r13); recommended_conf
+        # carries the fix, so sessions built through it stay silent
+        with pytest.warns(RuntimeWarning, match="cleanCheckpoints"):
+            out = checkpoint(df)
         assert out.count() == 100
         assert any(ckdir.rglob("*")), "reliable checkpoint wrote nothing"
         # lazy reliable checkpoints too (caller keeps the eager choice)
-        assert checkpoint(df, eager=False).count() == 100
+        with pytest.warns(RuntimeWarning, match="cleanCheckpoints"):
+            assert checkpoint(df, eager=False).count() == 100
     finally:
         spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+
+    from omop_etl_spark.conf import recommended_conf
+
+    assert (
+        recommended_conf()["spark.cleaner.referenceTracking.cleanCheckpoints"]
+        == "true"
+    )

@@ -321,6 +321,20 @@ def test_png_resizer_bilinear_exact():
         png_resizer(png, 0, 2)
 
 
+def test_media_resizer_bad_dims_raise_before_dispatch():
+    """ADVICE r13: media_resizer validates target dims BEFORE the
+    magic-byte dispatch — a caller bug raises the clear dims message
+    on any payload, instead of the PNG branch swallowing it and the
+    Pillow fallback resurfacing it as 'install Pillow'."""
+    from omop_etl_spark.operators.multimodal import media_resizer
+
+    png = _make_png(4, 3)
+    for payload in (png, b"\xff\xd8\xff\xe0not-a-real-jpeg", b""):
+        for w, h in ((0, 2), (2, 0), (-1, 5)):
+            with pytest.raises(ValueError, match="dims"):
+                media_resizer(payload, w, h)
+
+
 def test_resize_media_png_resizer_distributed(spark):
     """resize_media with the REAL png_resizer through the mapInPandas
     plumbing (the resize path is no longer Pillow-gated): each payload
