@@ -12020,11 +12020,73 @@ FROM g GROUP BY user_id
 # greens to exactly 50.  After this round's driver run nothing in the
 # registry is older than r08, and the 20 r08 entries left below the
 # window rotate in r14.
-_WINDOW_R13: list[str] = [
-    # -- new in r13 (never driver-verified) --
+# The r14 driver window (LOCALCHECK_r13 freshness policy): no new
+# gates this round, so the window is purely the stalest cohorts —
+# the 20 r08 greens that sat just below the r13 window (at the
+# 5-round staleness ceiling) followed by the 30 stalest r10 greens.
+# After this round's driver run nothing in the registry is older
+# than r10, and the 18 r10 entries left below the window rotate
+# first in r15.
+_WINDOW_R14: list[str] = [
+    # -- last driver-green r08 (20, the full remaining r08 cohort) --
+    "events_latest_k",
+    "events_reset_cumsum",
+    "events_seasonality",
+    "events_sliding_distinct",
+    "events_stickiness",
+    "events_value_quantiles",
+    "nation_revenue_share",
+    "orders_benford",
+    "orders_bloom_probe",
+    "orders_except_all",
+    "orders_fd_profile",
+    "orders_gini",
+    "orders_intersect_all",
+    "part_skyline",
+    "parts_communities",
+    "sim_topk",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sketch_hll_users",
+    "supplier_pareto",
+    # -- last driver-green r10 (stalest-first, 30) --
+    "docs_learn_bpe",
+    "docs_bm25_topk",
+    "orders_trailing_spend",
+    "events_gap_fill",
+    "parts_item_sim",
+    "events_robust_stats",
+    "docs_hybrid_rrf",
+    "events_multitouch",
+    "events_twap",
+    "cust_ab_lift",
+    "parts_bfs_hops",
+    "sketch_hll_union",
+    "embed_pq_topk",
+    "events_top_paths",
+    "parts_sssp_nearest",
+    "events_rolling_median",
+    "cust_recs_topk",
+    "sketch_logq_value",
+    "docs_exact_alloc",
+    "orders_diff_columns",
+    "docs_greedy_chain",
+    "orders_rfm",
+    "cust_cohort_ltv",
+    "embed_top_eigen",
+    "events_stationary",
+    "orders_profile",
+    "docs_encode_unigram",
+    "agg_multi_distinct",
+    "agg_percentiles",
+    "agg_pricing_summary",
+]
+
+# Driver-green in r13 (the full r13 window) — the freshest rows in
+# the registry, so they sort to the very BACK, after the r12 greens.
+_GREEN_R13: list[str] = [
     "embed_semdedup_capped",
     "events_latest_state_stream",
-    # -- last driver-green r07 (24) --
     "docs_mixture_sample",
     "docs_oov_rate",
     "docs_quality_calibrated",
@@ -12049,7 +12111,6 @@ _WINDOW_R13: list[str] = [
     "sketch_term_counts",
     "supplier_dominant_parts",
     "top_supplier_quarter",
-    # -- last driver-green r08 backfill (stalest-first, 24) --
     "agg_cust_distribution",
     "agg_disjunctive_pred",
     "agg_market_share",
@@ -12186,40 +12247,10 @@ _GREEN_R11: list[str] = [
     "docs_token_budget",
 ]
 
-# Driver-green in r10 (the whole r9/r10 window) — freshest rows in the
-# registry, so they rotate to the BACK; everything between the window
-# and this cohort keeps its last-green-sorted order (r06 → r07 → r08).
+# Driver-green in r10 — the 18 entries of the r9/r10 window that did
+# NOT rotate into the r14 window; the stalest rows below the window,
+# so they lead the below-window order and rotate first in r15.
 _GREEN_R10: list[str] = [
-    "docs_learn_bpe",
-    "docs_bm25_topk",
-    "orders_trailing_spend",
-    "events_gap_fill",
-    "parts_item_sim",
-    "events_robust_stats",
-    "docs_hybrid_rrf",
-    "events_multitouch",
-    "events_twap",
-    "cust_ab_lift",
-    "parts_bfs_hops",
-    "sketch_hll_union",
-    "embed_pq_topk",
-    "events_top_paths",
-    "parts_sssp_nearest",
-    "events_rolling_median",
-    "cust_recs_topk",
-    "sketch_logq_value",
-    "docs_exact_alloc",
-    "orders_diff_columns",
-    "docs_greedy_chain",
-    "orders_rfm",
-    "cust_cohort_ltv",
-    "embed_top_eigen",
-    "events_stationary",
-    "orders_profile",
-    "docs_encode_unigram",
-    "agg_multi_distinct",
-    "agg_percentiles",
-    "agg_pricing_summary",
     "agg_rollup",
     "agg_top_customers",
     "asof_join_events",
@@ -12242,11 +12273,11 @@ _GREEN_R10: list[str] = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # order: r13 window (50) · stale mid (20 r08, declaration order
-    # preserves last-green sort) · r10 greens · r11 greens · r12 greens
+    # order: r14 window (50) · any unlisted keys (future gates land
+    # just below the window) · 18 r10 greens · r11 · r12 · r13 greens
     reg = _registry()
-    front = set(_WINDOW_R13)
-    backs = [set(_GREEN_R10), set(_GREEN_R11), set(_GREEN_R12)]
+    front = set(_WINDOW_R14)
+    backs = [set(_GREEN_R10), set(_GREEN_R11), set(_GREEN_R12), set(_GREEN_R13)]
     assert front <= set(reg) and all(b <= set(reg) for b in backs)
     taken = front.copy()
     for b in backs:
@@ -12255,7 +12286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     mid = [k for k in reg if k not in taken]
     return {
         k: reg[k]
-        for k in [*_WINDOW_R13, *mid, *_GREEN_R10, *_GREEN_R11, *_GREEN_R12]
+        for k in [
+            *_WINDOW_R14,
+            *mid,
+            *_GREEN_R10,
+            *_GREEN_R11,
+            *_GREEN_R12,
+            *_GREEN_R13,
+        ]
     }
 
 
