@@ -121,11 +121,21 @@ def _verify_jaccard(
     # semi-join strategy left to AQE: candidate ids are usually rare
     # (LSH S-curve) but approach corpus size on heavily duplicated
     # corpora, where a forced broadcast would OOM the driver
+    #
+    # shuffle_hash hint on the verify side (100x probe, r14): the
+    # verify joins shuffle CANDIDATE rows against per-doc shingle
+    # arrays — a sort-merge join SORTS the array payloads, which at
+    # the 100x tiling was ~1/3 of the whole operator's wall time.
+    # Hash-building on the verify side (strictly the smaller frame —
+    # one row per candidate-touched doc vs one per candidate pair)
+    # skips both sorts; the per-partition build is |verify|/P rows,
+    # bounded by the same partition-sizing rule that bounds every
+    # shuffle here (SCALE.md §25).
     verify = df.join(
         cand_ids, df[id_col] == cand_ids["__cid"], "left_semi"
     ).select(
         F.col(id_col).alias("__id"), token_shingles(text_col, n).alias("__sh")
-    )
+    ).hint("shuffle_hash")
     out = (
         cand.join(verify.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
         .join(verify.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
@@ -402,11 +412,15 @@ def containment_pairs(
         .union(cand.select(F.col("container_id").alias("__cid")))
         .distinct()
     )
+    # shuffle_hash hint: same reasoning as _verify_jaccard — the
+    # verify frame (one row per candidate-touched doc) hash-builds
+    # against the candidate fan-out side, skipping two array-payload
+    # sorts that dominated the 100x-tiling profile (SCALE.md §25)
     verify = df.join(
         cand_ids, df[id_col] == cand_ids["__cid"], "left_semi"
     ).select(
         F.col(id_col).alias("__vid"), token_shingles(text_col, n).alias("__vsh")
-    )
+    ).hint("shuffle_hash")
     out = (
         cand.join(
             verify.withColumnRenamed("__vid", "contained_id").withColumnRenamed(
