@@ -16,6 +16,15 @@ phantom 4.7x), and the 1-minute load average is sampled BEFORE the
 run starts (#2: a local[32] probe drives load1 to ~20-30 by itself,
 so ``load1_at_end`` cannot certify quietness; ``load1_before`` can).
 
+100x-tier protocol note (r14): a 100x run writes GBs of shuffle and
+spill, and the kernel keeps flushing those dirty pages for minutes
+AFTER the probe exits (load1 stays 10-20 with zero user processes).
+Back-to-back probe invocations therefore contend with the previous
+invocation's writeback and read up to 2x slow/noisy; ``sync`` and
+wait for load1 to settle (<~1) between invocations before trusting a
+100x number. Within one invocation, persisted frames are cleared
+between queries (see the ``clearCache`` below).
+
 Writes SCALEPROBE.json (full numbers) and prints a markdown table for
 SCALE.md.
 
@@ -239,6 +248,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             rows.append({"query": name, "error": f"{type(exc).__name__}: {exc}"[:200]})
             print(f"# {name}: FAILED {exc}", file=sys.stderr, flush=True)
+        finally:
+            # drop this query's persisted blocks before the next one:
+            # operators persist candidate/posting frames that are only
+            # reclaimed when the result frame is GC'd, and at the 100x
+            # tier two queries' worth of lingering blocks OOM'd a
+            # 16 GiB probe JVM (r14). Between-query isolation also
+            # keeps each row's numbers independent of probe order.
+            spark.catalog.clearCache()
 
     try:
         load1 = round(os.getloadavg()[0], 1)
