@@ -215,12 +215,25 @@ def _tree_depth(line):
 
 
 def _unbounded_hinted_scans(plan):
-    """Return scaling-table Relation lines that sit under a ResolvedHint
-    with no bounding node (Aggregate / Limit) between hint and scan."""
+    """Return scaling-table Relation lines that sit under a BROADCAST
+    ResolvedHint with no bounding node (Aggregate / Limit) between hint
+    and scan. Only broadcast-strategy hints are in scope: the hazard
+    this guard exists for is materializing an SF-linear frame on every
+    executor (and the driver), which is specific to broadcast —
+    shuffle_hash hints keep both sides shuffled and build a
+    per-PARTITION hash map (|frame|/P rows, bounded by the same
+    partition-sizing rule as any shuffle), so they are safe on
+    SF-linear frames by construction (r14: the near-dup verify joins
+    hint shuffle_hash on the per-doc shingle frame).
+    shuffle_replicate_nl stays IN scope — replicating an SF-linear
+    side to every partition is the same blow-up as broadcast."""
     lines = plan.splitlines()
     bad = []
     for i, l in enumerate(lines):
         if "ResolvedHint" not in l:
+            continue
+        low = l.lower()
+        if "broadcast" not in low and "replicate" not in low:
             continue
         d = _tree_depth(l)
         sub = []
