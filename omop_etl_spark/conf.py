@@ -23,6 +23,13 @@ __all__ = ["recommended_conf", "apply_recommended", "checkpoint"]
 #: switches with no code edit.
 RELIABLE_CHECKPOINT_CONF = "spark.omop_etl.checkpoint.reliable"
 
+# module-level guard so the cleanCheckpoints warning fires exactly once
+# per process whatever the warnings filters or call sites (ADVICE r14:
+# warnings.warn dedupes per call SITE under default filters and not at
+# all under -W always, so the filter alone can't keep the docstring's
+# once-per-session promise)
+_warned_unclean_checkpoints = False
+
 
 def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
     """Checkpoint ``df`` per the session's reliability contract.
@@ -61,14 +68,16 @@ def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
                 f"{RELIABLE_CHECKPOINT_CONF}=true but no checkpoint dir; "
                 "call spark.sparkContext.setCheckpointDir(<DFS path>) first"
             )
+        global _warned_unclean_checkpoints
         if (
             sc.getConf().get(
                 "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
             )
             != "true"
-        ):
+        ) and not _warned_unclean_checkpoints:
             import warnings
 
+            _warned_unclean_checkpoints = True
             warnings.warn(
                 f"{RELIABLE_CHECKPOINT_CONF}=true but "
                 "spark.cleaner.referenceTracking.cleanCheckpoints is not "

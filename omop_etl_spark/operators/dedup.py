@@ -99,11 +99,11 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact verification of candidate ``(id_a, id_b)`` pairs.
 
-    Re-tokenizes ONLY the candidate-surviving documents: the broadcast
-    semi-join on ids runs below the shingle projection by construction,
-    so the string arrays are built for a handful of rows, not the
-    corpus. Precision of the final output is therefore exact regardless
-    of how candidates were generated.
+    Re-tokenizes ONLY the candidate-surviving documents: the id
+    semi-join runs below the shingle projection by construction, so the
+    string arrays are built for a handful of rows, not the corpus.
+    Precision of the final output is therefore exact regardless of how
+    candidates were generated.
 
     ``cand`` is consumed three times (both legs of the id union + the
     verify join) and its generating index join is the expensive half of
@@ -130,7 +130,10 @@ def _verify_jaccard(
     # one row per candidate-touched doc vs one per candidate pair)
     # skips both sorts; the per-partition build is |verify|/P rows,
     # bounded by the same partition-sizing rule that bounds every
-    # shuffle here (SCALE.md §25).
+    # shuffle here (SCALE.md §26).  Small-scale tradeoff: the hint
+    # outranks size-based broadcast in JoinSelection, so a tiny verify
+    # frame that would have auto-broadcast now shuffles both sides —
+    # milliseconds at test SF, bought back many times over at 100x.
     verify = df.join(
         cand_ids, df[id_col] == cand_ids["__cid"], "left_semi"
     ).select(
@@ -415,7 +418,7 @@ def containment_pairs(
     # shuffle_hash hint: same reasoning as _verify_jaccard — the
     # verify frame (one row per candidate-touched doc) hash-builds
     # against the candidate fan-out side, skipping two array-payload
-    # sorts that dominated the 100x-tiling profile (SCALE.md §25)
+    # sorts that dominated the 100x-tiling profile (SCALE.md §26)
     verify = df.join(
         cand_ids, df[id_col] == cand_ids["__cid"], "left_semi"
     ).select(

@@ -459,10 +459,16 @@ def cosine_pairs(
 # sentinel: "apply the default oversized-cell cap policy" — resolved
 # inside scoped_cosine_pairs to 4096 on the self-scaling (k=None) path
 # and to None (no cap) on the explicit-k calibration path. A private
-# object (not an int, ADVICE r13): every caller-passed integer < 2 —
-# including -1 — uniformly raises the max_cell ValueError instead of
-# one magic value silently selecting the AUTO policy.
-_MAX_CELL_AUTO: object = object()
+# sentinel type (not an int, ADVICE r13): every caller-passed integer
+# < 2 — including -1 — uniformly raises the max_cell ValueError instead
+# of one magic value silently selecting the AUTO policy. The dedicated
+# class (ADVICE r14) keeps the parameter annotation meaningful to type
+# checkers (`int | None | _MaxCellAuto`, not the vacuous `object`).
+class _MaxCellAuto:
+    __slots__ = ()
+
+
+_MAX_CELL_AUTO = _MaxCellAuto()
 
 
 def scoped_cosine_pairs(
@@ -474,7 +480,7 @@ def scoped_cosine_pairs(
     k: int | None = None,
     iters: int = 2,
     target_cluster_rows: int = 150,
-    max_cell: "int | None | object" = _MAX_CELL_AUTO,
+    max_cell: "int | None | _MaxCellAuto" = _MAX_CELL_AUTO,
 ) -> DataFrame:
     """SemDeDup-scoped cosine near-duplicate pairs — the at-scale
     DEFAULT router for semantic dedup (Abbas et al. 2023,

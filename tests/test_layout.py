@@ -91,12 +91,20 @@ def test_checkpoint_conf_switch(spark, tmp_path):
         # reliable mode must warn about unbounded checkpoint-dir
         # growth in iterative loops (ADVICE r13); recommended_conf
         # carries the fix, so sessions built through it stay silent
+        import warnings
+
+        import omop_etl_spark.conf as conf_mod
+
+        conf_mod._warned_unclean_checkpoints = False
         with pytest.warns(RuntimeWarning, match="cleanCheckpoints"):
             out = checkpoint(df)
         assert out.count() == 100
         assert any(ckdir.rglob("*")), "reliable checkpoint wrote nothing"
-        # lazy reliable checkpoints too (caller keeps the eager choice)
-        with pytest.warns(RuntimeWarning, match="cleanCheckpoints"):
+        # once-per-process guarantee (ADVICE r14): further calls stay
+        # silent even under an always-show filter, whatever the call
+        # site — lazy reliable checkpoints too (caller keeps eager)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
             assert checkpoint(df, eager=False).count() == 100
     finally:
         spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
