@@ -91,6 +91,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+        finally:
+            # between-query isolation (VERDICT r14 #7, same rationale
+            # as scale_probe.py): drop this query's persisted blocks so
+            # loop-heavy queries later in the run don't time against
+            # another query's lingering cache + GC pressure — the main
+            # identified source of the 168-193 s round-over-round band
+            spark.catalog.clearCache()
 
     # one quick pass at sf0.01: cheap enough to be noise-free, so
     # round-over-round regressions are separable from host load
@@ -104,6 +111,8 @@ def main() -> None:
                 small[name] = timed(fn, small_dir)
             except Exception:  # noqa: BLE001 - already recorded at full SF
                 pass
+            finally:
+                spark.catalog.clearCache()
 
     # A failed query must not make the total look FASTER (ADVICE r5):
     # charge each error a fixed 60 s penalty so round-over-round `value`

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "read_table_stream",
     "read_events_stream",
     "hourly_counts",
     "sliding_counts",
@@ -46,6 +47,7 @@ __all__ = [
     "stream_logq_quantile",
     "dq_monitor_stream",
     "stream_latest_state",
+    "stream_cdc_state",
     "stream_burst_dedup",
 ]
 
@@ -62,16 +64,16 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over an events parquet directory (or a single
+def read_table_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over ANY parquet table directory (or a single
     parquet file — streamed via a glob filter on its parent, since the
     file source requires a directory).
 
-    The file source needs a user-supplied schema; rather than hard-code
-    one timestamp encoding (the round-4 outage: the testdata moved from
-    ``timestamp[ns]`` to ``timestamp[us]``-no-tz), we take the schema
-    from a batch footer read of the same path and normalize ``ts`` the
-    same way :func:`~omop_etl_spark.sources.read_parquet_table` does.
+    The file source needs a user-supplied schema; it is taken from a
+    batch footer read of the same path (footer-only, cheap) so the
+    stream always matches what's on disk. Table-specific column
+    normalization stays with the callers — :func:`read_events_stream`
+    layers the ``ts`` timestamp-encoding shim on top of this.
     """
     from pathlib import Path
 
@@ -84,7 +86,18 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     if p.is_file():
         reader = reader.option("pathGlobFilter", p.name)
         path = str(p.parent)
-    raw = reader.load(path)
+    return reader.load(path)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet path
+    (:func:`read_table_stream`) with the ``ts`` column normalized the
+    same way :func:`~omop_etl_spark.sources.read_parquet_table` does —
+    rather than hard-code one timestamp encoding (the round-4 outage:
+    the testdata moved from ``timestamp[ns]`` to
+    ``timestamp[us]``-no-tz), the shim adapts to the footer schema.
+    """
+    raw = read_table_stream(spark, path)
     dtype = dict(raw.dtypes).get("ts")
     if dtype == "bigint":  # epoch nanos via nanosAsLong
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
