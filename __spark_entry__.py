@@ -1775,13 +1775,16 @@ def _q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_embed_dedup_clusters() -> str:
+def _oracle_embed_dedup_clusters(k1: int = 8, k2: int = 4) -> str:
+    # (k1, k2) must equal the gate's two_level_k(n) at the comparison
+    # SF — (8, 4) at the driver's sf0.01 (n=500); an off-SF check
+    # passes the right pair explicitly (scripts/check_sf1_embed.py)
     return (
         "WITH RECURSIVE "
-        + _kmeans2_oracle_ctes(k1=8, k2=4)
-        + """,
+        + _kmeans2_oracle_ctes(k1=k1, k2=k2)
+        + f""",
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sc AS (SELECT e.vec_id, fw2.c * 4 + fw2.sub_id AS cluster_id, e.v
+sc AS (SELECT e.vec_id, fw2.c * {k2} + fw2.sub_id AS cluster_id, e.v
        FROM e JOIN fw2 ON e.vec_id = fw2.vec_id),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -10298,20 +10301,25 @@ def _q_parts_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PARTS_BFS_HOPS = """
-WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
 pairs AS (
   SELECT a.p AS u, c.p AS v, COUNT(*) AS n
   FROM b a JOIN b c ON a.ok = c.ok AND a.p < c.p
   GROUP BY 1, 2
 ),
 e AS (SELECT u, v FROM pairs WHERE n >= 2),
-ed AS (SELECT u AS a, v AS bb FROM e UNION SELECT v, u FROM e),
+-- MATERIALIZED through the hop chain: each hN is referenced by every
+-- later level's NOT IN, and DuckDB's CTE inlining would otherwise
+-- re-expand the basket self-join once per reference — exponential
+-- re-execution that spilled >50 GB at the sf1 tiling (r15; the same
+-- trap _kmeans2_oracle_ctes documents for the Lloyd chain)
+ed AS MATERIALIZED (SELECT u AS a, v AS bb FROM e UNION SELECT v, u FROM e),
 nodes AS (SELECT DISTINCT a AS node FROM ed),
-v0 AS (SELECT node FROM nodes
+v0 AS MATERIALIZED (SELECT node FROM nodes
        WHERE node IN (SELECT p_partkey FROM part WHERE p_size = 1)),
-h1 AS (SELECT DISTINCT ed.bb AS node FROM ed JOIN v0 ON ed.a = v0.node
+h1 AS MATERIALIZED (SELECT DISTINCT ed.bb AS node FROM ed JOIN v0 ON ed.a = v0.node
        WHERE ed.bb NOT IN (SELECT node FROM v0)),
-h2 AS (SELECT DISTINCT ed.bb AS node FROM ed JOIN h1 ON ed.a = h1.node
+h2 AS MATERIALIZED (SELECT DISTINCT ed.bb AS node FROM ed JOIN h1 ON ed.a = h1.node
        WHERE ed.bb NOT IN (SELECT node FROM v0)
          AND ed.bb NOT IN (SELECT node FROM h1)),
 h3 AS (SELECT DISTINCT ed.bb AS node FROM ed JOIN h2 ON ed.a = h2.node
@@ -11414,13 +11422,16 @@ def _q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_embed_semdedup() -> str:
+def _oracle_embed_semdedup(k1: int = 8, k2: int = 4) -> str:
+    # (k1, k2) must equal the gate's two_level_k(n) at the comparison
+    # SF — (8, 4) at the driver's sf0.01 (n=500); an off-SF check
+    # passes the right pair explicitly (scripts/check_sf1_embed.py)
     return (
         "WITH "
-        + _kmeans2_oracle_ctes(k1=8, k2=4)
-        + """,
+        + _kmeans2_oracle_ctes(k1=k1, k2=k2)
+        + f""",
 sd AS (
-  SELECT vec_id, c * 4 + sub_id AS cluster_id, xq,
+  SELECT vec_id, c * {k2} + sub_id AS cluster_id, xq,
          CAST(list_sum(list_transform(xq, x -> x * x)) AS BIGINT) AS nn
   FROM fw2
 ),

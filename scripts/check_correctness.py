@@ -71,6 +71,62 @@ def norm_rows(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def compare(name: str, sdf, rel) -> tuple[bool, str | None]:
+    """Driver-protocol comparison of one Spark DataFrame against one
+    DuckDB relation: row count + column-name set + canonical dtypes +
+    order-insensitive values. Prints the PASS/FAIL line and returns
+    ``(ok, failure_reason)`` so off-SF harnesses
+    (scripts/check_sf1_embed.py) share the exact same protocol."""
+    s_cols = sdf.columns
+    s_types = dict((c.lower(), norm_dtype(t)) for c, t in sdf.dtypes)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d_cols = [c.lower() for c in rel.columns]
+    d_types = dict(
+        (c.lower(), norm_dtype(t)) for c, t in zip(rel.columns, rel.types)
+    )
+    # Guard against the third hash-only protocol trap (VERDICT r8
+    # #1): the driver's value hash renders DuckDB HUGEINT/UHUGEINT
+    # differently from BIGINT even though schema canonicalization
+    # maps both to "int" — an uncast SUM(BIGINT) in the final
+    # projection passes locally but fails hash_match at the driver.
+    wide = [
+        c for c, t in zip(rel.columns, rel.types)
+        if str(t).strip().lower() in ("hugeint", "uhugeint")
+    ]
+    if wide:
+        print(
+            f"FAIL {name}: oracle final projection returns HUGEINT "
+            f"{wide} — wrap in CAST(... AS BIGINT) (driver hash trap)"
+        )
+        return False, f"oracle final projection has HUGEINT columns: {wide}"
+    d_rows = rel.fetchall()
+
+    sc, sr = norm_rows([c.lower() for c in s_cols], s_rows)
+    dc, dr = norm_rows(d_cols, d_rows)
+    type_diffs = {
+        c: (s_types.get(c), d_types.get(c))
+        for c in set(s_types) | set(d_types)
+        if s_types.get(c) != d_types.get(c)
+    }
+    if sc != dc:
+        print(f"FAIL {name}: columns {sc} vs {dc}")
+        return False, f"columns differ: {sc} vs {dc}"
+    if type_diffs:
+        print(f"FAIL {name}: dtypes (spark, duckdb) {type_diffs}")
+        return False, f"dtypes differ: {type_diffs}"
+    if len(sr) != len(dr):
+        print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
+        return False, f"rowcount {len(sr)} vs {len(dr)}"
+    if sr != dr:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
+        print(f"FAIL {name}: first diff at sorted row {diff[0]}:")
+        print(f"  spark : {diff[1]}")
+        print(f"  duckdb: {diff[2]}")
+        return False, f"values differ at sorted row {diff[0]}"
+    print(f"PASS {name}: rows={len(sr)} cols={len(sc)}")
+    return True, None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -107,73 +163,29 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        if name not in oracles:
+            try:
+                n_rows = fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001
+                failures.append((name, f"spark error: {e}"))
+                print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
+                continue
+            print(f"OK?  {name}: rows={n_rows} (no oracle — rows-only check)")
+            continue
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_types = dict(
-                (c.lower(), norm_dtype(t)) for c, t in sdf.dtypes
-            )
-            s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
             continue
-        if name not in oracles:
-            print(f"OK?  {name}: rows={len(s_rows)} (no oracle — rows-only check)")
-            continue
         try:
-            rel = con.sql(oracles[name])
-            d_cols = [c.lower() for c in rel.columns]
-            d_types = dict(
-                (c.lower(), norm_dtype(t))
-                for c, t in zip(rel.columns, rel.types)
-            )
-            # Guard against the third hash-only protocol trap (VERDICT r8
-            # #1): the driver's value hash renders DuckDB HUGEINT/UHUGEINT
-            # differently from BIGINT even though schema canonicalization
-            # maps both to "int" — an uncast SUM(BIGINT) in the final
-            # projection passes locally but fails hash_match at the driver.
-            wide = [
-                c for c, t in zip(rel.columns, rel.types)
-                if str(t).strip().lower() in ("hugeint", "uhugeint")
-            ]
-            if wide:
-                failures.append((name, f"oracle final projection has HUGEINT columns: {wide}"))
-                print(
-                    f"FAIL {name}: oracle final projection returns HUGEINT "
-                    f"{wide} — wrap in CAST(... AS BIGINT) (driver hash trap)"
-                )
-                continue
-            d_rows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append((name, f"duckdb error: {e}"))
-            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            ok, reason = compare(name, sdf, con.sql(oracles[name]))
+        except Exception as e:  # noqa: BLE001 - spark collect or duckdb
+            failures.append((name, f"engine error: {e}"))
+            print(f"FAIL {name}: engine error: {str(e).splitlines()[0][:200]}")
             continue
-
-        sc, sr = norm_rows([c.lower() for c in s_cols], s_rows)
-        dc, dr = norm_rows(d_cols, d_rows)
-        type_diffs = {
-            c: (s_types.get(c), d_types.get(c))
-            for c in set(s_types) | set(d_types)
-            if s_types.get(c) != d_types.get(c)
-        }
-        if sc != dc:
-            failures.append((name, f"columns differ: {sc} vs {dc}"))
-            print(f"FAIL {name}: columns {sc} vs {dc}")
-        elif type_diffs:
-            failures.append((name, f"dtypes differ: {type_diffs}"))
-            print(f"FAIL {name}: dtypes (spark, duckdb) {type_diffs}")
-        elif len(sr) != len(dr):
-            failures.append((name, f"rowcount {len(sr)} vs {len(dr)}"))
-            print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")
-        elif sr != dr:
-            diff = next((i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
-            failures.append((name, f"values differ at sorted row {diff[0]}"))
-            print(f"FAIL {name}: first diff at sorted row {diff[0]}:")
-            print(f"  spark : {diff[1]}")
-            print(f"  duckdb: {diff[2]}")
-        else:
-            print(f"PASS {name}: rows={len(sr)} cols={len(sc)}")
+        if not ok:
+            failures.append((name, reason))
 
     spark.stop()
     print(f"\n{len(queries) - len(failures)}/{len(queries)} matched" if not only else "")
