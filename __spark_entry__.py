@@ -1294,14 +1294,31 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact pair-Jaccard via the gram-join identity: |A∩B| = the count of
+# shared distinct shingles, computed by an equi-join on the shingle +
+# a (id_a, id_b) group-count. Algebraically identical to the r10 form
+# (sh a JOIN sh b ON a.doc_id < b.doc_id with per-pair list_intersect)
+# — a qualifying pair shares >= 1 shingle, so no pair is lost — but
+# the all-pairs form is O(n^2) BY SHAPE and DuckDB cannot evaluate it
+# over sf1's 500k docs (killed after 55 min, r15), while this form is
+# O(sum df^2) = 28M intermediate rows at sf1 (max shingle df 25).
+# Still a SPEC, not the implementation: no prefix filter, no banding,
+# no hashing — just the set identity.
 ORACLE_JACCARD_PAIRS = f"""
-WITH sh AS ({_DUCK_SHINGLES})
-SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
-       round(len(list_intersect(a.s, b.s)) /
-             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s)) /
-      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS ti
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+       round(ti / CAST(sa.n + sb.n - ti AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.ia = sa.doc_id
+JOIN sz sb ON inter.ib = sb.doc_id
+WHERE ti / CAST(sa.n + sb.n - ti AS DOUBLE) >= 0.8
 """
 
 
@@ -6949,16 +6966,31 @@ def _q_docs_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DOCS_CONTAINMENT_DUP = """
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-    ELSE [array_to_string(toks, ' ')] END) AS s FROM tok)
-SELECT CAST(a.doc_id AS BIGINT) AS contained_id,
-       CAST(b.doc_id AS BIGINT) AS container_id,
-       round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS containment
-FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8
+# Exact containment via the same gram-join identity as
+# ORACLE_JACCARD_PAIRS (see that comment): the r10 all-pairs form
+# (sh a JOIN sh b ON a.doc_id <> b.doc_id) is O(n^2) by shape and
+# infeasible in DuckDB at sf1; the join-count form is O(sum df^2) and
+# value-identical — directions recovered by emitting each unordered
+# intersect count under both orientations.
+ORACLE_DOCS_CONTAINMENT_DUP = f"""
+WITH sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS ti
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+oriented AS (
+  SELECT ia, ib, ti FROM inter
+  UNION ALL
+  SELECT ib, ia, ti FROM inter
+)
+SELECT CAST(oriented.ia AS BIGINT) AS contained_id,
+       CAST(oriented.ib AS BIGINT) AS container_id,
+       round(ti / CAST(sa.n AS DOUBLE), 6) AS containment
+FROM oriented JOIN sz sa ON oriented.ia = sa.doc_id
+WHERE ti / CAST(sa.n AS DOUBLE) >= 0.8
 """
 
 
