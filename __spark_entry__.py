@@ -1338,13 +1338,24 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pairs via the same gram-join identity as ORACLE_JACCARD_PAIRS (see
+# that comment): the all-pairs form is O(n^2) by shape and infeasible
+# in DuckDB past the driver SF; this form is value-identical.
 ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+WITH RECURSIVE sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS ti
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) /
-        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+  SELECT ia AS id_a, ib AS id_b
+  FROM inter
+  JOIN sz sa ON inter.ia = sa.doc_id
+  JOIN sz sb ON inter.ib = sb.doc_id
+  WHERE ti / CAST(sa.n + sb.n - ti AS DOUBLE) >= 0.8
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
