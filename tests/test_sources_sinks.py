@@ -51,6 +51,26 @@ def test_register_source_rejects_unknown(engine):
         engine.register_source("src.t", "/nope", fmt="avroesque")
 
 
+def test_register_parquet_relative_path(engine, spark, tmp_path):
+    """A RELATIVE local path must register relative to the caller's
+    working directory, not the warehouse database dir (Spark's default
+    relative-LOCATION semantics — the r15 sf1-harness failure:
+    UNABLE_TO_INFER_SCHEMA on a path that plainly existed). URIs with
+    a scheme pass through untouched."""
+    import os
+
+    path = _seed(spark, tmp_path, "parquet")
+    rel = os.path.relpath(path, os.getcwd())
+    assert not rel.startswith("/")
+    engine.register_parquet("src.t", rel)
+    assert spark.table("src.t").count() == 3
+    # scheme-qualified URIs are not rewritten
+    from omop_etl_spark.engine import Engine
+
+    assert Engine._resolve_location("s3a://bucket/t").startswith("s3a://")
+    assert Engine._resolve_location("/abs/t.parquet") == "/abs/t.parquet"
+
+
 def test_register_jdbc_requires_bounds(engine):
     with pytest.raises(ValueError, match="lower_bound"):
         engine.register_jdbc(
