@@ -4040,7 +4040,14 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        CAST(SUM(cents) OVER w AS BIGINT) AS rolling_3d_cents,
        CAST(COUNT(*) OVER w AS BIGINT) AS rolling_3d_events
-FROM (SELECT event_id, user_id, epoch(ts) AS es,
+FROM (SELECT event_id, user_id,
+             -- floor to WHOLE seconds: Spark's unix_timestamp truncates
+             -- sub-second precision, DuckDB's epoch() keeps it as a
+             -- DOUBLE — unfloored, an event sitting exactly at the
+             -- 3-day boundary plus a fraction falls outside DuckDB's
+             -- RANGE frame but inside Spark's (latent until the sf1
+             -- tiling put two same-user events on the boundary, r15)
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
              CAST(floor(value * 100) AS BIGINT) AS cents
       FROM events) t
 WINDOW w AS (PARTITION BY user_id ORDER BY es
@@ -5297,13 +5304,24 @@ def _q_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_leakage_safe_split() -> str:
+    # pairs via the gram-join identity (see ORACLE_JACCARD_PAIRS): the
+    # all-pairs form is O(n^2) by shape and infeasible in DuckDB past
+    # the driver SF; this form is value-identical.
     return f"""
-WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+WITH RECURSIVE sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS ti
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) /
-        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+  SELECT ia AS id_a, ib AS id_b
+  FROM inter
+  JOIN sz sa ON inter.ia = sa.doc_id
+  JOIN sz sb ON inter.ib = sb.doc_id
+  WHERE ti / CAST(sa.n + sb.n - ti AS DOUBLE) >= 0.8
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
@@ -5588,13 +5606,24 @@ def _q_docs_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_soft_dedup_weights() -> str:
+    # pairs via the gram-join identity (see ORACLE_JACCARD_PAIRS): the
+    # all-pairs form is O(n^2) by shape and infeasible in DuckDB past
+    # the driver SF; this form is value-identical.
     return f"""
-WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+WITH RECURSIVE sh AS MATERIALIZED ({_DUCK_SHINGLES}),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS ti
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) /
-        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8
+  SELECT ia AS id_a, ib AS id_b
+  FROM inter
+  JOIN sz sa ON inter.ia = sa.doc_id
+  JOIN sz sb ON inter.ib = sb.doc_id
+  WHERE ti / CAST(sa.n + sb.n - ti AS DOUBLE) >= 0.8
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
