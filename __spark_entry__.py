@@ -9131,11 +9131,16 @@ def _q_embed_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_embed_top_eigen(rounds: int = 8) -> str:
+    # MATERIALIZED through the chain: fm is consumed by every round and
+    # each w{i} by two successors — DuckDB's per-reference CTE inlining
+    # would otherwise re-expand the full covariance pair fan-out
+    # exponentially across the 8 rounds (OOM'd at sf1, r15; the same
+    # trap as the BFS hop chain and the Lloyd CTEs)
     step = """
-w{i} AS (SELECT f.i, SUM(CAST(f.m AS HUGEINT) * v.v) AS w
+w{i} AS MATERIALIZED (SELECT f.i, SUM(CAST(f.m AS HUGEINT) * v.v) AS w
          FROM fm f JOIN v{p} v ON f.j = v.i GROUP BY f.i),
 mx{i} AS (SELECT MAX(abs(w)) AS mx FROM w{i}),
-v{i} AS (SELECT i, CAST((w * 1000000) // greatest(mx, 1) AS BIGINT) AS v
+v{i} AS MATERIALIZED (SELECT i, CAST((w * 1000000) // greatest(mx, 1) AS BIGINT) AS v
          FROM w{i}, mx{i})"""
     chain = ",".join(step.format(i=i + 1, p=i) for i in range(rounds))
     return f"""
@@ -9158,7 +9163,7 @@ cov AS (
                - ((((n * s_ij - s_i * s_j) % n) + n) % n)) // n AS BIGINT) AS m
   FROM mm
 ),
-fm AS (
+fm AS MATERIALIZED (
   SELECT i, j, m FROM cov
   UNION ALL
   SELECT j AS i, i AS j, m FROM cov WHERE i < j
