@@ -12259,13 +12259,19 @@ FROM g GROUP BY user_id
 
 # The r15 driver window (VERDICT r14 #1: amended freshness policy —
 # gates NEW this round outrank everything; gates whose OPERATOR CODE
-# changed in the last round outrank stale gates; never-checked beats
-# stale; then stalest cohorts rotate).  Composition: the 2 gates new
-# in r15 lead, then the 9 gates through the r14 shuffle_hash-touched
-# verify paths (dedup.py _verify_jaccard / containment_pairs — changed
-# r14 but last driver-green r10-r13), then the 15 remaining r10 greens
-# (at the 5-round staleness ceiling; agg_rollup retired this round),
-# backfilled with the 24 stalest r11 greens to exactly 50.
+# or ORACLE SQL changed outrank stale gates (the driver runs the
+# oracle, so a changed oracle needs the external gate as much as a
+# changed operator); never-checked beats stale; then stalest cohorts
+# rotate).  Composition: the 2 gates new in r15 lead, then the 9
+# gates through the r14 shuffle_hash-touched verify paths (dedup.py
+# _verify_jaccard / containment_pairs — changed r14 but last
+# driver-green r10-r13), then the 15 remaining r10 greens (at the
+# 5-round staleness ceiling; agg_rollup retired this round), then 19
+# stalest r11 greens, closing with the 5 gates whose ORACLES were
+# rewritten this round during the full-registry sf1 sweep (gram-join
+# identity / RANGE-boundary flooring / MATERIALIZED chains —
+# docs_leakage_safe_split and docs_soft_dedup_weights are also stale
+# r11, so they satisfy both rules).
 _WINDOW_R15: list[str] = [
     "orders_cdc_state_stream",
     "multimodal_real_resize",
@@ -12312,17 +12318,22 @@ _WINDOW_R15: list[str] = [
     "range_join_events",
     "sample_stratified",
     "scd2_user_state",
-    "set_ops_customers",
-    "split_assign",
-    "sql_distinct_on",
-    "sql_expr_surface",
-    "text_langid",
+    "docs_leakage_safe_split",
+    "docs_soft_dedup_weights",
+    "events_rolling_3d",
+    "embed_top_eigen",
+    "parts_bfs_hops",
 ]
 
 # Driver-green in r11 and still below the window after the r15
 # rotation (multimodal_frames retired this round) — the stalest rows
 # below the window; they rotate first in r16.
 _GREEN_R11_REST: list[str] = [
+    "set_ops_customers",
+    "split_assign",
+    "sql_distinct_on",
+    "sql_expr_surface",
+    "text_langid",
     "text_pii_scrub",
     "text_quality",
     "text_stats",
@@ -12336,13 +12347,11 @@ _GREEN_R11_REST: list[str] = [
     "docs_curate",
     "docs_decontaminate",
     "docs_encode",
-    "docs_leakage_safe_split",
     "docs_length_hist",
     "docs_novelty",
     "docs_per_source_sample",
     "docs_repetition",
     "docs_shuffle_order",
-    "docs_soft_dedup_weights",
     "docs_strip_boilerplate",
     "docs_token_budget",
 ]
@@ -12417,7 +12426,6 @@ _GREEN_R13_REST: list[str] = [
     "events_anomaly_zscore",
     "events_burst_dedup",
     "events_retention",
-    "events_rolling_3d",
     "events_user_pagerank",
     "orders_cdc_apply",
     "orders_large_volume",
@@ -12484,7 +12492,6 @@ _GREEN_R14: list[str] = [
     "events_multitouch",
     "events_twap",
     "cust_ab_lift",
-    "parts_bfs_hops",
     "sketch_hll_union",
     "embed_pq_topk",
     "events_top_paths",
@@ -12497,7 +12504,6 @@ _GREEN_R14: list[str] = [
     "docs_greedy_chain",
     "orders_rfm",
     "cust_cohort_ltv",
-    "embed_top_eigen",
     "events_stationary",
     "orders_profile",
     "docs_encode_unigram",
