@@ -973,6 +973,63 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _q_events_burst_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING burst dedup, driver-gated (the third
+    ``applyInPandasWithState`` replay gate): the events parquet
+    replayed through the file source (``Trigger.AvailableNow``) into
+    ``streaming.events.stream_burst_dedup`` — per (user, event_type),
+    only the first event of every burst (chain with consecutive gaps
+    < 10 min) survives; state per key is ONE timestamp, so memory is
+    bounded by the live-key set forever (the property
+    ``dropDuplicates``-style streaming dedup lacks).
+
+    Oracle = the batch twin's oracle VERBATIM
+    (``ORACLE_EVENTS_BURST_DEDUP``): for a replay whose batches are
+    per-key-ordered (AvailableNow over the parquet processes each
+    event once; within a batch the operator sorts by (ts, id)), the
+    emitted survivor set equals batch ``burst_dedup`` of the same
+    prefix — the prefix-equivalence contract
+    tests/test_incremental_replay.py asserts, here value-checked by
+    the driver. Survivors are emitted exactly once, so the final
+    per-type aggregation needs no dedup trick."""
+    import uuid
+
+    from omop_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_burst_dedup,
+    )
+
+    src = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    kept = stream_burst_dedup(
+        src.select("user_id", "event_type", "ts", "event_id"),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        id_col="event_id",
+        gap_seconds=600,
+    )
+    qn = f"burst_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.table(qn)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event annotated with the customer's most
     recent order at event time (union-window plan: one shuffle, no
@@ -2949,56 +3006,12 @@ ORDER BY count DESC, ngram ASC LIMIT 200
 """
 
 
-def _q_docs_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Capstone curation pipeline: boilerplate strip -> drop emptied
-    docs -> exact dedup (min doc_id survives) -> 64/16 chunking. Every
-    stage oracle-replayable, composed into one SQL."""
-    from omop_etl_spark.pipelines import curate_corpus
-
-    docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
-    return curate_corpus(
-        docs, boilerplate_min_docs=2, dedup_exact=True,
-        chunk_tokens=64, overlap=16,
-    ).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("chunk_id").cast("int").alias("chunk_id"),
-        "text",
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-    )
-
-
-ORACLE_DOCS_CURATE = """
-WITH l AS (
-  SELECT doc_id, s.i AS line_no, lines[s.i + 1] AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
-       LATERAL (SELECT unnest(range(0, len(lines))) AS i) s
-),
-hot AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
-kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
-rebuilt AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
-  FROM kept GROUP BY doc_id
-),
-surv AS (
-  SELECT MIN(doc_id) AS doc_id, text FROM rebuilt WHERE text <> ''
-  GROUP BY text
-),
-t AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-  FROM surv
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(s.i AS INT) AS chunk_id,
-       array_to_string(toks[s.i * 48 + 1 : s.i * 48 + 64], ' ') AS text,
-       CAST(least(len(toks) - s.i * 48, 64) AS INT) AS n_tokens
-FROM t, LATERAL (
-  SELECT unnest(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS i
-) s
-WHERE len(toks) > 0
-"""
-
-
+# _q_docs_curate (strip->exact-dedup->chunk composition, r11) RETIRED
+# in r15 to hold the registry at 216 while adding the third streaming
+# gate: every stage it composed keeps its own gate (docs_curate_full
+# for the pipeline composition incl. strip+dedup, docs_chunk /
+# docs_cdc_chunks for chunking), and pipelines.curate_corpus stays
+# pytest-covered.
 def _q_docs_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE curation pipeline (VERDICT r5 #5): token gate ->
     boilerplate strip -> decontaminate against a benchmark slice
@@ -12273,6 +12286,7 @@ FROM g GROUP BY user_id
 # docs_leakage_safe_split and docs_soft_dedup_weights are also stale
 # r11, so they satisfy both rules).
 _WINDOW_R15: list[str] = [
+    "events_burst_dedup_stream",
     "orders_cdc_state_stream",
     "multimodal_real_resize",
     "docs_containment_dup",
@@ -12317,7 +12331,6 @@ _WINDOW_R15: list[str] = [
     "pack_bins",
     "range_join_events",
     "sample_stratified",
-    "scd2_user_state",
     "docs_leakage_safe_split",
     "docs_soft_dedup_weights",
     "events_rolling_3d",
@@ -12329,6 +12342,7 @@ _WINDOW_R15: list[str] = [
 # rotation (multimodal_frames retired this round) — the stalest rows
 # below the window; they rotate first in r16.
 _GREEN_R11_REST: list[str] = [
+    "scd2_user_state",
     "set_ops_customers",
     "split_assign",
     "sql_distinct_on",
@@ -12344,7 +12358,6 @@ _GREEN_R11_REST: list[str] = [
     "corpus_vocab",
     "cust_no_orders",
     "docs_cooccurrence",
-    "docs_curate",
     "docs_decontaminate",
     "docs_encode",
     "docs_length_hist",
@@ -12552,6 +12565,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r15 --
         "orders_cdc_state_stream": _q_orders_cdc_state_stream,
         "multimodal_real_resize": _q_multimodal_real_resize,
+        "events_burst_dedup_stream": _q_events_burst_dedup_stream,
         # -- new in r13 --
         "embed_semdedup_capped": _q_embed_semdedup_capped,
         "events_latest_state_stream": _q_events_latest_state_stream,
@@ -12658,7 +12672,6 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": _q_corpus_vocab,
         "cust_no_orders": _q_cust_no_orders,
         "docs_cooccurrence": _q_docs_cooccurrence,
-        "docs_curate": _q_docs_curate,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_encode": _q_docs_encode,
         "docs_leakage_safe_split": _q_docs_leakage_safe_split,
@@ -12850,7 +12863,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": ORACLE_DOCS_REPETITION,
         "docs_strip_boilerplate": ORACLE_DOCS_STRIP,
         "corpus_vocab": ORACLE_CORPUS_VOCAB,
-        "docs_curate": ORACLE_DOCS_CURATE,
         "docs_curate_full": _oracle_docs_curate_full(),
         "docs_dedup_lines": ORACLE_DOCS_DEDUP_LINES,
         "docs_cross_dup": ORACLE_DOCS_CROSS_DUP,
@@ -12977,6 +12989,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_semdedup_capped": _oracle_embed_semdedup_capped(),
         "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE_STREAM,
         "orders_cdc_state_stream": ORACLE_ORDERS_CDC_STATE_STREAM,
+        "events_burst_dedup_stream": ORACLE_EVENTS_BURST_DEDUP,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,
