@@ -1030,6 +1030,223 @@ def _q_events_burst_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_available_now(stream_df: DataFrame, prefix: str) -> DataFrame:
+    """Replay a streaming frame to completion (``Trigger.AvailableNow``,
+    memory sink) and return the sink table — the shared tail of every
+    streaming replay gate."""
+    import uuid
+
+    qn = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(qn)
+
+
+def _q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING first-seen-wins dedup with TTL-bounded state
+    (VERDICT r15 #2, first of the three remaining ungated streaming
+    operators): the events parquet replayed through
+    ``streaming.events.stream_dedup`` keyed on (user_id, event_type) —
+    each key's FIRST row is emitted exactly once, ever; state is one
+    counter per key and, on a continuous trigger, a processing-time
+    TTL expires idle keys so memory is bounded by the ACTIVE-key set,
+    the contract ``dropDuplicates`` (state grows with distinct keys
+    forever) cannot offer. The replay runs with ``ttl_minutes=None``
+    (see the operator docstring: a pending processing-time timeout
+    keeps an AvailableNow query scheduling no-data batches until the
+    TTL fires, so a finite replay must not arm it).
+
+    The stream is projected to exactly the key columns before the
+    stateful operator, so the emitted row per key is a pure function
+    of the data (whatever physical row arrives first, its projection
+    is the key itself) and the emission set is oracle-expressible:
+    SELECT DISTINCT. The per-type rollup (distinct-user count + the
+    order-insensitive user-id checksum) value-checks WHICH keys
+    emitted and that each emitted once — the exactly-once-per-key
+    semantics itself."""
+    from omop_etl_spark.streaming.events import read_events_stream, stream_dedup
+
+    src = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    kept = stream_dedup(
+        src.select("user_id", "event_type"),
+        keys=["user_id", "event_type"],
+        # None = NoTimeout: a processing-time TTL would keep the
+        # AvailableNow replay alive (no-data batches) until every
+        # key's TTL fired — TTL is a continuous-trigger feature
+        ttl_minutes=None,
+    )
+    return (
+        _run_available_now(kept, "dedup_replay")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("user_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_DEDUP_STREAM = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_events_kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KMV distinct-count (VERDICT r15 #2): the events
+    parquet replayed through ``streaming.events.stream_kmv_distinct``
+    — a running distinct-user estimate per event type whose state is
+    the k=64 smallest md5 hashes per key (a few KB) no matter how many
+    distinct users flow past.
+
+    The sketch state is a pure function of the distinct-value SET
+    (order-independent: the k smallest hashes), so the final emission
+    equals batch ``kmv_distinct`` of the whole table and the oracle is
+    the batch gate's SQL (same public md5 hash, same (k-1)/kth-hash
+    estimator, same 2^-32 clamp). Final per-key rows are recovered
+    from the append-mode emissions without batch ids: n_kept is
+    nondecreasing and, once saturated at k, the kth hash only ever
+    shrinks, so est_distinct is nondecreasing too —
+    ``max(struct(n_kept, est_distinct))`` IS the last emission (the
+    cdc-gate recovery pattern). At sf0.01 each type has ~150 distinct
+    users > k, so the saturated estimator path (not the exact-count
+    fallback) is what's checked."""
+    from omop_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_kmv_distinct,
+    )
+
+    src = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    est = stream_kmv_distinct(
+        src.select("event_type", "user_id"),
+        key_col="event_type",
+        value_col="user_id",
+        k=64,
+    )
+    final = (
+        _run_available_now(est, "kmv_replay")
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n_kept", "est_distinct")).alias("__w"))
+    )
+    return final.select(
+        "event_type",
+        F.col("__w.n_kept").cast("bigint").alias("n_kept"),
+        F.col("__w.est_distinct").cast("bigint").alias("est_distinct"),
+    ).orderBy("event_type")
+
+
+ORACLE_EVENTS_KMV_DISTINCT_STREAM = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(concat('kmv|', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE floor(63.0 / greatest(MAX(h), 1.0 / 4294967296.0)) END AS BIGINT) AS est_distinct
+FROM ranked WHERE rn <= 64 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_events_logq_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING log-linear-histogram quantile (VERDICT r15 #2, the
+    last ungated streaming operator): event values (as integer cents)
+    replayed through ``streaming.events.stream_logq_quantile`` — a
+    running p50 estimate per event type whose state is the bucket
+    registers (O(octaves * 2^m) longs per key), the bounded-state
+    answer to "what is p50 of this metric so far, right now?" that an
+    exact quantile's whole-multiset state cannot give on an unbounded
+    stream.
+
+    The registers are a pure function of the value MULTISET
+    (order-independent counts), so the final emission equals batch
+    ``logq_quantiles(logq_buckets(...))`` of the whole table and the
+    oracle replays the same pure-integer bucket index (bit-length
+    octave + 2^5 linear sub-buckets — no transcendental log) in SQL,
+    the ``sketch_logq_value`` oracle's bucket math. Recovery from the
+    append-mode emissions: n (the running positive-value count) is
+    strictly monotone across state changes, so ``max(struct(n,
+    q_est))`` IS the last emission. Types whose values never reach 1
+    cent emit n=0 with NULL estimate and are filtered, mirroring the
+    oracle's positivity filter."""
+    from omop_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_logq_quantile,
+    )
+
+    src = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    vals = src.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    est = stream_logq_quantile(
+        vals, key_col="event_type", value_col="cents", m=5, quantile=(1, 2)
+    )
+    final = (
+        _run_available_now(est, "logq_replay")
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n", "q_est")).alias("__w"))
+        .filter(F.col("__w.n") > 0)
+    )
+    return final.select(
+        "event_type",
+        F.col("__w.n").cast("bigint").alias("n_pos"),
+        F.col("__w.q_est").cast("bigint").alias("p50_est_cents"),
+    ).orderBy("event_type")
+
+
+ORACLE_EVENTS_LOGQ_QUANTILE_STREAM = """
+WITH pos AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(floor(value * 100) AS BIGINT) >= 1
+),
+b AS (
+  SELECT event_type,
+         length(bin(cents)) * 32
+           + ((cents * 32) // (CAST(1 AS BIGINT) << (length(bin(cents)) - 1))
+              - 32) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pos GROUP BY 1, 2
+),
+cumb AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+est AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pos,
+         MIN(CASE WHEN cum >= (1 * (n - 1)) // 2 + 1 THEN bucket END) AS b50
+  FROM cumb GROUP BY 1
+)
+SELECT event_type, n_pos,
+       CAST((CAST(1 AS BIGINT) << (CAST(b50 // 32 AS INT) - 1))
+            * (32 + b50 % 32) // 32 AS BIGINT) AS p50_est_cents
+FROM est ORDER BY event_type
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event annotated with the customer's most
     recent order at event time (union-window plan: one shuffle, no
@@ -3600,134 +3817,26 @@ GROUP BY o_orderpriority
 """
 
 
-def _q_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: pure scan→filter→scalar-aggregate, the pushdown
-    showcase — every predicate reaches the parquet reader (PushedFilters
-    on l_shipdate/l_discount/l_quantity), only 4 columns are read, and
-    the whole query is one map-side-combined partial aggregate with a
-    single-row final exchange."""
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    rev = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 1000).cast("bigint")
-    return l.agg(
-        F.sum(rev).cast("bigint").alias("revenue_micros"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
+# _q_filter_revenue (TPC-H Q6 scan->pushed-filter->scalar aggregate,
+# r10) RETIRED in r16 (VERDICT r15 #2, hold the registry at 216 while
+# gating the three remaining streaming operators): its surface is a
+# strict subset of the still-registered agg_pricing_summary gate (same
+# pushed-filter lineitem scan, plus groupBy + multi-aggregate), and
+# filter pushdown is asserted plan-wide by tests/test_plan_quality.py.
 
 
-ORACLE_FILTER_REVENUE = """
-SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1000) AS BIGINT)) AS BIGINT) AS revenue_micros,
-       COUNT(*) AS n_rows
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-  AND l_shipdate < TIMESTAMP '1998-01-01'
-  AND l_discount >= 0.05 AND l_discount <= 0.07
-  AND l_quantity < 24
-"""
+# _q_returned_items (TPC-H Q10 join->groupBy->top-20, r10) RETIRED in
+# r16 (VERDICT r15 #2): its l⋈o⋈c⋈broadcast(nation) -> grouped-sum ->
+# TakeOrderedAndProject shape is covered by the still-registered
+# agg_shipping_priority (Q3: l⋈o⋈c grouped-sum top-10) and
+# agg_top_customers (customer-grain top-k) gates.
 
 
-def _q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue by customer with a
-    broadcast nation dim, top-20 by lost revenue. The returnflag and
-    order-date filters push to the scans; nation broadcasts; the top-k
-    is TakeOrderedAndProject with a deterministic custkey tiebreak."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-    )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        F.col("l_returnflag") == "R"
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("bigint")
-    return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("bigint").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-        .select(
-            F.col("c_custkey").cast("bigint").alias("c_custkey"),
-            "c_name",
-            F.col("n_name").alias("nation"),
-            "revenue",
-        )
-    )
-
-
-ORACLE_RETURNED_ITEMS = """
-SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name AS nation,
-       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS revenue
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
-  AND o.o_orderdate < TIMESTAMP '1997-07-01'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
-"""
-
-
-def _q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: monthly promo-revenue share over a
-    lineitem⋈part join. Both sums are per-row-floored BIGINTs and the
-    share is derived from those integers, so the ratio is bit-stable
-    across engines regardless of float summation order. Part is the
-    build side (broadcast-eligible at test SF; sort-merge at 100 TB —
-    either way the join key is the only shuffle)."""
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("bigint")
-    return (
-        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.month("l_shipdate").alias("month"))
-        .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias("promo_revenue"),
-            F.sum(rev).cast("bigint").alias("total_revenue"),
-        )
-        .select(
-            F.col("month").cast("int").alias("month"),
-            "promo_revenue",
-            "total_revenue",
-            F.round(
-                F.col("promo_revenue") / F.col("total_revenue"), 6
-            ).alias("promo_share"),
-        )
-    )
-
-
-ORACLE_PROMO_REVENUE_SHARE = """
-WITH j AS (
-  SELECT CAST(month(l_shipdate) AS INT) AS month,
-         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS rev,
-         p_type
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-    AND l_shipdate < TIMESTAMP '1998-01-01'
-)
-SELECT month,
-       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_revenue,
-       CAST(SUM(rev) AS BIGINT) AS total_revenue,
-       round(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) / CAST(SUM(rev) AS DOUBLE), 6) AS promo_share
-FROM j
-GROUP BY month
-"""
+# _q_promo_revenue_share (TPC-H Q14 join + conditional-share, r10)
+# RETIRED in r16 (VERDICT r15 #2): its join + CASE-conditional share
+# surface is a subset of the still-registered agg_market_share (Q8:
+# multi-join conditional share) and agg_shipped_last (Q12: two-way
+# conditional sums) gates.
 
 
 # ---------------------------------------------------------------------------
@@ -12270,78 +12379,27 @@ FROM g GROUP BY user_id
 """
 
 
-# The r15 driver window (VERDICT r14 #1: amended freshness policy —
-# gates NEW this round outrank everything; gates whose OPERATOR CODE
-# or ORACLE SQL changed outrank stale gates (the driver runs the
-# oracle, so a changed oracle needs the external gate as much as a
-# changed operator); never-checked beats stale; then stalest cohorts
-# rotate).  Composition: the 2 gates new in r15 lead, then the 9
-# gates through the r14 shuffle_hash-touched verify paths (dedup.py
-# _verify_jaccard / containment_pairs — changed r14 but last
-# driver-green r10-r13), then the 15 remaining r10 greens (at the
-# 5-round staleness ceiling; agg_rollup retired this round), then 19
-# stalest r11 greens, closing with the 5 gates whose ORACLES were
-# rewritten this round during the full-registry sf1 sweep (gram-join
-# identity / RANGE-boundary flooring / MATERIALIZED chains —
-# docs_leakage_safe_split and docs_soft_dedup_weights are also stale
-# r11, so they satisfy both rules).
-_WINDOW_R15: list[str] = [
-    "events_burst_dedup_stream",
+# The r16 driver window (amended freshness policy, LOCALCHECK_r15:
+# NEW gates > gates whose OPERATOR CODE or ORACLE SQL changed since
+# their last driver-green > never-checked > stalest cohorts).
+# Composition: the 3 gates NEW in r16 lead (the last three streaming
+# operators, now replay-gated — VERDICT r15 #2); then the 3 gates
+# whose operators changed this round (stream_cdc_state vectorized per
+# VERDICT r15 #1, stream_burst_dedup's cross-chunk sort fix per
+# ADVICE, cosine_pairs' enforced bounded-input guard per VERDICT r15
+# #3); then ALL 25 r11 greens (the stalest cohort rotates first);
+# then the 19 stalest r12 greens as backfill (cohort order;
+# agg_filter_revenue / agg_promo_share / agg_returned_items retired
+# this round). conf.py's warning-guard reorder is exempt from the
+# changed-operator rule: it touches warning-delivery bookkeeping
+# only, no gate dataflow.
+_WINDOW_R16: list[str] = [
+    "events_dedup_stream",
+    "events_kmv_distinct_stream",
+    "events_logq_quantile_stream",
     "orders_cdc_state_stream",
-    "multimodal_real_resize",
-    "docs_containment_dup",
-    "ngram_jaccard_pairs",
-    "docs_cross_dup",
-    "docs_dup_spans",
-    "docs_incremental_dedup",
-    "dedup_minhash_lsh",
-    "dedup_near_clusters",
-    "docs_curate_full",
-    "docs_curate_incremental",
-    "agg_top_customers",
-    "asof_join_events",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "docs_chunk",
-    "docs_tfidf",
-    "embed_centroids",
+    "events_burst_dedup_stream",
     "embed_neardup_pairs",
-    "etl_constant",
-    "etl_copy",
-    "etl_fk_remap",
-    "etl_lww",
-    "etl_merge_entities",
-    "sketch_vocab_diff",
-    "events_busy_time",
-    "agg_weighted_quantiles",
-    "docs_segment_pieces",
-    "docs_learn_unigram",
-    "docs_waterfill_mix",
-    "etl_query_table",
-    "etl_required_filter",
-    "etl_temp_table",
-    "events_hourly",
-    "events_json_agg",
-    "events_pivot",
-    "events_resample",
-    "events_sessionize",
-    "multimodal_features",
-    "pack_bins",
-    "range_join_events",
-    "sample_stratified",
-    "docs_leakage_safe_split",
-    "docs_soft_dedup_weights",
-    "events_rolling_3d",
-    "embed_top_eigen",
-    "parts_bfs_hops",
-]
-
-# Driver-green in r11 and still below the window after the r15
-# rotation (multimodal_frames retired this round) — the stalest rows
-# below the window; they rotate first in r16.
-_GREEN_R11_REST: list[str] = [
     "scd2_user_state",
     "set_ops_customers",
     "split_assign",
@@ -12367,11 +12425,6 @@ _GREEN_R11_REST: list[str] = [
     "docs_shuffle_order",
     "docs_strip_boilerplate",
     "docs_token_budget",
-]
-
-# Driver-green in r12, minus the 4 verify-path gates rotated INTO
-# the r15 window.
-_GREEN_R12_REST: list[str] = [
     "embed_kmeans2",
     "events_sessionize_stream",
     "docs_source_influence",
@@ -12391,6 +12444,12 @@ _GREEN_R12_REST: list[str] = [
     "events_hourly_distinct",
     "events_missing_hours",
     "events_multigrain",
+]
+
+# Driver-green in r12 and still below the window after the r16
+# rotation (19 rotated into the window, 3 agg_* gates retired) — now
+# the stalest rows below the window; they rotate first in r17.
+_GREEN_R12_REST: list[str] = [
     "events_overlap_join",
     "events_partition_checksums",
     "events_salted_enrich",
@@ -12410,10 +12469,7 @@ _GREEN_R12_REST: list[str] = [
     "part_golden_records",
     "regional_supplier_volume",
     "sketch_distinct_users",
-    "agg_filter_revenue",
     "agg_order_priority",
-    "agg_promo_share",
-    "agg_returned_items",
     "agg_shipping_priority",
     "cust_balance_upsert",
     "cust_dormant_rich",
@@ -12525,19 +12581,74 @@ _GREEN_R14: list[str] = [
     "agg_pricing_summary",
 ]
 
+# Driver-green in r15 (the r15 window minus the 3 changed-operator
+# gates rotated back INTO the r16 window) — the freshest rows, so
+# they sort to the very back.
+_GREEN_R15: list[str] = [
+    "multimodal_real_resize",
+    "docs_containment_dup",
+    "ngram_jaccard_pairs",
+    "docs_cross_dup",
+    "docs_dup_spans",
+    "docs_incremental_dedup",
+    "dedup_minhash_lsh",
+    "dedup_near_clusters",
+    "docs_curate_full",
+    "docs_curate_incremental",
+    "agg_top_customers",
+    "asof_join_events",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "docs_chunk",
+    "docs_tfidf",
+    "embed_centroids",
+    "etl_constant",
+    "etl_copy",
+    "etl_fk_remap",
+    "etl_lww",
+    "etl_merge_entities",
+    "sketch_vocab_diff",
+    "events_busy_time",
+    "agg_weighted_quantiles",
+    "docs_segment_pieces",
+    "docs_learn_unigram",
+    "docs_waterfill_mix",
+    "etl_query_table",
+    "etl_required_filter",
+    "etl_temp_table",
+    "events_hourly",
+    "events_json_agg",
+    "events_pivot",
+    "events_resample",
+    "events_sessionize",
+    "multimodal_features",
+    "pack_bins",
+    "range_join_events",
+    "sample_stratified",
+    "docs_leakage_safe_split",
+    "docs_soft_dedup_weights",
+    "events_rolling_3d",
+    "embed_top_eigen",
+    "parts_bfs_hops",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # order: r15 window (50) · any unlisted keys (future gates land
-    # just below the window) · 22 r11 greens · 46 r12 · 48 r13 ·
-    # 50 r14 greens (freshest last)
+    # order: r16 window · any unlisted keys (future gates land just
+    # below the window) · then the green cohorts stalest-first
+    # (freshest last). Cohort sizes live in the lists themselves —
+    # LOCALCHECK_r16.md records the per-round histogram.
     reg = _registry()
-    front = set(_WINDOW_R15)
+    front = set(_WINDOW_R16)
     backs = [
-        set(_GREEN_R11_REST),
         set(_GREEN_R12_REST),
         set(_GREEN_R13_REST),
         set(_GREEN_R14),
+        set(_GREEN_R15),
     ]
+    assert len(_WINDOW_R16) == 50
     assert front <= set(reg) and all(b <= set(reg) for b in backs)
     taken = front.copy()
     for b in backs:
@@ -12547,12 +12658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         k: reg[k]
         for k in [
-            *_WINDOW_R15,
+            *_WINDOW_R16,
             *mid,
-            *_GREEN_R11_REST,
             *_GREEN_R12_REST,
             *_GREEN_R13_REST,
             *_GREEN_R14,
+            *_GREEN_R15,
         ]
     }
 
@@ -12562,6 +12673,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries() reorders it into the r13 driver window above.  See
     # LOCALCHECK_r13.md for the per-entry last-driver-green manifest.
     return {
+        # -- new in r16 --
+        "events_dedup_stream": _q_events_dedup_stream,
+        "events_kmv_distinct_stream": _q_events_kmv_distinct_stream,
+        "events_logq_quantile_stream": _q_events_logq_quantile_stream,
         # -- new in r15 --
         "orders_cdc_state_stream": _q_orders_cdc_state_stream,
         "multimodal_real_resize": _q_multimodal_real_resize,
@@ -12714,10 +12829,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_golden_records": _q_part_golden_records,
         "regional_supplier_volume": _q_regional_supplier_volume,
         "sketch_distinct_users": _q_sketch_distinct_users,
-        "agg_filter_revenue": _q_filter_revenue,
         "agg_order_priority": _q_order_priority,
-        "agg_promo_share": _q_promo_revenue_share,
-        "agg_returned_items": _q_returned_items,
         "agg_shipping_priority": _q_shipping_priority,
         "cust_balance_upsert": _q_cust_balance_upsert,
         "cust_dormant_rich": _q_cust_dormant_rich,
@@ -12876,9 +12988,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_contamination_spans": ORACLE_DOCS_CONTAMINATION_SPANS,
         "agg_shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "agg_order_priority": ORACLE_ORDER_PRIORITY,
-        "agg_filter_revenue": ORACLE_FILTER_REVENUE,
-        "agg_returned_items": ORACLE_RETURNED_ITEMS,
-        "agg_promo_share": ORACLE_PROMO_REVENUE_SHARE,
         "events_anomaly_zscore": ORACLE_EVENTS_ANOMALY,
         "docs_source_stats": ORACLE_DOCS_SOURCE_STATS,
         "docs_incremental_dedup": _oracle_incremental_dedup(),
@@ -12990,6 +13099,9 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE_STREAM,
         "orders_cdc_state_stream": ORACLE_ORDERS_CDC_STATE_STREAM,
         "events_burst_dedup_stream": ORACLE_EVENTS_BURST_DEDUP,
+        "events_dedup_stream": ORACLE_EVENTS_DEDUP_STREAM,
+        "events_kmv_distinct_stream": ORACLE_EVENTS_KMV_DISTINCT_STREAM,
+        "events_logq_quantile_stream": ORACLE_EVENTS_LOGQ_QUANTILE_STREAM,
         "orders_except_all": ORACLE_ORDERS_EXCEPT_ALL,
         "events_latest_k": ORACLE_EVENTS_LATEST_K,
         "nation_revenue_share": ORACLE_NATION_REVENUE_SHARE,

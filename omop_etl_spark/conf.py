@@ -77,7 +77,6 @@ def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
         ) and not _warned_unclean_checkpoints:
             import warnings
 
-            _warned_unclean_checkpoints = True
             warnings.warn(
                 f"{RELIABLE_CHECKPOINT_CONF}=true but "
                 "spark.cleaner.referenceTracking.cleanCheckpoints is not "
@@ -88,6 +87,10 @@ def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
                 RuntimeWarning,
                 stacklevel=2,
             )
+            # set the guard only AFTER the warning was actually
+            # delivered — under an 'error' warnings filter the raise
+            # above propagates and the next call must retry emission
+            _warned_unclean_checkpoints = True
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 

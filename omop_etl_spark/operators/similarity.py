@@ -342,6 +342,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     num_blocks: int = 8,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs
     ``(id_a, id_b, score)`` with ``id_a < id_b`` and
@@ -354,6 +355,13 @@ def cosine_pairs(
     :func:`scoped_cosine_pairs` (SemDeDup: k-means scoping divides the
     quadratic by k); for recall-tunable sub-quadratic candidates use
     :func:`simhash_buckets`. Do NOT point this at an unbounded corpus.
+
+    The contract is ENFORCED, not just documented: the input is
+    counted up front and anything over ``max_rows`` raises
+    ``ValueError`` before the quadratic join is built, so a 100 TB
+    caller cannot reach the exact all-pairs path by accident. Raising
+    the bound (or ``max_rows=None``) is an explicit opt-in that the
+    caller has sized the N² against their cluster.
 
     Exact all-pairs is O(N²) in scores by definition; the knob is how
     the triangle is tiled. ``num_blocks <= 1`` scores the upper
@@ -368,6 +376,16 @@ def cosine_pairs(
     :func:`simhash_buckets` instead.
     """
     df = spread(df)
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is the exact O(N^2) all-pairs baseline and "
+                f"got {n} rows (> max_rows={max_rows}). Use "
+                f"scoped_cosine_pairs (SemDeDup) or simhash_buckets at "
+                f"scale, or pass an explicit larger max_rows / "
+                f"max_rows=None to opt in to the quadratic join."
+            )
     if num_blocks <= 1:
         v = df.select(
             F.col(id_col).alias("__id"),

@@ -198,7 +198,7 @@ def sessionize(
 def stream_dedup(
     events: DataFrame,
     keys: list[str],
-    ttl_minutes: int = 60,
+    ttl_minutes: int | None = 60,
 ) -> DataFrame:
     """Streaming first-seen-wins deduplication with TTL-bounded state —
     the custom-stateful-operator pattern (``applyInPandasWithState``)
@@ -208,12 +208,21 @@ def stream_dedup(
     per-TTL-window contract CDC/event pipelines want, with state bounded
     by the active-key set instead of growing forever).
 
+    ``ttl_minutes=None`` disables expiry (NoTimeout). Use that for
+    BOUNDED replays: with a processing-time timeout configured, a
+    ``Trigger.AvailableNow`` query keeps scheduling no-data batches
+    after the data is exhausted so the pending timeouts can fire —
+    i.e. it does not terminate until every key's TTL has elapsed.
+    TTL is a continuous-trigger feature; replay determinism doesn't
+    need it (the replay is finite, so state is bounded anyway).
+
     Emits each group's first-ever row (Arrow-batched; rows arrive as
     pandas frames per key). Output schema = input schema.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = events.schema
+    use_ttl = ttl_minutes is not None
 
     def dedup_fn(key, pdf_iter, state):
         if state.hasTimedOut:
@@ -228,14 +237,19 @@ def stream_dedup(
             n += len(pdf)
         prev = state.get[0] if state.exists else 0
         state.update((prev + n,))
-        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if use_ttl:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
 
     return events.groupBy(*keys).applyInPandasWithState(
         dedup_fn,
         outputStructType=schema,
         stateStructType="n_seen long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -744,13 +758,19 @@ def stream_cdc_state(
         )
         saw = False
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                saw = True
-                o = int(row[ord_col])
-                op = None if pd.isna(row[op_col]) else str(row[op_col])
-                v = None if pd.isna(row[value_col]) else str(row[value_col])
-                if wins(o, op, v, best_ord, best_op, best_val):
-                    best_ord, best_op, best_val = o, op, v
+            if len(pdf) == 0:
+                continue
+            saw = True
+            # the reduction is an associative argmax over the total
+            # order (ord, pair(op, value)), so each batch reduces
+            # vectorized to its single winner before one state compare
+            mo = int(pdf[ord_col].max())
+            sub = pdf.loc[pdf[ord_col] == mo, [op_col, value_col]]
+            ops = [None if pd.isna(x) else str(x) for x in sub[op_col]]
+            vals = [None if pd.isna(x) else str(x) for x in sub[value_col]]
+            op, v = max(zip(ops, vals), key=lambda t: pair(*t))
+            if wins(mo, op, v, best_ord, best_op, best_val):
+                best_ord, best_op, best_val = mo, op, v
         state.update((best_ord, best_op, best_val))
         if saw:
             out_val = None if best_op == delete_op else best_val
@@ -816,9 +836,13 @@ def stream_burst_dedup(
             return
         last_us = state.get[0] if state.exists else None
         kept_ts, kept_id = [], []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
+        # concatenate the key's whole micro-batch before sorting: the
+        # Arrow reader may hand one key's rows as SEVERAL chunks, and
+        # sorting each chunk independently would scan out of (ts, id)
+        # order whenever a key spans chunks
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             pdf = pdf.sort_values([ts_col, id_col])
             for ts, rid in zip(pdf[ts_col], pdf[id_col]):
                 us = int(pd.Timestamp(ts).value // 1000)

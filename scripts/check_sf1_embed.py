@@ -4,8 +4,9 @@
 `embed_dedup_clusters` / `embed_semdedup` derive their cell structure
 from the data — ``(k1, k2) = two_level_k(count)`` — so the registry's
 STATIC oracle SQL (pinned at the driver's sf0.01, n=500 → (8, 4)) is
-only exact at that SF: at sf1 the gates cluster with (19, 18) and the
-pinned replay diverges BY DESIGN, not by defect. This script runs the
+only exact at that SF: at any other SF the gates cluster with the
+pair ``two_level_k`` derives there (e.g. (12, 12) at sf1's n=20000)
+and the pinned replay diverges BY DESIGN, not by defect. This script runs the
 registry gate UNCHANGED and rebuilds its oracle through the
 parameterized generators (`_oracle_embed_dedup_clusters(k1, k2)` /
 `_oracle_embed_semdedup(k1, k2)`) with the pair the gate itself will

@@ -167,6 +167,14 @@ PROBE = {
     "oversized cells star-link to the hub instead of all-pairs)",
     "events_latest_state_stream": "linear (AvailableNow replay into "
     "applyInPandasWithState LWW; one (ord,value) pair of state per key)",
+    # round-16 additions (VERDICT r15 #5: the streaming replay path had
+    # sf1 value checks but no timing tier; the hazard is per-key Python
+    # group overhead scaling with the live-key set)
+    "orders_cdc_state_stream": "linear (AvailableNow replay into "
+    "applyInPandasWithState CDC; vectorized per-batch argmax, one "
+    "(ord,op,value) triple of state per key)",
+    "events_burst_dedup_stream": "linear (AvailableNow replay; per-key "
+    "(ts,id) sort + chain scan; one timestamp of state per key)",
 }
 
 

@@ -349,6 +349,19 @@ def test_cosine_pairs_hand_computed(spark):
     assert got == [(1, 2)]
 
 
+def test_cosine_pairs_bounded_input_guard(spark):
+    # the exact all-pairs baseline REFUSES unbounded input: over
+    # max_rows raises before the quadratic join is built
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        cosine_pairs(df, threshold=0.5, max_rows=3)
+    # raising the bound (explicit opt-in) restores the old behavior
+    assert cosine_pairs(df, threshold=0.999, max_rows=5).count() >= 0
+
+
 def _seeded_two_lobe_embeddings(spark, n=60, dim=8, seed=7):
     """n vectors in two well-separated lobes (around e0 and e1) with
     small perturbations — plenty of within-lobe near-dup pairs, plus

@@ -442,3 +442,34 @@ def test_global_window_exemptions_do_not_grow_silently(spark, entry):
 
     assert set(_GLOBAL_WINDOW_EXEMPT) <= set(e.queries())
     assert len(_GLOBAL_WINDOW_EXEMPT) == 2
+
+
+# --- source-level guard: row-wise pandas inside stateful/grouped UDFs ---
+#
+# The BatchEvalPython assertion above cannot see INSIDE an Arrow-batched
+# pandas UDF (FlatMapGroupsInPandasWithState et al. are opaque plan
+# nodes), so a per-row `iterrows` loop in a stateful reducer sails
+# through every plan check (judge r15 finding: stream_cdc_state). Guard
+# the class at the source level: row-wise pandas iteration is banned in
+# the package unless the site is allowlisted here WITH a justification.
+_ROW_WISE_ALLOWED: dict[str, str] = {
+    # "relative/path.py:line-context": "why a sequential scan is required"
+}
+
+
+def test_no_row_wise_pandas_iteration_in_package():
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "omop_etl_spark"
+    pat = re.compile(r"\.(iterrows|itertuples)\s*\(")
+    hits = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = path.relative_to(pkg.parent).as_posix()
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            if pat.search(line) and f"{rel}:{lineno}" not in _ROW_WISE_ALLOWED:
+                hits.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not hits, (
+        "row-wise pandas iteration in package source (vectorize per the "
+        "stream_latest_state pattern, or allowlist with justification): "
+        f"{hits}"
+    )

@@ -387,20 +387,57 @@ def test_stream_dedup_first_seen_wins(spark):
     from omop_etl_spark.streaming import stream_dedup
 
     stream = read_events_stream(spark, EVENTS)
+    # ttl_minutes=None: an armed processing-time TTL keeps AvailableNow
+    # scheduling no-data batches until the TTL fires, so a TTL'd replay
+    # never terminates (the r16 gate hang) — None is the replay mode
     q = (
-        stream_dedup(stream, ["user_id"], ttl_minutes=60)
+        stream_dedup(stream, ["user_id"], ttl_minutes=None)
         .writeStream.format("memory")
         .queryName("dedup_t")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     rows = spark.table("dedup_t").collect()
     n_users = (
         read_parquet_table(spark, EVENTS, ns_columns=["ts"])
         .select("user_id").distinct().count()
     )
+    assert len(rows) == n_users
+    assert len({r.user_id for r in rows}) == n_users
+
+
+def test_stream_dedup_ttl_emits_then_is_stopped(spark):
+    """TTL-armed mode still emits each key once per batch pass; the
+    query cannot terminate on its own (pending timeouts), so the test
+    polls the sink and stops it explicitly."""
+    import time
+
+    from omop_etl_spark.streaming import stream_dedup
+
+    stream = read_events_stream(spark, EVENTS)
+    n_users = (
+        read_parquet_table(spark, EVENTS, ns_columns=["ts"])
+        .select("user_id").distinct().count()
+    )
+    q = (
+        stream_dedup(stream, ["user_id"], ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("dedup_ttl_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("dedup_ttl_t").count() >= n_users:
+                break
+            time.sleep(1)
+        rows = spark.table("dedup_ttl_t").collect()
+    finally:
+        q.stop()
     assert len(rows) == n_users
     assert len({r.user_id for r in rows}) == n_users
 
