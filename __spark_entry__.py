@@ -883,8 +883,6 @@ def _q_orders_cdc_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     this log and the state is monotone under the operator's total
     order, so ``max(struct(seq, op, value))`` IS the last emission
     (the busy-time recovery pattern)."""
-    import uuid
-
     from omop_etl_spark.streaming.events import (
         read_table_stream,
         stream_cdc_state,
@@ -924,20 +922,10 @@ def _q_orders_cdc_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = base.select(
         "k", F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("c")
     ).select("k", F.col("c.seq").alias("seq"), F.col("c.op").alias("op"), F.col("c.value").alias("value"))
-    qn = f"cdc_replay_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_cdc_state(changes, "k", "seq", "value", op_col="op", delete_op="D")
-        .writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    final = spark.table(qn).groupBy("k").agg(
+    final = _run_available_now(
+        stream_cdc_state(changes, "k", "seq", "value", op_col="op", delete_op="D"),
+        "cdc_replay",
+    ).groupBy("k").agg(
         F.max(F.struct("seq", "op", "value")).alias("__w")
     )
     return final.select(
@@ -991,9 +979,16 @@ def _q_events_burst_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix — the prefix-equivalence contract
     tests/test_incremental_replay.py asserts, here value-checked by
     the driver. Survivors are emitted exactly once, so the final
-    per-type aggregation needs no dedup trick."""
-    import uuid
+    per-type aggregation needs no dedup trick.
 
+    Prefix-equivalence fine print (r16): the operator now sorts the
+    CONCATENATION of a key's micro-batch chunks before the chain scan,
+    so a key spanning Arrow chunks can no longer scan out of (ts, id)
+    order; the remaining assumption is only that MICRO-BATCHES arrive
+    per-key-ordered (true for this single-file AvailableNow replay —
+    one batch; a multi-file layout read out of chronological order
+    would need batch-spanning reordering no single-pass stream can
+    do)."""
     from omop_etl_spark.streaming.events import (
         read_events_stream,
         stream_burst_dedup,
@@ -1007,20 +1002,8 @@ def _q_events_burst_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
         gap_seconds=600,
     )
-    qn = f"burst_replay_{uuid.uuid4().hex[:12]}"
-    q = (
-        kept.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
     return (
-        spark.table(qn)
+        _run_available_now(kept, "burst_replay")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
