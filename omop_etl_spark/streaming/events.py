@@ -851,10 +851,12 @@ def stream_burst_dedup(
                     kept_id.append(rid)
                 last_us = us
         state.update((last_us,))
-        out = {k: [key[i]] * len(kept_ts) for i, k in enumerate(keys)}
-        out[ts_col] = kept_ts
-        out[id_col] = kept_id
-        yield pd.DataFrame(out)
+        if kept_ts:  # no survivors -> no emission (an empty frame only
+            # feeds the serializer's concat a zero-row entry)
+            out = {k: [key[i]] * len(kept_ts) for i, k in enumerate(keys)}
+            out[ts_col] = kept_ts
+            out[id_col] = kept_id
+            yield pd.DataFrame(out)
 
     return stream.groupBy(*keys).applyInPandasWithState(
         burst_fn,

@@ -13,6 +13,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -131,9 +132,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # 8 threads keeps sf0.01 checks light next to other work; big-SF
+    # runs (sf1/sf10 tilings) can claim the box via SPARK_GRAFT_CPUS
+    # (the sf10 streaming replays are ~4x faster at local[32])
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.warehouse.dir", "/tmp/check-wh")
         .config("spark.ui.enabled", "false")
         # match bench's session shape: the default ~1g driver heap is
