@@ -6580,7 +6580,12 @@ def _q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue. The fact aggregates once to nation grain; the
     share window then partitions over the 25-row dimension aggregate —
     the windows-over-aggregates discipline that keeps hierarchy
-    reports cheap at any fact size."""
+    reports cheap at any fact size. The ppm numerator widens to
+    DECIMAL(38,0) before the *1e6 scale-up: a region's cents sum
+    crosses int64/1e6 (~9.2e12 cents ≈ $92B) at roughly sf10, where
+    the bigint product overflowed under ANSI mode (caught by the r16
+    sf10 value sweep; DuckDB escaped via HUGEINT). The share itself
+    always fits bigint (<= 1e6)."""
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
@@ -6605,7 +6610,8 @@ def _q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("region"),
         F.col("rev_cents").cast("bigint").alias("rev_cents"),
         F.expr(
-            "(rev_cents * 1000000) div sum(rev_cents) OVER (PARTITION BY r_name)"
+            "CAST((CAST(rev_cents AS DECIMAL(38,0)) * 1000000)"
+            " div sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)"
         ).alias("region_share_ppm"),
     )
 
@@ -12383,6 +12389,7 @@ _WINDOW_R16: list[str] = [
     "orders_cdc_state_stream",
     "events_burst_dedup_stream",
     "embed_neardup_pairs",
+    "nation_revenue_share",
     "scd2_user_state",
     "set_ops_customers",
     "split_assign",
@@ -12426,13 +12433,13 @@ _WINDOW_R16: list[str] = [
     "events_funnel",
     "events_hourly_distinct",
     "events_missing_hours",
-    "events_multigrain",
 ]
 
 # Driver-green in r12 and still below the window after the r16
 # rotation (19 rotated into the window, 3 agg_* gates retired) — now
 # the stalest rows below the window; they rotate first in r17.
 _GREEN_R12_REST: list[str] = [
+    "events_multigrain",
     "events_overlap_join",
     "events_partition_checksums",
     "events_salted_enrich",
@@ -12520,7 +12527,6 @@ _GREEN_R14: list[str] = [
     "events_sliding_distinct",
     "events_stickiness",
     "events_value_quantiles",
-    "nation_revenue_share",
     "orders_benford",
     "orders_bloom_probe",
     "orders_except_all",
