@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from omop_etl_spark.operators.util import ppm_div_sql
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -681,25 +683,15 @@ def _q_events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     real sink with the 2 h watermark bounding state. The
     session_window aggregation itself shuffles once on (user_id,
     session) and its state is per-OPEN-session, not per-event."""
-    import uuid
-
     from omop_etl_spark.streaming.events import read_events_stream, sessionize
 
     src = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    qn = f"sess_replay_{uuid.uuid4().hex[:12]}"
-    q = (
-        sessionize(src, gap="30 minutes", watermark="2 hours")
-        .writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    tbl = _run_available_now(
+        sessionize(src, gap="30 minutes", watermark="2 hours"),
+        "sess_replay",
+        output_mode="complete",
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(qn).select(
+    return tbl.select(
         F.col("user_id").cast("bigint").alias("user_id"),
         F.unix_micros(F.col("session_start").cast("timestamp")).alias(
             "session_start_us"
@@ -752,8 +744,6 @@ def _q_events_busy_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``covered`` (union size) is monotone per key, and equal covered
     implies the identical island set, so max(struct(covered, ...))
     is deterministic and equals the last emission."""
-    import uuid
-
     from omop_etl_spark.streaming.events import (
         read_events_stream,
         stream_interval_union,
@@ -768,20 +758,10 @@ def _q_events_busy_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("e"),
     )
-    qn = f"busy_replay_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_interval_union(iv, "user_id", "s", "e")
-        .writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    tbl = _run_available_now(
+        stream_interval_union(iv, "user_id", "s", "e"), "busy_replay"
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    final = spark.table(qn).groupBy("user_id").agg(
+    final = tbl.groupBy("user_id").agg(
         F.max(F.struct("covered", "n_islands", "max_island")).alias("__w")
     )
     return final.select(
@@ -1013,22 +993,41 @@ def _q_events_burst_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_available_now(stream_df: DataFrame, prefix: str) -> DataFrame:
+def _run_available_now(
+    stream_df: DataFrame,
+    prefix: str,
+    output_mode: str = "append",
+    timeout_s: float = 600.0,
+) -> DataFrame:
     """Replay a streaming frame to completion (``Trigger.AvailableNow``,
     memory sink) and return the sink table — the shared tail of every
-    streaming replay gate."""
+    streaming replay gate. ``output_mode`` is "append" for the stateful
+    pandas operators, "update" for the pure-JVM streaming aggregations
+    (an aggregate without a watermark cannot run in append mode), and
+    "complete" where the gate wants the whole result table per trigger.
+
+    ``awaitTermination`` is BOUNDED: a replay that stops draining (the
+    r16 failure class — a pending processing-time timeout keeps an
+    AvailableNow query scheduling no-data batches forever) fails loudly
+    after ``timeout_s`` instead of hanging the 216-query driver run."""
     import uuid
 
     qn = f"{prefix}_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qn)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     try:
-        q.awaitTermination()
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(
+                f"streaming replay {qn!r} did not terminate within "
+                f"{timeout_s:.0f}s — a hung AvailableNow replay (e.g. a "
+                f"processing-time timeout armed on a finite replay) now "
+                f"fails loudly instead of blocking the driver"
+            )
     finally:
         q.stop()
     return stream_df.sparkSession.table(qn)
@@ -2016,8 +2015,12 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _spread_read(spark, f"{sf_dir}/embeddings.parquet")
     # 4 blocks -> 10 block-pair tasks: enough parallelism for the test
-    # corpora while amortizing python-worker spin-up per task
-    return cosine_pairs(emb, threshold=0.4, num_blocks=4)
+    # corpora while amortizing python-worker spin-up per task.
+    # max_rows=250_000 encodes the gate's bounded-input contract at the
+    # call site: it admits every sweep tier up to ~sf10 embeddings
+    # (n ~ 20k x SF^(1/2)-ish tilings) and still refuses a genuinely
+    # unbounded corpus, so a big-SF sweep fails only when oversized.
+    return cosine_pairs(emb, threshold=0.4, num_blocks=4, max_rows=250_000)
 
 
 ORACLE_EMBED_NEARDUP = """
@@ -4517,7 +4520,11 @@ def _q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_year").cast("bigint").alias("o_year"),
         F.col("nation_cents").cast("bigint").alias("nation_cents"),
         F.col("total_cents").cast("bigint").alias("total_cents"),
-        F.expr("(nation_cents * 1000000) div total_cents").alias("share_ppm"),
+        # DECIMAL(38,0)-widened: a year's total_cents alone crosses the
+        # int64 x1e6 cliff (~$92 B) inside 100-TB order volume — the
+        # same revenue-cents shape that failed the r16 sf10 sweep in
+        # nation_revenue_share
+        F.expr(ppm_div_sql("nation_cents", "total_cents")).alias("share_ppm"),
     )
 
 
@@ -6228,7 +6235,15 @@ def _q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pair_count").cast("bigint").alias("pair_count"),
         F.col("df_a").cast("bigint").alias("df_a"),
         F.col("df_b").cast("bigint").alias("df_b"),
-        F.expr("(__n * pair_count * 1000000) div (df_a * df_b)").alias("lift_ppm"),
+        # both sides pre-widened: __n * pair_count and df_a * df_b are
+        # corpus-size x count products that wrap int64 long before the
+        # x1e6 scaling does
+        F.expr(
+            ppm_div_sql(
+                "CAST(__n AS DECIMAL(38,0)) * pair_count",
+                "CAST(df_a AS DECIMAL(38,0)) * df_b",
+            )
+        ).alias("lift_ppm"),
     )
 
 
@@ -6440,7 +6455,7 @@ def _q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             F.col("n_steps").cast("bigint").alias("n_steps"),
             F.col("n_from").cast("bigint").alias("n_from"),
-            F.expr("(n_steps * 1000000) div n_from").alias("prob_ppm"),
+            F.expr(ppm_div_sql("n_steps", "n_from")).alias("prob_ppm"),
         )
     )
 
@@ -6656,9 +6671,11 @@ def _q_docs_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.expr("(n_alpha * 1000000) div n_chars").alias("alpha_ppm"),
-        F.expr("(n_digit * 1000000) div n_chars").alias("digit_ppm"),
-        F.expr("(n_space * 1000000) div n_chars").alias("space_ppm"),
+        # per-source corpus character tallies reach ~1e14 at 100 TB —
+        # squarely past the int64 x1e6 cliff, hence DECIMAL(38,0)
+        F.expr(ppm_div_sql("n_alpha", "n_chars")).alias("alpha_ppm"),
+        F.expr(ppm_div_sql("n_digit", "n_chars")).alias("digit_ppm"),
+        F.expr(ppm_div_sql("n_space", "n_chars")).alias("space_ppm"),
     )
 
 
@@ -8080,10 +8097,12 @@ def _q_docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words",
             "word_chars",
             "n_tokens",
-            F.expr("(n_tokens * 1000000) div n_words").alias(
+            # per-source corpus token/char tallies — DECIMAL(38,0)
+            # before the x1e6 scaling (the r16 overflow class)
+            F.expr(ppm_div_sql("n_tokens", "n_words")).alias(
                 "tokens_per_word_ppm"
             ),
-            F.expr("(word_chars * 1000000) div n_tokens").alias(
+            F.expr(ppm_div_sql("word_chars", "n_tokens")).alias(
                 "chars_per_token_ppm"
             ),
         )
@@ -9368,9 +9387,9 @@ def _q_docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_chunks",
             "n_distinct_chunks",
-            F.expr("((n_chunks - n_distinct_chunks) * 1000000) div n_chunks")
-            .cast("bigint")
-            .alias("dup_chunk_ppm"),
+            F.expr(
+                ppm_div_sql("n_chunks - n_distinct_chunks", "n_chunks")
+            ).alias("dup_chunk_ppm"),
             F.expr("__chars div n_chunks").cast("bigint").alias("avg_chunk_chars"),
         )
     )
@@ -9550,7 +9569,7 @@ def _q_docs_encode_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "fertility_ppm",
-            F.expr("(n_pieces * 1000000) div n_words").cast("bigint"),
+            F.expr(ppm_div_sql("n_pieces", "n_words")),
         )
     )
 
@@ -9973,7 +9992,7 @@ def _q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             "n",
-            F.expr("(n * 1000000) div __t").cast("bigint").alias("obs_ppm"),
+            F.expr(ppm_div_sql("n", "__t")).alias("obs_ppm"),
             F.expr(f"element_at(map({exp_map}), digit)")
             .cast("bigint")
             .alias("exp_ppm"),

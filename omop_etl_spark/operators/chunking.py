@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..conf import checkpoint as _checkpoint
 
-from .util import spread
+from .util import ppm_div_sql, spread
 
 __all__ = [
     "chunk_documents",
@@ -452,7 +452,16 @@ def token_cooccurrence(
         F.col("pair_count").cast("bigint").alias("pair_count"),
         F.col("df_a").cast("bigint").alias("df_a"),
         F.col("df_b").cast("bigint").alias("df_b"),
-        F.expr("(__n * pair_count * 1000000) div (df_a * df_b)").alias("lift_ppm"),
+        # both sides pre-widened to DECIMAL(38,0): __n * pair_count and
+        # df_a * df_b are corpus-size x count products that wrap int64
+        # long before the x1e6 ppm scaling does (the r16
+        # nation_revenue_share overflow class)
+        F.expr(
+            ppm_div_sql(
+                "CAST(__n AS DECIMAL(38,0)) * pair_count",
+                "CAST(df_a AS DECIMAL(38,0)) * df_b",
+            )
+        ).alias("lift_ppm"),
     )
     if top_k is not None:
         out = out.orderBy(
@@ -713,7 +722,9 @@ def vocab_coverage(
         .select(
             "vocab_k",
             F.col("__cum").cast("bigint").alias("cum_tokens"),
-            F.expr("(__cum * 1000000) div __t").cast("bigint").alias("coverage_ppm"),
+            # cumulative token counts cross the int64 x1e6 cliff near
+            # 9.2e12 tokens — inside 100-TB corpus range, so widen
+            F.expr(ppm_div_sql("__cum", "__t")).alias("coverage_ppm"),
         )
     )
 

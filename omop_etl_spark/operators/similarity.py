@@ -375,17 +375,21 @@ def cosine_pairs(
     recall-tunable sub-quadratic candidates, pre-bucket with
     :func:`simhash_buckets` instead.
     """
-    df = spread(df)
     if max_rows is not None:
-        n = df.count()
+        # bound check on the PRE-spread source, capped at max_rows + 1
+        # rows: the guard costs O(max_rows), not a full extra pass over
+        # an oversized input (the oversize case is exactly when a full
+        # count would hurt most)
+        n = df.select(F.lit(1)).limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_pairs is the exact O(N^2) all-pairs baseline and "
-                f"got {n} rows (> max_rows={max_rows}). Use "
+                f"got more than max_rows={max_rows} rows. Use "
                 f"scoped_cosine_pairs (SemDeDup) or simhash_buckets at "
                 f"scale, or pass an explicit larger max_rows / "
                 f"max_rows=None to opt in to the quadratic join."
             )
+    df = spread(df)
     if num_blocks <= 1:
         v = df.select(
             F.col(id_col).alias("__id"),

@@ -4,7 +4,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread"]
+__all__ = ["ppm_div_sql", "spread"]
+
+
+def ppm_div_sql(numerator: str, denominator: str) -> str:
+    """SQL fragment for an EXACT integer parts-per-million share:
+    ``floor(numerator * 1e6 / denominator)`` as BIGINT, with BOTH sides
+    widened to DECIMAL(38,0) first.
+
+    This exists because ``x * 1000000`` on a bare int64 aggregate wraps
+    at ``x ~ 9.2e12`` — and corpus/revenue-scaled sums (revenue cents
+    per region at ~$92 B, cumulative token counts of a 100-TB corpus,
+    per-source character tallies) sit squarely inside that range. Under
+    ANSI mode the wrap is a hard error while a HUGEINT-backed oracle
+    (DuckDB) stays silently exact, so the failure only surfaces at
+    scale (the r16 ``nation_revenue_share`` sf10 find). Widening costs
+    nothing measurable: every caller applies it to an aggregate-sized
+    output frame, never a per-row hot path.
+
+    Either operand may itself be a product; pre-widen its first factor
+    at the call site (``CAST(a AS DECIMAL(38,0)) * b``) so the product
+    is computed in decimal — the outer cast here cannot un-wrap a
+    product that already overflowed in int64.
+    """
+    return (
+        f"CAST(CAST({numerator} AS DECIMAL(38,0)) * 1000000 div "
+        f"CAST({denominator} AS DECIMAL(38,0)) AS BIGINT)"
+    )
 
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:

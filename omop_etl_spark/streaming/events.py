@@ -566,6 +566,12 @@ def stream_logq_quantile(
         )
         for pdf in pdf_iter:
             for v in pdf[value_col]:
+                # NULLs arrive as NaN after Arrow->pandas; skip BEFORE
+                # int() so a nullable value column degrades to the
+                # documented "non-positive values are ignored" behavior
+                # instead of crashing the state function
+                if pd.isna(v):
+                    continue
                 v = int(v)
                 if v >= 1:
                     b = _bucket(v)

@@ -452,9 +452,61 @@ def test_global_window_exemptions_do_not_grow_silently(spark, entry):
 # through every plan check (judge r15 finding: stream_cdc_state). Guard
 # the class at the source level: row-wise pandas iteration is banned in
 # the package unless the site is allowlisted here WITH a justification.
-_ROW_WISE_ALLOWED: dict[str, str] = {
-    # "relative/path.py:line-context": "why a sequential scan is required"
+# Keyed by (relative path, a substring of the offending line) so the
+# allowlist survives unrelated edits shifting line numbers — a raw
+# lineno key would silently fall out of the allowlist and re-fail.
+_ROW_WISE_ALLOWED: dict[tuple[str, str], str] = {
+    # ("relative/path.py", "line substring"): "why a sequential scan is required"
 }
+
+
+# --- source-level guard: bare-int64 ppm numerators (r16 overflow class) ---
+#
+# `x * 1000000 ... div` on a bigint aggregate wraps at x ~ 9.2e12 —
+# inside 100-TB corpus/revenue range — and a HUGEINT-backed oracle
+# (DuckDB) stays silently exact, so the defect is invisible below sf10
+# sweeps (the r16 nation_revenue_share find). Every Spark-side ppm
+# share must route through operators.util.ppm_div_sql (or carry an
+# inline DECIMAL(38,0) cast on the same line); numerators that are
+# PROVABLY bounded far under the cliff may be allowlisted, keyed by
+# (path, line substring) with a justification.
+_PPM_INT64_ALLOWED: dict[tuple[str, str], str] = {
+    ("__spark_entry__.py", "(n_novel * 1000000) div n_terms"):
+        "per-doc numerator: n_novel <= one document's term count",
+    ("__spark_entry__.py", "(dau * 1000000) div wau"):
+        "bounded by one day's distinct-user cardinality (~1e6x under "
+        "the cliff at any plausible user base)",
+    ("__spark_entry__.py", "(n_converted * 1000000) div n_users"):
+        "bounded by distinct-user cardinality",
+    ("__spark_entry__.py", "* 1000000 div ({va} * {vb})"):
+        "num/va/vb are DECIMAL(38,0)-cast SQL fragments built a few "
+        "lines above (events_autocorr)",
+    ("omop_etl_spark/operators/sketches.py", "(n_common * 1000000) div __m"):
+        "numerator bounded by the sketch register count k",
+}
+
+
+def test_no_bare_int64_ppm_numerators():
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    pat = re.compile(r"\*\s*1000000\s*\)?\s*div")
+    files = sorted((root / "omop_etl_spark").rglob("*.py"))
+    files.append(root / "__spark_entry__.py")
+    hits = []
+    for path in files:
+        rel = path.relative_to(root).as_posix()
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            if not pat.search(line) or "DECIMAL(38,0)" in line:
+                continue
+            if any(p == rel and frag in line for (p, frag) in _PPM_INT64_ALLOWED):
+                continue
+            hits.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not hits, (
+        "bare-int64 ppm numerator (wraps at ~9.2e12 under the x1e6 "
+        "scaling; route through operators.util.ppm_div_sql or allowlist "
+        f"with a boundedness justification): {hits}"
+    )
 
 
 def test_no_row_wise_pandas_iteration_in_package():
@@ -466,7 +518,10 @@ def test_no_row_wise_pandas_iteration_in_package():
     for path in sorted(pkg.rglob("*.py")):
         rel = path.relative_to(pkg.parent).as_posix()
         for lineno, line in enumerate(path.read_text().splitlines(), 1):
-            if pat.search(line) and f"{rel}:{lineno}" not in _ROW_WISE_ALLOWED:
+            allowed = any(
+                p == rel and frag in line for (p, frag) in _ROW_WISE_ALLOWED
+            )
+            if pat.search(line) and not allowed:
                 hits.append(f"{rel}:{lineno}: {line.strip()}")
     assert not hits, (
         "row-wise pandas iteration in package source (vectorize per the "

@@ -398,7 +398,9 @@ def test_stream_dedup_first_seen_wins(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded wait: if a TTL-armed/no-data-batch hang is ever
+    # reintroduced, fail loudly instead of blocking the suite forever
+    assert q.awaitTermination(180), "AvailableNow replay did not terminate"
     rows = spark.table("dedup_t").collect()
     n_users = (
         read_parquet_table(spark, EVENTS, ns_columns=["ts"])
