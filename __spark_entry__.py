@@ -773,24 +773,27 @@ def _q_events_busy_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_latest_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING last-writer-wins state (VERDICT r12 #7): the events
-    parquet replayed through the file source (``Trigger.AvailableNow``)
-    into ``streaming.events.stream_latest_state`` — the continuously
-    maintained CDC/SCD1 'current value' table (the batch engine's LWW
-    column rule, SURVEY §2.1 #8, as an ``applyInPandasWithState``
-    operator with one (ord, value) pair of state per live key).
+    """STREAMING last-writer-wins state (VERDICT r12 #7; r17 JVM fast
+    path): the events parquet replayed through the file source
+    (``Trigger.AvailableNow``) into ``streaming.events.
+    stream_latest_state`` — the continuously maintained CDC/SCD1
+    'current value' table (the batch engine's LWW column rule, SURVEY
+    §2.1 #8). Since r17 the operator is a pure-JVM streaming
+    aggregation ``groupBy(key).agg(max(struct(ord, value)))`` in
+    update mode — the monotone-argmax identity this gate's own
+    recovery step always used, now INSIDE the operator, so no Python
+    worker touches the 5M-live-key path (the ~90 µs/key/batch group
+    dispatch that dominated the pandas formulation at sf10).
 
     Oracle = the batch argmax: per user, the event_type at the maximum
     ts, ord ties broken by the GREATER value string (the operator's
     documented batching-independent total order; DuckDB replays it as
     ``MAX(val)`` over the max-ord rows — NULL loses under both). The
-    final per-key row is recovered from the append-mode emissions
+    final per-key row is recovered from the update-mode emissions
     without batch ids: the state is monotone under that same total
-    order, so ``max(struct(ord, value))`` IS the last emission (the
-    busy-time recovery pattern; struct comparison sorts NULL first,
-    the same NULL-loses rule)."""
-    import uuid
-
+    order, so ``max(struct(ord, value))`` over the sink IS the last
+    emission (struct comparison sorts NULL first, the same NULL-loses
+    rule)."""
     from omop_etl_spark.streaming.events import (
         read_events_stream,
         stream_latest_state,
@@ -802,22 +805,12 @@ def _q_events_latest_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros(F.col("ts")).alias("last_ts_us"),
         F.col("event_type").alias("last_event_type"),
     )
-    qn = f"lww_replay_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_latest_state(
-            lww, "user_id", "last_ts_us", "last_event_type"
-        )
-        .writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    tbl = _run_available_now(
+        stream_latest_state(lww, "user_id", "last_ts_us", "last_event_type"),
+        "lww_replay",
+        output_mode="update",
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    final = spark.table(qn).groupBy("user_id").agg(
+    final = tbl.groupBy("user_id").agg(
         F.max(F.struct("last_ts_us", "last_event_type")).alias("__w")
     )
     return final.select(
@@ -847,10 +840,15 @@ def _q_orders_cdc_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert/update/delete change log as the batch ``orders_cdc_apply``
     gate (key arithmetic, so both engines build the identical log) and
     runs through ``streaming.events.stream_cdc_state`` — the
-    upsert/delete state machine (``applyInPandasWithState``, one
-    (ord, op, value) triple of state per live key; a winning delete
-    keeps a tombstone so late pre-delete changes cannot resurrect the
-    key).
+    upsert/delete state machine (one (ord, op, value) triple of state
+    per live key; a winning delete keeps a tombstone so late
+    pre-delete changes cannot resurrect the key). Since r17 the
+    operator is a pure-JVM streaming aggregation
+    ``groupBy(key).agg(max(struct(ord, op, value)))`` in update mode
+    with the tombstone NULL in the output projection — the 50k live
+    keys of this replay (5M at sf10) never cross a Python boundary,
+    removing the ~90 µs/key/batch group dispatch that made this the
+    most expensive gate in the r16 bench (6.6 s; 453 s at sf10).
 
     The change fan-out is one scan: each base row carries its I/U/D
     changes as an array of structs, nulls filtered, exploded — all
@@ -859,10 +857,12 @@ def _q_orders_cdc_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC), tombstones INCLUDED with NULL value — the delete path is
     exactly what ``stream_latest_state`` cannot express and this gate
     exists to verify. Final per-key rows are recovered from the
-    append-mode emissions without batch ids: seq is unique per key in
+    update-mode emissions without batch ids: seq is unique per key in
     this log and the state is monotone under the operator's total
     order, so ``max(struct(seq, op, value))`` IS the last emission
-    (the busy-time recovery pattern)."""
+    (the busy-time recovery pattern; the tombstone's NULL value sorts
+    first, and a tombstone only wins at the key's max seq, so the
+    NULL-value row still carries the winning (seq, op))."""
     from omop_etl_spark.streaming.events import (
         read_table_stream,
         stream_cdc_state,
@@ -905,6 +905,7 @@ def _q_orders_cdc_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = _run_available_now(
         stream_cdc_state(changes, "k", "seq", "value", op_col="op", delete_op="D"),
         "cdc_replay",
+        output_mode="update",
     ).groupBy("k").agg(
         F.max(F.struct("seq", "op", "value")).alias("__w")
     )
@@ -1038,14 +1039,17 @@ def _q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r15 #2, first of the three remaining ungated streaming
     operators): the events parquet replayed through
     ``streaming.events.stream_dedup`` keyed on (user_id, event_type) —
-    each key's FIRST row is emitted exactly once, ever; state is one
-    counter per key and, on a continuous trigger, a processing-time
-    TTL expires idle keys so memory is bounded by the ACTIVE-key set,
-    the contract ``dropDuplicates`` (state grows with distinct keys
-    forever) cannot offer. The replay runs with ``ttl_minutes=None``
-    (see the operator docstring: a pending processing-time timeout
-    keeps an AvailableNow query scheduling no-data batches until the
-    TTL fires, so a finite replay must not arm it).
+    each key's FIRST row is emitted exactly once, ever. The replay
+    runs with ``ttl_minutes=None``, which since r17 IS the pure-JVM
+    fast path: no-TTL first-seen-wins is exactly streaming
+    ``dropDuplicates`` (built-in stateful operator, state in the
+    state store, no Python worker — removing the per-key Python
+    group dispatch from the no-TTL path). With a TTL the operator
+    keeps its ``applyInPandasWithState`` form: processing-time expiry
+    bounds memory by the ACTIVE-key set — the contract
+    ``dropDuplicates`` cannot offer — but a finite replay must not
+    arm it (a pending processing-time timeout keeps an AvailableNow
+    query scheduling no-data batches until the TTL fires).
 
     The stream is projected to exactly the key columns before the
     stateful operator, so the emitted row per key is a pure function
@@ -1104,7 +1108,15 @@ def _q_events_kmv_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     ``max(struct(n_kept, est_distinct))`` IS the last emission (the
     cdc-gate recovery pattern). At sf0.01 each type has ~150 distinct
     users > k, so the saturated estimator path (not the exact-count
-    fallback) is what's checked."""
+    fallback) is what's checked.
+
+    Cost shape (r17): the md5 hashing runs JVM-side (``unit_hash``
+    projected BEFORE the stateful operator — the same expression the
+    batch sketch compiles) and the state function reduces each Arrow
+    batch with one vectorized ``np.unique`` merge, so no per-row
+    Python remains; the per-KEY group dispatch that does remain is
+    this operator's documented modest-key-cardinality contract (five
+    event types here)."""
     from omop_etl_spark.streaming.events import (
         read_events_stream,
         stream_kmv_distinct,
@@ -1150,29 +1162,35 @@ FROM ranked WHERE rn <= 64 GROUP BY event_type ORDER BY event_type
 
 
 def _q_events_logq_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING log-linear-histogram quantile (VERDICT r15 #2, the
-    last ungated streaming operator): event values (as integer cents)
-    replayed through ``streaming.events.stream_logq_quantile`` — a
-    running p50 estimate per event type whose state is the bucket
-    registers (O(octaves * 2^m) longs per key), the bounded-state
-    answer to "what is p50 of this metric so far, right now?" that an
-    exact quantile's whole-multiset state cannot give on an unbounded
-    stream.
+    """STREAMING log-linear-histogram quantile (VERDICT r15 #2; r17
+    JVM register path): event values (as integer cents) replayed
+    through ``streaming.events.stream_logq_buckets`` — the pure-JVM
+    register stream (a streaming ``groupBy(key, bucket).count()``
+    whose bucket id is a whole-stage-codegen integer expression), the
+    bounded-state answer to "what is p50 of this metric so far, right
+    now?" with NO Python worker anywhere: rows never leave the JVM
+    and state is one long per live (key, bucket) register. The
+    per-batch-inline-estimate convenience form
+    (``stream_logq_quantile``, applyInPandasWithState) remains in the
+    package; this gate runs the 100-TB path.
 
     The registers are a pure function of the value MULTISET
-    (order-independent counts), so the final emission equals batch
-    ``logq_quantiles(logq_buckets(...))`` of the whole table and the
-    oracle replays the same pure-integer bucket index (bit-length
-    octave + 2^5 linear sub-buckets — no transcendental log) in SQL,
-    the ``sketch_logq_value`` oracle's bucket math. Recovery from the
-    append-mode emissions: n (the running positive-value count) is
-    strictly monotone across state changes, so ``max(struct(n,
-    q_est))`` IS the last emission. Types whose values never reach 1
-    cent emit n=0 with NULL estimate and are filtered, mirroring the
-    oracle's positivity filter."""
+    (order-independent counts), so the final sketch equals batch
+    ``logq_buckets`` of the whole table; update-mode emissions carry
+    CUMULATIVE counts, which are nondecreasing — so the final
+    register is ``max(c)`` per (key, bucket), batch-id-free (the same
+    monotone-recovery identity as the kmv/cdc gates). Quantiles then
+    read off the recovered sketch with the batch
+    ``sketches.logq_quantiles`` (the lower-quantile rank rule on the
+    bucket spine), and the oracle replays the same pure-integer
+    bucket index (bit-length octave + 2^5 linear sub-buckets — no
+    transcendental log) in SQL. Types whose values never reach 1 cent
+    produce no registers at all, mirroring the oracle's positivity
+    filter."""
+    from omop_etl_spark.operators.sketches import logq_quantiles
     from omop_etl_spark.streaming.events import (
         read_events_stream,
-        stream_logq_quantile,
+        stream_logq_buckets,
     )
 
     src = read_events_stream(spark, f"{sf_dir}/events.parquet")
@@ -1180,19 +1198,17 @@ def _q_events_logq_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFram
         "event_type",
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    est = stream_logq_quantile(
-        vals, key_col="event_type", value_col="cents", m=5, quantile=(1, 2)
+    reg = _run_available_now(
+        stream_logq_buckets(vals, key_col="event_type", value_col="cents", m=5),
+        "logq_replay",
+        output_mode="update",
     )
-    final = (
-        _run_available_now(est, "logq_replay")
-        .groupBy("event_type")
-        .agg(F.max(F.struct("n", "q_est")).alias("__w"))
-        .filter(F.col("__w.n") > 0)
-    )
-    return final.select(
+    sketch = reg.groupBy("event_type", "bucket").agg(F.max("c").alias("c"))
+    q = logq_quantiles(sketch, ["event_type"], [(1, 2)], m=5)
+    return q.select(
         "event_type",
-        F.col("__w.n").cast("bigint").alias("n_pos"),
-        F.col("__w.q_est").cast("bigint").alias("p50_est_cents"),
+        F.col("n").cast("bigint").alias("n_pos"),
+        F.col("q1_2").cast("bigint").alias("p50_est_cents"),
     ).orderBy("event_type")
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "stream_interval_join",
     "stream_kmv_distinct",
     "stream_interval_union",
+    "stream_logq_buckets",
     "stream_logq_quantile",
     "dq_monitor_stream",
     "stream_latest_state",
@@ -208,21 +209,35 @@ def stream_dedup(
     per-TTL-window contract CDC/event pipelines want, with state bounded
     by the active-key set instead of growing forever).
 
-    ``ttl_minutes=None`` disables expiry (NoTimeout). Use that for
-    BOUNDED replays: with a processing-time timeout configured, a
+    ``ttl_minutes=None`` disables expiry — and takes the pure-JVM fast
+    path: first-seen-wins without a TTL is exactly streaming
+    ``dropDuplicates``, a built-in stateful operator whose per-key
+    state lives in the state store (RocksDB-backed on a real cluster)
+    with NO Python worker in the loop. That removes the per-key Python
+    group-dispatch constant (~90 µs/key/batch — the 100-TB tax of
+    ``applyInPandasWithState`` on high-cardinality keys). It is also
+    the replay mode: with a processing-time timeout configured, a
     ``Trigger.AvailableNow`` query keeps scheduling no-data batches
     after the data is exhausted so the pending timeouts can fire —
     i.e. it does not terminate until every key's TTL has elapsed.
-    TTL is a continuous-trigger feature; replay determinism doesn't
-    need it (the replay is finite, so state is bounded anyway).
 
-    Emits each group's first-ever row (Arrow-batched; rows arrive as
-    pandas frames per key). Output schema = input schema.
+    With a TTL the operator genuinely needs custom state
+    (``applyInPandasWithState``): expiry after processing-time
+    inactivity is not expressible as a built-in aggregation, so the
+    pandas path is kept for exactly that contract.
+
+    Emits each group's first-ever row. Output schema = input schema
+    (the JVM path emits the first physical row per key, same as the
+    pandas path — project the stream to the key columns first if the
+    emitted row must be a pure function of the data).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if ttl_minutes is None:
+        return events.dropDuplicates(keys)
+
     schema = events.schema
-    use_ttl = ttl_minutes is not None
+    use_ttl = True
 
     def dedup_fn(key, pdf_iter, state):
         if state.hasTimedOut:
@@ -380,16 +395,31 @@ def stream_kmv_distinct(
     streaming/batch equivalence, not just a statistical one.
 
     Emits one ``(key, n_kept, est_distinct)`` row per key per
-    micro-batch in which that key received data (append mode). The
-    per-value hashing is plain Python inside the state function —
-    acceptable because rows arrive pre-grouped in Arrow batches and the
-    sketch update is O(log k) per value.
-    """
-    import hashlib
+    micro-batch in which that key received data (append mode).
 
-    def _h(v) -> float:
-        d = hashlib.md5(f"{salt}|{v}".encode()).hexdigest()
-        return int(d[:8], 16) / float(1 << 32)
+    Cost shape (r17): per-value hashing runs **JVM-side** — the stream
+    is projected to ``unit_hash(value)`` (the same md5-prefix/2^32
+    expression the batch operator compiles, whole-stage codegen)
+    BEFORE the stateful operator, and the state function reduces each
+    Arrow batch with one ``np.unique`` merge against the k-array — no
+    per-row Python anywhere. What remains Python is one group dispatch
+    per key per batch, which is why this operator's contract is
+    MODEST KEY CARDINALITY (per metric/tenant/event-type monitoring —
+    the k-smallest-set state is not expressible as a built-in
+    aggregation, unlike :func:`stream_latest_state`). For
+    high-cardinality keys use :func:`stream_logq_buckets`-style
+    register streams or batch :func:`...operators.sketches.
+    kmv_distinct` snapshots instead.
+
+    NULL values hash to NULL and are ignored (the batch operator's
+    DISTINCT frame carries them, but a monitoring stream's value key
+    is assumed non-null; quantify nulls upstream if they matter).
+    """
+    import numpy as np
+
+    from ..operators.sampling import unit_hash
+
+    clamp = 2.0**-32  # same zero-hash clamp as batch kmv_distinct
 
     def kmv_fn(key, pdf_iter, state):
         import pandas as pd
@@ -397,24 +427,22 @@ def stream_kmv_distinct(
         if state.hasTimedOut:  # pragma: no cover - no timeout configured
             state.remove()
             return
-        cur = set(state.get[0]) if state.exists else set()
-        worst = max(cur) if len(cur) == k else None
+        cur = (
+            np.asarray(state.get[0], dtype=np.float64)
+            if state.exists
+            else np.empty(0, dtype=np.float64)
+        )
         for pdf in pdf_iter:
-            for h in pdf[value_col].astype(str).map(_h):
-                if worst is None:
-                    cur.add(h)
-                    if len(cur) == k:
-                        worst = max(cur)
-                elif h < worst and h not in cur:
-                    cur.add(h)
-                    cur.remove(worst)
-                    worst = max(cur)
-        state.update((sorted(cur),))
-        n = len(cur)
-        # Same 2^-32 clamp as batch kmv_distinct (operators/sketches.py):
-        # a zero hash would make int((k-1)/h) an OverflowError and break
-        # the documented exact streaming == batch equivalence.
-        est = n if n < k else int((k - 1) / max(max(cur), 2.0**-32))
+            h = pdf["__h"].to_numpy(dtype=np.float64, na_value=np.nan)
+            # one sorted-distinct merge per Arrow batch (NaN = hashed
+            # NULL sorts last and is trimmed with the > k tail)
+            cur = np.unique(np.concatenate([cur, h]))
+            if cur.size and np.isnan(cur[-1]):
+                cur = cur[: cur.size - np.isnan(cur).sum()]
+            cur = cur[:k]
+        state.update((cur.tolist(),))
+        n = int(cur.size)
+        est = n if n < k else int((k - 1) / max(float(cur[-1]), clamp))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_kept": [n], "est_distinct": [est]}
         )
@@ -422,7 +450,10 @@ def stream_kmv_distinct(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     key_type = dict(zip(events.schema.names, events.schema))[key_col].dataType.simpleString()
-    return events.groupBy(key_col).applyInPandasWithState(
+    hashed = events.select(
+        F.col(key_col), unit_hash(value_col, salt).alias("__h")
+    )
+    return hashed.groupBy(key_col).applyInPandasWithState(
         kmv_fn,
         outputStructType=f"{key_col} {key_type}, n_kept long, est_distinct long",
         stateStructType="hashes array<double>",
@@ -543,6 +574,13 @@ def stream_logq_quantile(
     ``(key, n, q_est)`` row per key per micro-batch (append mode).
     The register update is plain Python over Arrow batches — O(1)
     dict bumps per row against register-bounded state.
+
+    SCALE NOTE (r17): prefer :func:`stream_logq_buckets` — the
+    pure-JVM register stream (no Python worker at all) — and read
+    quantiles off the registers with the batch
+    ``sketches.logq_quantiles``. This convenience form remains for
+    per-batch inline estimates at modest key cardinality; every row
+    and every key crosses the Python boundary here.
     """
     two_m = 1 << m
     num, den = quantile
@@ -604,6 +642,41 @@ def stream_logq_quantile(
     )
 
 
+def stream_logq_buckets(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    m: int = 5,
+) -> DataFrame:
+    """Pure-JVM streaming register stream for the log-linear quantile
+    sketch: per ``(key, bucket)``, the RUNNING count of values landing
+    in that bucket — literally ``sketches.logq_buckets`` applied to
+    the streaming frame, because the registers are a streaming
+    ``groupBy(key, bucket).count()`` and the bucket id is a pure
+    integer column expression (bit-length octave + 2^m linear
+    sub-buckets, whole-stage codegen).
+
+    This is the 100-TB path for streaming quantiles: no Python worker
+    anywhere — rows never leave the JVM, state is one long per live
+    ``(key, bucket)`` register in the state store (O(octaves * 2^m)
+    per key), and partial aggregation combines map-side before the
+    shuffle. Run the sink in **update** mode (aggregation without
+    watermark); each micro-batch emits the updated registers'
+    cumulative counts, which are NONDECREASING — so the final sketch
+    is recoverable from any emission log as ``max(c)`` per
+    ``(key, bucket)``, and quantiles read off it with the batch
+    ``sketches.logq_quantiles`` (the exact streaming == batch
+    equivalence the pandas operator documents, now without the
+    per-row/per-key Python tax).
+
+    Output: ``(key_col, bucket, c)`` — the ``logq_buckets`` register
+    schema. Rows with ``value < 1`` are ignored (positivity filter).
+    """
+    from ..operators.sketches import logq_buckets
+
+    return logq_buckets(events, [key_col], value_col, m=m)
+
+
 def dq_monitor_stream(
     stream: DataFrame,
     rules,
@@ -642,6 +715,7 @@ def stream_latest_state(
     key_col: str,
     ord_col: str,
     value_col: str,
+    engine: str = "jvm",
 ) -> DataFrame:
     """Streaming last-writer-wins state (the CDC/SCD1 'current value'
     table as a stream): per key, keep the value with the highest
@@ -656,10 +730,45 @@ def stream_latest_state(
     batches — so the surviving value for duplicate ord keys is a pure
     function of the data, independent of how rows were batched.  State
     per key is one (ord, value) pair, so memory is bounded by the
-    live-key set; ``applyInPandasWithState`` because built-in
-    streaming aggregates cannot express argmax-by-ordering with
-    bounded custom state.
+    live-key set.
+
+    ``engine="jvm"`` (default): the reduction is a monotone argmax
+    over the total order ``(ord, value)`` — with NULL sorting first,
+    Spark's struct ordering IS that order — so the whole operator is a
+    built-in streaming aggregation ``groupBy(key).agg(max(struct(ord,
+    value)))``. Run the sink in **update** mode (an aggregate without
+    a watermark cannot append). Everything stays JVM-side: state in
+    the state store (RocksDB on a real cluster), per-key cost is a
+    hash-agg probe — no per-key Python group dispatch (~90 µs/key/
+    batch), which is what dominated the pandas path at 5 M live keys
+    (SCALE.md: 453 s for the sf10 CDC replay, ~60 k rows/s).
+
+    ``engine="pandas"`` keeps the ``applyInPandasWithState``
+    formulation (append-mode emissions). Its per-batch reduction is
+    vectorized, but each live key still crosses the Python boundary
+    once per batch — use it only as the template for variants that
+    genuinely need custom state (TTL expiry, non-monotone reducers);
+    both paths emit identical rows per micro-batch.
     """
+    if engine == "jvm":
+        w = F.max(
+            F.struct(
+                F.col(ord_col).cast("long").alias(ord_col),
+                F.col(value_col).cast("string").alias(value_col),
+            )
+        ).alias("__w")
+        return (
+            stream.groupBy(key_col)
+            .agg(w)
+            .select(
+                key_col,
+                F.col(f"__w.{ord_col}").alias(ord_col),
+                F.col(f"__w.{value_col}").alias(value_col),
+            )
+        )
+    if engine != "pandas":
+        raise ValueError(f"unknown engine: {engine!r}")
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     key_type = dict(zip(stream.schema.names, stream.schema))[key_col].dataType.simpleString()
@@ -713,6 +822,7 @@ def stream_cdc_state(
     value_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    engine: str = "jvm",
 ) -> DataFrame:
     """Streaming CDC materialization WITH deletes — the streaming twin
     of ``temporal.apply_cdc`` (VERDICT r7 #6: ``stream_latest_state``
@@ -735,7 +845,53 @@ def stream_cdc_state(
     is one (ord, op, value) triple — a deleted key keeps its tombstone
     so late pre-delete changes cannot resurrect it (bound the live-key
     set upstream with retention if keys churn forever).
+
+    ``engine="jvm"`` (default): the reducer is a monotone argmax over
+    the total order ``(ord, op, value)`` — the exact order the Python
+    path's ``pair()`` encodes, because struct comparison sorts NULL
+    first (None < "" < any string, same as ``(x is not None, x or
+    "")``) — so the operator is a built-in streaming aggregation
+    ``groupBy(key).agg(max(struct(ord, op, value)))`` with the
+    tombstone NULL applied in the output projection. Run the sink in
+    **update** mode. No Python worker: per-key cost is a JVM hash-agg
+    probe instead of the pandas path's ~90 µs/key/batch group
+    dispatch — on the sf10 replay (27.5 M changes, 5 M live keys)
+    that dispatch alone was ~450 s.
+
+    ``engine="pandas"`` keeps the ``applyInPandasWithState``
+    formulation (append mode, vectorized per-batch reduction) as the
+    template for variants needing genuinely custom state; both paths
+    emit identical rows per micro-batch.
     """
+    if engine == "jvm":
+        w = F.max(
+            F.struct(
+                F.col(ord_col).cast("long").alias(ord_col),
+                F.col(op_col).cast("string").alias(op_col),
+                F.col(value_col).cast("string").alias(value_col),
+            )
+        ).alias("__w")
+        return (
+            stream.groupBy(key_col)
+            .agg(w)
+            .select(
+                key_col,
+                F.col(f"__w.{ord_col}").alias(ord_col),
+                F.col(f"__w.{op_col}").alias(op_col),
+                # append-mode streams cannot retract: a winning delete
+                # emits op = delete_op with NULL value (the tombstone),
+                # exactly like the pandas path
+                F.when(
+                    F.col(f"__w.{op_col}") == delete_op,
+                    F.lit(None).cast("string"),
+                )
+                .otherwise(F.col(f"__w.{value_col}"))
+                .alias(value_col),
+            )
+        )
+    if engine != "pandas":
+        raise ValueError(f"unknown engine: {engine!r}")
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     key_type = dict(zip(stream.schema.names, stream.schema))[key_col].dataType.simpleString()

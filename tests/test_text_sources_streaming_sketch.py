@@ -204,13 +204,15 @@ def test_stream_latest_state_survives_out_of_order_batches(spark, tmp_path):
         stream_latest_state(stream, "k", "o", "v")
         .writeStream.format("memory")
         .queryName("lww_s")
-        .outputMode("append")
+        # the JVM fast path is a streaming aggregation: update mode
+        # (same per-batch emission set as the pandas path's append)
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
     rows = spark.table("lww_s").collect()
-    # last emission per key wins (append mode emits per batch)
+    # last emission per key wins (update mode emits per batch)
     final = {}
     for r in rows:
         final[r["k"]] = (r["o"], r["v"])
@@ -219,7 +221,7 @@ def test_stream_latest_state_survives_out_of_order_batches(spark, tmp_path):
 
 def test_stream_latest_state_max_struct_recovery(spark, tmp_path):
     """The driver gate's final-state recovery contract
-    (events_latest_state_stream): with append-mode emissions across
+    (events_latest_state_stream): with update-mode emissions across
     MULTIPLE micro-batches, ``max(struct(ord, value))`` equals the last
     emission per key — valid because the state is monotone under the
     operator's own (ord, value-with-NULL-losing) total order. Probed
@@ -247,7 +249,7 @@ def test_stream_latest_state_max_struct_recovery(spark, tmp_path):
         stream_latest_state(stream, "k", "o", "v")
         .writeStream.format("memory")
         .queryName("lww_rec")
-        .outputMode("append")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
@@ -308,14 +310,17 @@ rules:
 
 
 def test_stream_latest_state_tie_resolution_batching_independent(spark, tmp_path):
-    """ADVICE r6: duplicate ord keys must resolve to the same survivor
-    whether they arrive in one micro-batch or split across two — the
-    (ord, value) lexicographic tiebreak, NULL lowest."""
+    """ADVICE r6 (+ r17 engine parity): duplicate ord keys must resolve
+    to the same survivor whether they arrive in one micro-batch or
+    split across two — the (ord, value) lexicographic tiebreak, NULL
+    lowest — and the pure-JVM max(struct) path must agree with the
+    pandas-state path row-for-row (the two formulations of the same
+    monotone argmax)."""
     import pandas as pd
 
     from omop_etl_spark.streaming import stream_latest_state
 
-    def run(qname, frames):
+    def run(qname, frames, engine):
         d = tmp_path / qname
         d.mkdir()
         for i, f in enumerate(frames):
@@ -326,10 +331,12 @@ def test_stream_latest_state_tie_resolution_batching_independent(spark, tmp_path
             .parquet(str(d))
         )
         q = (
-            stream_latest_state(stream, "k", "o", "v")
+            stream_latest_state(stream, "k", "o", "v", engine=engine)
             .writeStream.format("memory")
             .queryName(qname)
-            .outputMode("append")
+            # JVM path = streaming aggregation -> update; pandas path
+            # = applyInPandasWithState -> append
+            .outputMode("update" if engine == "jvm" else "append")
             .trigger(availableNow=True)
             .start()
         )
@@ -340,15 +347,19 @@ def test_stream_latest_state_tie_resolution_batching_independent(spark, tmp_path
         return final
 
     rows = {"k": ["a", "a", "a"], "o": [7, 7, 7], "v": ["zebra", None, "apple"]}
-    one_batch = run("lww_tie_one", [rows])
-    split = run(
-        "lww_tie_split",
-        [
-            {"k": ["a"], "o": [7], "v": ["apple"]},
-            {"k": ["a", "a"], "o": [7, 7], "v": [None, "zebra"]},
-        ],
-    )
-    assert one_batch == split == {"a": (7, "zebra")}
+    split_frames = [
+        {"k": ["a"], "o": [7], "v": ["apple"]},
+        {"k": ["a", "a"], "o": [7, 7], "v": [None, "zebra"]},
+    ]
+    results = {
+        eng: (
+            run(f"lww_tie_one_{eng}", [rows], eng),
+            run(f"lww_tie_split_{eng}", split_frames, eng),
+        )
+        for eng in ("jvm", "pandas")
+    }
+    for eng, (one_batch, split) in results.items():
+        assert one_batch == split == {"a": (7, "zebra")}, eng
 
 
 def test_stream_cm_sketch_prefix_equals_batch(spark, tmp_path):
@@ -496,6 +507,68 @@ def test_stream_logq_state_carries_across_batches(spark, tmp_path):
         logq_buckets(both, ["k"], "v", m=5), ["k"], [(9, 10)], m=5
     ).collect()[0]
     assert (rows[-1]["n"], rows[-1]["q_est"]) == (want["n"], want["q9_10"])
+
+
+def test_stream_logq_buckets_jvm_registers_match_batch(spark, tmp_path):
+    """r17 JVM register path: the streaming groupBy(key, bucket)
+    counts in update mode are cumulative and nondecreasing, so the
+    max(c)-per-register recovery equals the batch sketch over the
+    union — and quantiles read off the recovered registers with the
+    batch logq_quantiles match the batch path exactly. No Python
+    worker anywhere in the streaming plan (it is a plain streaming
+    aggregation)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from omop_etl_spark.operators.sketches import logq_buckets, logq_quantiles
+    from omop_etl_spark.streaming import stream_logq_buckets
+
+    d = tmp_path / "logq_jvm_in"
+    d.mkdir()
+    pd.DataFrame({"k": ["a"] * 51, "v": list(range(-25, 26))}).to_parquet(
+        d / "f1.parquet"
+    )
+    pd.DataFrame({"k": ["a"] * 50 + ["b"] * 3, "v": list(range(100, 150)) + [7, 7, 9]}).to_parquet(
+        d / "f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_logq_buckets(stream, "k", "v", m=5)
+        .writeStream.format("memory")
+        .queryName("logq_jvm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    sink = spark.table("logq_jvm")
+    recovered = sink.groupBy("k", "bucket").agg(F.max("c").alias("c"))
+    both = spark.createDataFrame(
+        [("a", v) for v in list(range(-25, 26)) + list(range(100, 150))]
+        + [("b", 7), ("b", 7), ("b", 9)],
+        "k string, v long",
+    )
+    want_reg = {
+        (r["k"], r["bucket"]): r["c"]
+        for r in logq_buckets(both, ["k"], "v", m=5).collect()
+    }
+    got_reg = {(r["k"], r["bucket"]): r["c"] for r in recovered.collect()}
+    assert got_reg == want_reg and len(got_reg) > 0
+    got_q = {
+        r["k"]: (r["n"], r["q1_2"])
+        for r in logq_quantiles(recovered, ["k"], [(1, 2)], m=5).collect()
+    }
+    want_q = {
+        r["k"]: (r["n"], r["q1_2"])
+        for r in logq_quantiles(
+            logq_buckets(both, ["k"], "v", m=5), ["k"], [(1, 2)], m=5
+        ).collect()
+    }
+    assert got_q == want_q
 
 
 def test_stream_interval_union_matches_batch(spark, tmp_path):
