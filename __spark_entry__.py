@@ -12403,77 +12403,42 @@ FROM g GROUP BY user_id
 """
 
 
-# The r16 driver window (amended freshness policy, LOCALCHECK_r15:
-# NEW gates > gates whose OPERATOR CODE or ORACLE SQL changed since
-# their last driver-green > never-checked > stalest cohorts).
-# Composition: the 3 gates NEW in r16 lead (the last three streaming
-# operators, now replay-gated — VERDICT r15 #2); then the 3 gates
-# whose operators changed this round (stream_cdc_state vectorized per
-# VERDICT r15 #1, stream_burst_dedup's cross-chunk sort fix per
-# ADVICE, cosine_pairs' enforced bounded-input guard per VERDICT r15
-# #3); then ALL 25 r11 greens (the stalest cohort rotates first);
-# then the 19 stalest r12 greens as backfill (cohort order;
-# agg_filter_revenue / agg_promo_share / agg_returned_items retired
-# this round). conf.py's warning-guard reorder is exempt from the
-# changed-operator rule: it touches warning-delivery bookkeeping
-# only, no gate dataflow.
-_WINDOW_R16: list[str] = [
+# The r17 driver window (freshness policy, LOCALCHECK_r15: NEW gates >
+# gates whose OPERATOR CODE or ORACLE SQL changed since their last
+# driver-green > never-checked > stalest cohorts).
+# Composition: no brand-new gates this round; 19 changed gates lead —
+# the 5 streaming reducers rebuilt on pure-JVM fast paths (VERDICT r16
+# #2: latest-state/cdc as max(struct) update-mode aggregations, no-TTL
+# dedup as dropDuplicates, the logq gate on the JVM register stream,
+# kmv's JVM-side hashing), the 3 replay gates whose shared tail gained
+# the bounded awaitTermination (burst/sessionize/busy — behavior-
+# neutral, re-gated anyway per the changed-code rule),
+# embed_neardup_pairs (cheaper cosine_pairs bound check + explicit
+# gate max_rows), and the 10 ppm gates widened to DECIMAL(38,0)
+# (VERDICT r16 #1 — the int64 x1e6 overflow class). Then ALL 23
+# remaining r12 greens (the stalest cohort) and the 8 stalest r13
+# greens as backfill. After this round nothing in the registry is
+# staler than r13.
+_WINDOW_R17: list[str] = [
+    "orders_cdc_state_stream",
+    "events_latest_state_stream",
     "events_dedup_stream",
     "events_kmv_distinct_stream",
     "events_logq_quantile_stream",
-    "orders_cdc_state_stream",
     "events_burst_dedup_stream",
-    "embed_neardup_pairs",
-    "nation_revenue_share",
-    "scd2_user_state",
-    "set_ops_customers",
-    "split_assign",
-    "sql_distinct_on",
-    "sql_expr_surface",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality",
-    "text_stats",
-    "text_token_counts",
-    "window_rank",
-    "agg_cube",
-    "corpus_source_similarity",
-    "corpus_vocab",
-    "cust_no_orders",
-    "docs_cooccurrence",
-    "docs_decontaminate",
-    "docs_encode",
-    "docs_length_hist",
-    "docs_novelty",
-    "docs_per_source_sample",
-    "docs_repetition",
-    "docs_shuffle_order",
-    "docs_strip_boilerplate",
-    "docs_token_budget",
-    "embed_kmeans2",
     "events_sessionize_stream",
-    "docs_source_influence",
-    "docs_contamination_spans",
     "events_busy_time_stream",
-    "embed_dedup_clusters",
-    "embed_semdedup",
-    "docs_training_export",
-    "docs_weighted_sample",
-    "dq_checks",
-    "embed_covariance",
-    "embed_norm_stats",
-    "embed_quantize",
-    "events_anomaly_mad",
-    "events_concurrency",
-    "events_funnel",
-    "events_hourly_distinct",
-    "events_missing_hours",
-]
-
-# Driver-green in r12 and still below the window after the r16
-# rotation (19 rotated into the window, 3 agg_* gates retired) — now
-# the stalest rows below the window; they rotate first in r17.
-_GREEN_R12_REST: list[str] = [
+    "embed_neardup_pairs",
+    "agg_market_share",
+    "orders_market_basket",
+    "docs_cooccurrence",
+    "corpus_vocab_coverage",
+    "events_transitions",
+    "docs_char_classes",
+    "docs_bpe_fertility",
+    "docs_cdc_chunks",
+    "docs_encode_unigram",
+    "orders_benford",
     "events_multigrain",
     "events_overlap_join",
     "events_partition_checksums",
@@ -12481,7 +12446,6 @@ _GREEN_R12_REST: list[str] = [
     "events_scd2_lookup",
     "events_skew_agg",
     "events_top_users",
-    "events_transitions",
     "events_trend",
     "events_winsorize",
     "events_zorder",
@@ -12489,7 +12453,6 @@ _GREEN_R12_REST: list[str] = [
     "orders_above_avg",
     "orders_checksum",
     "orders_gaps",
-    "orders_market_basket",
     "orders_snapshot_diff",
     "part_golden_records",
     "regional_supplier_volume",
@@ -12499,13 +12462,7 @@ _GREEN_R12_REST: list[str] = [
     "cust_balance_upsert",
     "cust_dormant_rich",
     "docs_length_deciles",
-]
-
-# Driver-green in r13, minus the 2 verify-path gates rotated INTO
-# the r15 window.
-_GREEN_R13_REST: list[str] = [
     "embed_semdedup_capped",
-    "events_latest_state_stream",
     "docs_mixture_sample",
     "docs_oov_rate",
     "docs_quality_calibrated",
@@ -12513,6 +12470,12 @@ _GREEN_R13_REST: list[str] = [
     "docs_rare_tokens",
     "docs_source_stats",
     "docs_top_terms_per_source",
+]
+
+# Driver-green in r13 and still below the window after the r17
+# rotation (8 rotated in as backfill, 6 promoted as changed) — the
+# stalest rows below the window; they rotate first in r18.
+_GREEN_R13_REST: list[str] = [
     "docs_unigram_logprob",
     "docs_weighted_per_source",
     "embed_kmeans",
@@ -12531,17 +12494,12 @@ _GREEN_R13_REST: list[str] = [
     "top_supplier_quarter",
     "agg_cust_distribution",
     "agg_disjunctive_pred",
-    "agg_market_share",
     "agg_shipped_last",
     "agg_small_qty_revenue",
     "agg_volume_shipping",
     "corpus_source_drift",
     "corpus_source_overlap",
-    "corpus_vocab_coverage",
     "docs_bigram_surprisal",
-    "docs_bpe_fertility",
-    "docs_cdc_chunks",
-    "docs_char_classes",
     "docs_dedup_lines",
     "docs_distinctive_terms",
     "docs_encode_bpe",
@@ -12553,8 +12511,8 @@ _GREEN_R13_REST: list[str] = [
     "events_kcore",
 ]
 
-# Driver-green in r14 (the full r14 window) — the freshest rows in
-# the registry, so they sort to the very BACK.
+# Driver-green in r14, minus the 2 ppm gates promoted INTO the r17
+# window as changed.
 _GREEN_R14: list[str] = [
     "events_latest_k",
     "events_reset_cumsum",
@@ -12562,7 +12520,6 @@ _GREEN_R14: list[str] = [
     "events_sliding_distinct",
     "events_stickiness",
     "events_value_quantiles",
-    "orders_benford",
     "orders_bloom_probe",
     "orders_except_all",
     "orders_fd_profile",
@@ -12599,15 +12556,12 @@ _GREEN_R14: list[str] = [
     "cust_cohort_ltv",
     "events_stationary",
     "orders_profile",
-    "docs_encode_unigram",
     "agg_multi_distinct",
     "agg_percentiles",
     "agg_pricing_summary",
 ]
 
-# Driver-green in r15 (the r15 window minus the 3 changed-operator
-# gates rotated back INTO the r16 window) — the freshest rows, so
-# they sort to the very back.
+# Driver-green in r15 (unchanged by the r17 rotation).
 _GREEN_R15: list[str] = [
     "multimodal_real_resize",
     "docs_containment_dup",
@@ -12658,21 +12612,68 @@ _GREEN_R15: list[str] = [
     "parts_bfs_hops",
 ]
 
+# Driver-green in r16 (the r16 window minus the 9 gates re-promoted
+# into the r17 window as changed) — the freshest rows, so they sort
+# to the very back.
+_GREEN_R16: list[str] = [
+    "nation_revenue_share",
+    "scd2_user_state",
+    "set_ops_customers",
+    "split_assign",
+    "sql_distinct_on",
+    "sql_expr_surface",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality",
+    "text_stats",
+    "text_token_counts",
+    "window_rank",
+    "agg_cube",
+    "corpus_source_similarity",
+    "corpus_vocab",
+    "cust_no_orders",
+    "docs_decontaminate",
+    "docs_encode",
+    "docs_length_hist",
+    "docs_novelty",
+    "docs_per_source_sample",
+    "docs_repetition",
+    "docs_shuffle_order",
+    "docs_strip_boilerplate",
+    "docs_token_budget",
+    "embed_kmeans2",
+    "docs_source_influence",
+    "docs_contamination_spans",
+    "embed_dedup_clusters",
+    "embed_semdedup",
+    "docs_training_export",
+    "docs_weighted_sample",
+    "dq_checks",
+    "embed_covariance",
+    "embed_norm_stats",
+    "embed_quantize",
+    "events_anomaly_mad",
+    "events_concurrency",
+    "events_funnel",
+    "events_hourly_distinct",
+    "events_missing_hours",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # order: r16 window · any unlisted keys (future gates land just
+    # order: r17 window · any unlisted keys (future gates land just
     # below the window) · then the green cohorts stalest-first
     # (freshest last). Cohort sizes live in the lists themselves —
-    # LOCALCHECK_r16.md records the per-round histogram.
+    # LOCALCHECK_r17.md records the per-round histogram.
     reg = _registry()
-    front = set(_WINDOW_R16)
+    front = set(_WINDOW_R17)
     backs = [
-        set(_GREEN_R12_REST),
         set(_GREEN_R13_REST),
         set(_GREEN_R14),
         set(_GREEN_R15),
+        set(_GREEN_R16),
     ]
-    assert len(_WINDOW_R16) == 50
+    assert len(_WINDOW_R17) == 50
     assert front <= set(reg) and all(b <= set(reg) for b in backs)
     taken = front.copy()
     for b in backs:
@@ -12682,12 +12683,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         k: reg[k]
         for k in [
-            *_WINDOW_R16,
+            *_WINDOW_R17,
             *mid,
-            *_GREEN_R12_REST,
             *_GREEN_R13_REST,
             *_GREEN_R14,
             *_GREEN_R15,
+            *_GREEN_R16,
         ]
     }
 

@@ -165,14 +165,18 @@ PROBE = {
     # round-13 additions
     "embed_semdedup_capped": "linear per-cell work (flat k=8 pinned; "
     "oversized cells star-link to the hub instead of all-pairs)",
-    "events_latest_state_stream": "linear (AvailableNow replay into "
-    "applyInPandasWithState LWW; one (ord,value) pair of state per key)",
+    "events_latest_state_stream": "linear (AvailableNow replay into the "
+    "pure-JVM max(struct) streaming aggregation since r17; one "
+    "(ord,value) pair of state-store state per key, no Python worker)",
     # round-16 additions (VERDICT r15 #5: the streaming replay path had
-    # sf1 value checks but no timing tier; the hazard is per-key Python
-    # group overhead scaling with the live-key set)
-    "orders_cdc_state_stream": "linear (AvailableNow replay into "
-    "applyInPandasWithState CDC; vectorized per-batch argmax, one "
-    "(ord,op,value) triple of state per key)",
+    # sf1 value checks but no timing tier; the hazard WAS per-key Python
+    # group overhead scaling with the live-key set — removed in r17 for
+    # the no-TTL reducers: cdc sf10 453.5s -> 14.3s, see
+    # SCALEPROBE_stream_r17.json)
+    "orders_cdc_state_stream": "linear (AvailableNow replay into the "
+    "pure-JVM max(struct) streaming aggregation since r17; one "
+    "(ord,op,value) triple of state-store state per key, no Python "
+    "worker)",
     "events_burst_dedup_stream": "linear (AvailableNow replay; per-key "
     "(ts,id) sort + chain scan; one timestamp of state per key)",
 }
