@@ -12406,7 +12406,7 @@ FROM g GROUP BY user_id
 # The r17 driver window (freshness policy, LOCALCHECK_r15: NEW gates >
 # gates whose OPERATOR CODE or ORACLE SQL changed since their last
 # driver-green > never-checked > stalest cohorts).
-# Composition: no brand-new gates this round; 19 changed gates lead —
+# Composition: no brand-new gates this round; 21 changed gates lead —
 # the 5 streaming reducers rebuilt on pure-JVM fast paths (VERDICT r16
 # #2: latest-state/cdc as max(struct) update-mode aggregations, no-TTL
 # dedup as dropDuplicates, the logq gate on the JVM register stream,
@@ -12414,9 +12414,10 @@ FROM g GROUP BY user_id
 # the bounded awaitTermination (burst/sessionize/busy — behavior-
 # neutral, re-gated anyway per the changed-code rule),
 # embed_neardup_pairs (cheaper cosine_pairs bound check + explicit
-# gate max_rows), and the 10 ppm gates widened to DECIMAL(38,0)
-# (VERDICT r16 #1 — the int64 x1e6 overflow class). Then ALL 23
-# remaining r12 greens (the stalest cohort) and the 8 stalest r13
+# gate max_rows), the 10 ppm gates widened to DECIMAL(38,0)
+# (VERDICT r16 #1 — the int64 x1e6 overflow class), and the 2
+# consumers of quantized_covariance's widened cov_scaled. Then ALL 23
+# remaining r12 greens (the stalest cohort) and the 6 stalest r13
 # greens as backfill. After this round nothing in the registry is
 # staler than r13.
 _WINDOW_R17: list[str] = [
@@ -12439,6 +12440,10 @@ _WINDOW_R17: list[str] = [
     "docs_cdc_chunks",
     "docs_encode_unigram",
     "orders_benford",
+    # quantized_covariance's cov_scaled widened to DECIMAL(38,0)
+    # (same overflow class, `n * s_ij` shape): re-gate its consumers
+    "embed_covariance",
+    "embed_top_eigen",
     "events_multigrain",
     "events_overlap_join",
     "events_partition_checksums",
@@ -12468,14 +12473,14 @@ _WINDOW_R17: list[str] = [
     "docs_quality_calibrated",
     "docs_quality_gate",
     "docs_rare_tokens",
-    "docs_source_stats",
-    "docs_top_terms_per_source",
 ]
 
 # Driver-green in r13 and still below the window after the r17
-# rotation (8 rotated in as backfill, 6 promoted as changed) — the
+# rotation (6 rotated in as backfill, 6 promoted as changed) — the
 # stalest rows below the window; they rotate first in r18.
 _GREEN_R13_REST: list[str] = [
+    "docs_source_stats",
+    "docs_top_terms_per_source",
     "docs_unigram_logprob",
     "docs_weighted_per_source",
     "embed_kmeans",
@@ -12561,7 +12566,8 @@ _GREEN_R14: list[str] = [
     "agg_pricing_summary",
 ]
 
-# Driver-green in r15 (unchanged by the r17 rotation).
+# Driver-green in r15, minus embed_top_eigen (promoted into the r17
+# window as a quantized_covariance consumer).
 _GREEN_R15: list[str] = [
     "multimodal_real_resize",
     "docs_containment_dup",
@@ -12608,11 +12614,10 @@ _GREEN_R15: list[str] = [
     "docs_leakage_safe_split",
     "docs_soft_dedup_weights",
     "events_rolling_3d",
-    "embed_top_eigen",
     "parts_bfs_hops",
 ]
 
-# Driver-green in r16 (the r16 window minus the 9 gates re-promoted
+# Driver-green in r16 (the r16 window minus the 10 gates re-promoted
 # into the r17 window as changed) — the freshest rows, so they sort
 # to the very back.
 _GREEN_R16: list[str] = [
@@ -12649,7 +12654,6 @@ _GREEN_R16: list[str] = [
     "docs_training_export",
     "docs_weighted_sample",
     "dq_checks",
-    "embed_covariance",
     "embed_norm_stats",
     "embed_quantize",
     "events_anomaly_mad",

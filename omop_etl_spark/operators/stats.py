@@ -104,12 +104,16 @@ def quantized_covariance(
     driver-side for the float covariance when needed.
     """
     m = quantized_comoments(df, vec_col, shift)
-    # Floor division in pure int64: float `/` would round above 2**53.
+    # DECIMAL(38,0)-widened products (the r16/r17 overflow class): the
+    # comoment SUMS fit int64 up to multi-billion-row corpora (unit-ish
+    # vectors: s_ij ~ n * 2^(2*shift)/d ~ 2e16 at n=5e9), but the
+    # `n * s_ij` product crosses 2^63 around n ~ 2e4 * high-norm or
+    # n ~ 7e5 at sf10 volumes — squarely inside real corpus range.
     # `a - posmod(a, n)` is exactly divisible by n, so truncating `div`
-    # equals floor division — and the same spelling is exact in DuckDB.
-    cov = F.expr(
-        "(n * s_ij - s_i * s_j - ((((n * s_ij - s_i * s_j) % n) + n) % n)) div n"
-    )
+    # (toward zero on decimals, same as DuckDB HUGEINT `//`) equals
+    # floor division; the spelling is exact in both engines.
+    t = "(CAST(n AS DECIMAL(38,0)) * s_ij - CAST(s_i AS DECIMAL(38,0)) * s_j)"
+    cov = F.expr(f"({t} - ((({t} % n) + n) % n)) div n")
     return m.select(
         "i",
         "j",
