@@ -26,6 +26,11 @@ def ppm_div_sql(numerator: str, denominator: str) -> str:
     at the call site (``CAST(a AS DECIMAL(38,0)) * b``) so the product
     is computed in decimal — the outer cast here cannot un-wrap a
     product that already overflowed in int64.
+
+    Decimal ``div`` truncates toward zero (matching DuckDB HUGEINT
+    ``//``), which equals floor exactly on the NONNEGATIVE numerators
+    every ppm share has — callers with signed numerators need the
+    posmod floor spelling instead (see stats.quantized_covariance).
     """
     return (
         f"CAST(CAST({numerator} AS DECIMAL(38,0)) * 1000000 div "

@@ -79,6 +79,41 @@ def test_ppm_div_sql_product_operands_past_cliff(spark):
     assert row.lift_ppm == n * pair * 10**6 // (dfa * dfb)
 
 
+def test_quantized_covariance_exact_past_int64_product_cliff(spark):
+    """The r17 sibling of the ppm class in `n * sum` shape: with
+    component magnitudes near 2^31.5 post-quantization, s_ij alone
+    approaches 2^63 and `n * s_ij` crosses it — the bare-int64 r16
+    expression wraps (or ANSI-errors) while the DECIMAL(38,0) form
+    stays exact. Values chosen so the comoment SUMS still fit int64
+    (the operator's documented bound — s_ij ~ 5e18 here) while
+    `n * s_ij` ~ 1.5e19 does not."""
+    import numpy as np
+
+    from omop_etl_spark.operators.stats import quantized_covariance
+
+    x = 79_345.0  # floor(x * 2^14) ~ 1.3e9; s_ij ~ 5e18, n*s_ij ~ 1.5e19
+    df = spark.createDataFrame(
+        [(1, [x, -x]), (2, [x, x]), (3, [-x, x])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        (r.i, r.j): (r.n, r.s_i, r.s_j, r.s_ij, r.cov_scaled)
+        for r in quantized_covariance(df, "embedding", shift=14).collect()
+    }
+    q = np.floor(np.array([[x, -x], [x, x], [-x, x]]) * float(1 << 14))
+    qi = [[int(v) for v in row] for row in q]  # Python bigints
+    n = 3
+    for i in range(2):
+        for j in range(i, 2):
+            s_i = sum(r[i] for r in qi)
+            s_j = sum(r[j] for r in qi)
+            s_ij = sum(r[i] * r[j] for r in qi)
+            if i == j:  # the diagonals are genuinely past the cliff
+                assert abs(n * s_ij) > 2**63 - 1, (i, j, n * s_ij)
+            want = (n, s_i, s_j, s_ij, (n * s_ij - s_i * s_j) // n)
+            assert got[(i, j)] == want, (i, j, got[(i, j)], want)
+
+
 def test_ppm_div_sql_truncation_matches_hugeint_floor_on_nonnegatives(spark):
     """decimal `div` truncates toward zero; every ppm caller has a
     nonnegative numerator, where truncation == floor == DuckDB's

@@ -509,6 +509,50 @@ def test_stream_logq_state_carries_across_batches(spark, tmp_path):
     assert (rows[-1]["n"], rows[-1]["q_est"]) == (want["n"], want["q9_10"])
 
 
+def test_no_ttl_streaming_reducers_are_pure_jvm_plans(spark, tmp_path):
+    """r17 plan guard: the no-TTL reducers must compile to built-in
+    streaming operators (Aggregate / Deduplicate) with NO Python node
+    anywhere in the plan — the whole point of the JVM fast paths is
+    that a 5M-live-key stream never crosses the Python boundary, and
+    a silent regression back to FlatMapGroupsInPandasWithState would
+    reintroduce the ~90 µs/key/batch dispatch without failing any
+    value test."""
+    import pandas as pd
+
+    from omop_etl_spark.streaming import (
+        stream_cdc_state,
+        stream_dedup,
+        stream_latest_state,
+        stream_logq_buckets,
+    )
+
+    d = tmp_path / "plan_in"
+    d.mkdir()
+    pd.DataFrame(
+        {"k": ["a"], "o": [1], "v": ["x"], "op": ["I"]}
+    ).to_parquet(d / "f.parquet")
+    stream = spark.readStream.schema(
+        "k string, o long, v string, op string"
+    ).parquet(str(d))
+    plans = {
+        "latest_state": stream_latest_state(stream, "k", "o", "v"),
+        "cdc_state": stream_cdc_state(stream, "k", "o", "v", op_col="op"),
+        "dedup": stream_dedup(stream.select("k"), ["k"], ttl_minutes=None),
+        "logq_buckets": stream_logq_buckets(stream, "k", "o", m=5),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "FlatMapGroupsInPandasWithState" not in plan, name
+        assert "pythonudf" not in plan.lower(), name
+        want = "Deduplicate" if name == "dedup" else "Aggregate"
+        assert want in plan, (name, plan[:500])
+    # the pandas formulations are still available where asked for
+    pandas_plan = stream_latest_state(
+        stream, "k", "o", "v", engine="pandas"
+    )._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in pandas_plan
+
+
 def test_stream_logq_buckets_jvm_registers_match_batch(spark, tmp_path):
     """r17 JVM register path: the streaming groupBy(key, bucket)
     counts in update mode are cumulative and nondecreasing, so the
