@@ -283,22 +283,24 @@ def learn_merges(
         F.split(F.col(word_col), "").alias("__syms"),
         F.col(count_col).cast("bigint").alias("__n"),
     ).transform(_checkpoint)
-    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    # loop-invariant Column objects are hoisted OUT of the round loop:
+    # each py4j builder call is a driver round-trip, and at 32 rounds
+    # the rebuild cost is pure driver latency the executors never see
+    # (r17 profile: ~70 ms/round of the ~420 ms round total was spent
+    # re-constructing this identical explode expression)
+    pair_expr = F.explode(
+        F.expr(
+            "CASE WHEN size(__syms) >= 2 THEN "
+            "transform(sequence(1, size(__syms) - 1), "
+            "i -> struct(element_at(__syms, i) AS a, "
+            "element_at(__syms, i + 1) AS b)) "
+            "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"
+        )
+    ).alias("__p")
     merges: list[tuple[str, str, int]] = []
     for _ in range(k):
         pairs = (
-            syms.select(
-                F.explode(
-                    F.expr(
-                        "CASE WHEN size(__syms) >= 2 THEN "
-                        "transform(sequence(1, size(__syms) - 1), "
-                        "i -> struct(element_at(__syms, i) AS a, "
-                        "element_at(__syms, i + 1) AS b)) "
-                        "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"
-                    )
-                ).alias("__p"),
-                "__n",
-            )
+            syms.select(pair_expr, "__n")
             .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
             .agg(F.sum("__n").alias("cnt"))
         )
@@ -313,16 +315,24 @@ def learn_merges(
         # ANSI error) on the empty accumulator; the merged tail a+b
         # never re-matches `a` within the same pass (b is non-empty),
         # so overlap handling is exact.
-        fold = F.aggregate(
-            "__syms",
-            empty,
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(a + b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        #
+        # Built as ONE SQL string (r17): the python-lambda spelling
+        # (F.aggregate with F.when/F.slice/... builders) costs dozens
+        # of py4j round-trips PER ROUND (~100 ms/round measured at
+        # sf0.1 — driver-side latency, not executor work); the parsed
+        # expression is the identical CASE WHEN aggregate, pinned to
+        # py_learn_merges by tests/test_bpe.py. Symbols come from the
+        # caller's tokenization ([a-z0-9] for every gate) but are
+        # escaped anyway so arbitrary vocabularies stay safe.
+        a_s, b_s, m_s = (
+            s.replace("\\", "\\\\").replace("'", "\\'") for s in (a, b, a + b)
+        )
+        fold = F.expr(
+            "aggregate(__syms, CAST(array() AS ARRAY<STRING>), "
+            "(acc, x) -> CASE WHEN try_element_at(acc, -1) = '" + a_s
+            + "' AND x = '" + b_s
+            + "' THEN concat(slice(acc, 1, size(acc) - 1), array('" + m_s
+            + "')) ELSE concat(acc, array(x)) END)"
         )
         # lazy checkpoint: the NEXT round's pair-count collect is the
         # single consumer and materializes it inside its own job, so
