@@ -428,17 +428,31 @@ def label_propagation(
             .groupBy(F.col("d").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        w = Window.partitionBy("node").orderBy(
-            F.col("__c").desc(), F.col("label").asc()
-        )
+        # per-node argmax as min(struct(-count, label)) — identical to
+        # the former row_number()-over-(count DESC, label ASC) pick,
+        # but a hash aggregate with MAP-SIDE partial combine: each map
+        # partition forwards one candidate per node instead of every
+        # (node, label) row into a sort-window exchange (guide §2.3,
+        # r17; plan: Window+Filter -> partial_min/min, one exchange
+        # less per round together with the join removal below)
         picked = (
-            msgs.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", F.col("label").alias("__new"))
+            msgs.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("__nc"),
+                        F.col("label").alias("__l"),
+                    )
+                ).alias("__w")
+            )
+            .select("node", F.col("__w.__l").alias("__new"))
         )
+        # labels invariantly holds EXACTLY one row per node (starts as
+        # the node set; the left join + coalesce preserves it), so the
+        # former per-round `nodes.join(labels)` re-anchor was a no-op
+        # costing one |V|-row join per round — dropped (r17)
         labels = (
-            nodes.join(labels, "node")
-            .join(picked, "node", "left")
+            labels.join(picked, "node", "left")
             .select("node", F.coalesce("__new", "label").alias("label"))
             .transform(_checkpoint)
         )
