@@ -39,12 +39,43 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep exactly one row per distinct key tuple.
 
-    ``tiebreak`` orders rows within a key group (ascending); the first
-    row survives. Without a tiebreak the survivor is arbitrary (use
-    ``dropDuplicates`` semantics). Implemented as a windowed
-    ``row_number`` partitioned by the keys — a single hash shuffle,
-    no global ordering, scales linearly.
+    ``tiebreak`` orders rows within a key group (ascending, nulls
+    first — Spark's ascending default); the first row survives. Without
+    a tiebreak the survivor is arbitrary (``dropDuplicates``
+    semantics).
+
+    When the frame carries no payload beyond ``keys`` + a single
+    ``tiebreak`` column (the shape of every curate/export call site:
+    ``(text, doc_id)``), the windowed ``row_number`` is a plain grouped
+    MIN — planned as a HashAggregate with MAP-SIDE partial combine, so
+    duplicate keys collapse before the exchange and nothing is sorted;
+    the window path shuffles every row into a per-key sort first. The
+    window remains for frames with payload columns the survivor must
+    carry whole.
     """
+    str_keys = [k for k in keys if isinstance(k, str)]
+    if len(str_keys) == len(keys):
+        extras = [c for c in df.columns if c not in str_keys]
+        if (
+            tiebreak
+            and len(tiebreak) == 1
+            and isinstance(tiebreak[0], str)
+            and extras == [tiebreak[0]]
+        ):
+            t = tiebreak[0]
+            # nulls-first min: ascending row_number puts a NULL
+            # tiebreak first, but MIN skips nulls — restore the null
+            # survivor iff the group saw one (both legs hash-aggregable)
+            agg = df.groupBy(*str_keys).agg(
+                F.when(
+                    F.count(t) < F.count(F.lit(1)), F.lit(None)
+                )
+                .otherwise(F.min(t))
+                .alias(t)
+            )
+            return agg.select(*df.columns)
+        if not extras and not tiebreak:
+            return df.distinct()
     kcols = _key_cols(df, keys)
     order = _key_cols(df, tiebreak) if tiebreak else [F.lit(1)]
     w = Window.partitionBy(*kcols).orderBy(*order)

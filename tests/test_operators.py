@@ -125,6 +125,31 @@ def test_exact_dedup_tiebreak(spark):
     assert [(r.id, r.k) for r in out] == [(2, "k1"), (3, "k2")]
 
 
+def test_exact_dedup_aggregate_fast_path(spark):
+    # (key, tiebreak)-only frames take the grouped-MIN fast path:
+    # no Window node in the plan, survivor identical to the windowed
+    # row_number spelling including nulls-first tiebreak order (r17)
+    df = spark.createDataFrame(
+        [("k1", 5), ("k1", 2), ("k2", 7), ("k3", None), ("k3", 1)],
+        "k string, doc_id int",
+    )
+    out = exact_dedup(df, ["k"], tiebreak=["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "HashAggregate" in plan
+    got = {r.k: r.doc_id for r in out.collect()}
+    # k3: ascending nulls-first -> the NULL tiebreak row survives
+    assert got == {"k1": 2, "k2": 7, "k3": None}
+    assert out.columns == df.columns
+
+    # payload column present -> window path, unchanged semantics
+    df3 = spark.createDataFrame(
+        [("k1", 2, "x"), ("k1", 5, "y")], "k string, doc_id int, v string"
+    )
+    out3 = exact_dedup(df3, ["k"], tiebreak=["doc_id"])
+    assert "Window" in out3._jdf.queryExecution().executedPlan().toString()
+    assert [(r.k, r.doc_id, r.v) for r in out3.collect()] == [("k1", 2, "x")]
+
+
 def test_dedup_groups_counts(spark):
     df = spark.createDataFrame(
         [(10, "x"), (11, "x"), (12, "y")], "doc_id int, k string"
