@@ -70,14 +70,29 @@ def pagerank(
     Returns ``(node, rank_scaled)`` for every node (isolated
     destinations included). One shuffle per iteration plus the final
     left join; degrees and the node set are computed once and reused.
+
+    Resource contract (r17): the edge projection, node set, and
+    degree-annotated edge frame are ``persist(MEMORY_AND_DISK)``-ed —
+    each unrolled iteration references all three, and without the
+    persist Catalyst re-executes the CALLER'S edge subtree (often a
+    full-corpus projection + distinct) once per reference: the
+    3-iteration plan re-scanned the source 28 times. Persist (not
+    ``localCheckpoint``) keeps lineage, so a lost block recomputes
+    instead of killing the job. Blocks are released by the
+    ContextCleaner once the returned frame is garbage-collected
+    (``unpersist`` here would be premature — the result is lazy), the
+    same contract as ``dedup.jaccard_pairs``' postings persist.
     """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).transform(
+        _checkpoint
+    )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .transform(_checkpoint)
     )
     deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     # N enters every rank expression as a scalar: a 1-row frame
@@ -91,7 +106,9 @@ def pagerank(
         nodes.crossJoin(F.broadcast(n_frame))
         .select("node", F.floor(F.lit(scale) / F.col("__n")).cast("bigint").alias("rank_scaled"))
     )
-    edge_deg = e.join(deg, "__src")  # deg is edges-derived: inner join is total
+    edge_deg = e.join(deg, "__src").transform(
+        _checkpoint
+    )  # deg is edges-derived: inner join is total
     for i in range(iterations):
         contrib = (
             ranks.join(edge_deg, ranks["node"] == edge_deg["__src"])

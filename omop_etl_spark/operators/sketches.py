@@ -40,6 +40,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
 from .sampling import unit_hash
 
 __all__ = [
@@ -140,10 +141,21 @@ def kmv_set_similarity(
     h = unit_hash(value_col, salt)
     dedup = df.select(F.col(group_col).alias("__g"), h.alias("h")).distinct()
     w = Window.partitionBy("__g").orderBy("h")
+    # the sketch frame is consumed by BOTH pair sides and the group
+    # list; the hash/explode expressions upstream defeat ReuseExchange
+    # canonicalization, so without the materialization every consumer
+    # re-runs the full corpus tokenize + distinct (4 scans observed).
+    # Eager checkpoint (conf.checkpoint: local by default, reliable
+    # via conf) rather than persist: downstream plans read a plain RDD
+    # scan, so AQE still optimizes them — an InMemoryRelation persist
+    # measured SLOWER than the re-scans at both sf0.1 and sf1. The
+    # frame is O(groups * k) rows — materializing it is the point of
+    # a sketch.
     sk = (
         dedup.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+        .transform(_checkpoint)
     )
     ga = sk.select(F.col("__g").alias("ga"), F.col("h").alias("ha"))
     gb = sk.select(F.col("__g").alias("gb"), F.col("h").alias("hb"))
@@ -223,9 +235,13 @@ def kmv_difference(
     h = unit_hash(value_col, salt)
     dedup = df.select(F.col(group_col).alias("__g"), h.alias("h")).distinct()
     w = Window.partitionBy("__g").orderBy("h")
+    # consumed 6x downstream (theta both pair sides, ga, gb, and the
+    # zero-survivor backfill's pair rebuild); see kmv_set_similarity —
+    # same eager-checkpoint rationale, O(groups * k) rows
     sk = (
         dedup.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
+        .transform(_checkpoint)
     )
     # θ_q per group: 2^32 for a partial sketch, else the k-th smallest
     # hash in exact 2^32-scaled integer form
