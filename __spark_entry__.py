@@ -6222,14 +6222,21 @@ def _q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
+    # baskets feeds dfreq, the support join, and the order count (3
+    # consumers), fb both self-join sides (2) — checkpoint each once
+    # so the lineitem-part join + distinct runs once, not three times
+    # (r17 audit: 5 lineitem + 5 part scans in the uncheckpointed plan)
     baskets = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
         .distinct()
+        .transform(_ckpt)
     )
     dfreq = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
     frequent = dfreq.filter(F.col("df") >= 50)
-    fb = baskets.join(frequent, "item")
+    fb = baskets.join(frequent, "item").transform(_ckpt)
     a = fb.select("okey", F.col("item").alias("item_a"), F.col("df").alias("df_a"))
     b = fb.select(
         F.col("okey").alias("okey_b"),

@@ -425,9 +425,14 @@ def token_cooccurrence(
     frequent = dfreq.filter(F.col("df") >= min_support)
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
 
+    # both self-join sides read ft; the explode upstream defeats
+    # ReuseExchange, so without the eager checkpoint each side re-runs
+    # the corpus tokenize + distinct + support join (r17 audit: 5
+    # scans). The frame is support-filtered — the A-priori bound has
+    # already cut the long tail before it is materialized.
     ft = terms.join(F.broadcast(frequent), "term").select(
         "__doc", "term", "df"
-    )
+    ).transform(_checkpoint)
     a = ft.select(
         F.col("__doc"), F.col("term").alias("term_a"), F.col("df").alias("df_a")
     )
