@@ -5831,6 +5831,8 @@ def _q_docs_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.operators.dedup import exact_dedup
     from omop_etl_spark.operators.sampling import pack_sequences, token_budget_sample
 
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
     docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
     gated = docs.filter(token_count("text") >= 10)
     deduped = exact_dedup(gated, keys=["text"], tiebreak=["doc_id"])
@@ -5838,7 +5840,15 @@ def _q_docs_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, "source", "n_chars", {"src0": 5000, "src1": 4000},
         default_budget=3000, salt="mix", buckets=16,
     )
-    packed = pack_sequences(picked, "n_chars", order_col="doc_id", budget=2000)
+    # r17: packed is consumed THREE times below (build_vocab,
+    # encode_tokens, the final bin join) and each consumer otherwise
+    # re-executes the entire gate -> dedup-window -> budget-cumsum ->
+    # packing-prefix-sum chain (6 source scans in the r17 audit).
+    # Checkpoint the packed frame once; the chain's ordered stages run
+    # exactly once.
+    packed = pack_sequences(
+        picked, "n_chars", order_col="doc_id", budget=2000
+    ).transform(_ckpt)
     vocab = build_vocab(packed, vocab_size=256)
     enc = encode_tokens(packed, vocab)
     ord_sum = F.aggregate(
@@ -6048,24 +6058,38 @@ def _q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort of the rows. Output carries the cutoffs plus the
     clamped aggregate so the oracle verifies both the cut selection
     and its application."""
+    from omop_etl_spark.conf import checkpoint as _ckpt
     from omop_etl_spark.operators.stats import exact_quantile_cuts
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", F.floor(F.col("value") * 1000000).cast("bigint").alias("vm")
     )
+    # r17: both the cut selection and the clamped sum are functions of
+    # the per-(type, value) count spine (the oracle's counts CTE) —
+    # aggregate the raw frame once, checkpoint (the bucketed quantile
+    # path reads its input twice: local cumsum + carry offsets; the
+    # clamp is a third consumer), and weight the clamped sum by the
+    # spine count instead of re-scanning raw rows (guide §2.3).
+    spine = (
+        ev.groupBy("event_type", "vm")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_ckpt)
+    )
     cuts = exact_quantile_cuts(
-        ev, ["event_type"], "vm", [0.01, 0.99], bucket_width=1_000_000
+        spine, ["event_type"], "vm", [0.01, 0.99], bucket_width=1_000_000,
+        count_col="c",
     )
     clamped = (
-        ev.join(F.broadcast(cuts), "event_type")
+        spine.join(F.broadcast(cuts), "event_type")
         .select(
             "event_type",
             "n",
             "q_p01",
             "q_p99",
-            F.greatest(F.col("q_p01"), F.least(F.col("q_p99"), F.col("vm"))).alias(
-                "cv"
-            ),
+            (
+                F.greatest(F.col("q_p01"), F.least(F.col("q_p99"), F.col("vm")))
+                * F.col("c")
+            ).alias("cv"),
         )
         .groupBy("event_type", "n", "q_p01", "q_p99")
         .agg(F.sum("cv").cast("bigint").alias("clamped_sum_micros"))
@@ -6373,26 +6397,43 @@ def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     median computed on the distinct-value spine (no per-group row
     sort), and counts events beyond 5 MADs. All-integer, fully
     replayed by the oracle's window cumsums."""
+    from omop_etl_spark.conf import checkpoint as _ckpt
     from omop_etl_spark.operators.stats import exact_quantile_cuts
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", F.floor(F.col("value") * 1000000).cast("bigint").alias("vm")
     )
-    med = exact_quantile_cuts(ev, ["event_type"], "vm", [0.5]).select(
-        "event_type", F.col("q_p5").alias("med")
+    # r17: every downstream step is a function of the per-(type, value)
+    # COUNT SPINE — the oracle's own c1 CTE — so aggregate the raw
+    # events exactly once and run the median, the deviation spine, and
+    # the outlier count as weighted arithmetic on it (guide §2.3
+    # "aggregate before you shuffle"). The old shape re-read the raw
+    # frame for each stage: 3 full scans + 2 full-data shuffles; this
+    # is 1 scan + 1 shuffle + spine-sized work. The spine is consumed
+    # by three branches, so it is materialized once (conf.checkpoint).
+    spine = (
+        ev.groupBy("event_type", "vm")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_ckpt)
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "med", F.abs(F.col("vm") - F.col("med")).alias("ad"), "vm"
+    med = exact_quantile_cuts(
+        spine, ["event_type"], "vm", [0.5], count_col="c"
+    ).select("event_type", F.col("q_p5").alias("med"))
+    dev = spine.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("vm") - F.col("med")).alias("ad"), "vm", "c"
     )
     mad = exact_quantile_cuts(
-        dev.select("event_type", "ad"), ["event_type"], "ad", [0.5]
+        dev.select("event_type", "ad", "c"), ["event_type"], "ad", [0.5],
+        count_col="c",
     ).select("event_type", F.col("q_p5").alias("mad"), "n")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med", "mad", "n")
         .agg(
             F.sum(
-                (F.abs(F.col("vm") - F.col("med")) > 5 * F.col("mad")).cast("bigint")
+                F.when(
+                    F.abs(F.col("vm") - F.col("med")) > 5 * F.col("mad"), F.col("c")
+                ).otherwise(F.lit(0))
             ).alias("n_outliers")
         )
         .select(
@@ -7747,7 +7788,14 @@ def _q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's ``* 1000000.0``. floor() of the double ratio is
     engine-identical; past ~3e9-token sources move the per-term
     products to decimal(38,0) (same arithmetic, exact)."""
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
     docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    # r17: tc feeds the totals frame and BOTH self-join sides (3
+    # consumers); the explode upstream defeats ReuseExchange, so
+    # without the eager checkpoint each consumer re-runs the corpus
+    # tokenize + explode + count (6 source scans in the r17 audit) —
+    # same pattern as token_cooccurrence's basket checkpoint.
     tc = (
         docs.select(
             "source",
@@ -7760,6 +7808,7 @@ def _q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_ckpt)
     )
     totals = tc.groupBy("source").agg(F.sum("c").alias("n"))
     a = tc.select(
@@ -10086,9 +10135,14 @@ def _q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.sources import read_parquet_table
 
     ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
+    # r17: ud feeds both the DAU aggregate and the 7-day contribution
+    # explode; without the checkpoint each consumer re-runs the full
+    # event scan + distinct shuffle (2x the query's dominant cost).
     ud = ev.select(
         F.col("ts").cast("date").alias("day"), "user_id"
-    ).distinct()
+    ).distinct().transform(_ckpt)
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = ud.select(
         F.explode(

@@ -72,16 +72,17 @@ def pagerank(
     left join; degrees and the node set are computed once and reused.
 
     Resource contract (r17): the edge projection, node set, and
-    degree-annotated edge frame are ``persist(MEMORY_AND_DISK)``-ed —
-    each unrolled iteration references all three, and without the
-    persist Catalyst re-executes the CALLER'S edge subtree (often a
-    full-corpus projection + distinct) once per reference: the
-    3-iteration plan re-scanned the source 28 times. Persist (not
-    ``localCheckpoint``) keeps lineage, so a lost block recomputes
-    instead of killing the job. Blocks are released by the
+    degree-annotated edge frame are eagerly checkpointed via
+    ``conf.checkpoint`` — each unrolled iteration references all three,
+    and without the materialization Catalyst re-executes the CALLER'S
+    edge subtree (often a full-corpus projection + distinct) once per
+    reference: the 3-iteration plan re-scanned the source 28 times.
+    ``conf.checkpoint`` is ``localCheckpoint`` by default (the loop's
+    established mode — the per-iteration rank frames already use it) and
+    flips to reliable ``.checkpoint`` under ``RELIABLE_CHECKPOINT_CONF``
+    for clusters where executor loss matters. Blocks are released by the
     ContextCleaner once the returned frame is garbage-collected
-    (``unpersist`` here would be premature — the result is lazy), the
-    same contract as ``dedup.jaccard_pairs``' postings persist.
+    (``unpersist`` here would be premature — the result is lazy).
     """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
