@@ -12296,11 +12296,19 @@ def _q_docs_waterfill_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.operators.chunking import _term_tokens
     from omop_etl_spark.operators.sampling import waterfill_allocation
 
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
     docs = _spread_read(spark, f"{sf_dir}/documents.parquet")
+    # r17: the waterfill arithmetic references the avail frame several
+    # times (rank, totals, breakpoint scan — 4 source scans in the r17
+    # audit), and each reference re-ran the corpus tokenize + explode.
+    # avail is one row per source — checkpoint it so the corpus pass
+    # runs once and the seat math runs on the materialized 20-row frame.
     avail = (
         docs.select("source", F.explode(_term_tokens("text")).alias("t"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .transform(_ckpt)
     )
     return waterfill_allocation(
         avail, "source", "n_tokens", _WATERFILL_BUDGET

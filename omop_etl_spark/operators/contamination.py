@@ -253,6 +253,12 @@ def source_overlap(
     stratum) onto the pair counts. Suitable when strata number in the
     hundreds; it is a strata-pair matrix, not a document operator.
     """
+    # r17: considered checkpointing grams (3 consumers: sizes + both
+    # self-join sides, 4 source scans in the plan audit) — measured and
+    # REJECTED: the distinct n-GRAM set is near-token-count-sized (not
+    # Zipf-bounded like a unigram vocab), and materializing it read
+    # 15 -> 25 s at the 100x tier with GC pressure; the rescans' distinct
+    # exchange is runtime-reused across consumers instead.
     grams = (
         docs.select(
             F.col(strata_col).alias("__src"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 __all__ = [
     "unit_hash",
     "hash_split",
@@ -575,11 +577,17 @@ def exact_allocation_sample(
     # column names must differ case-INsensitively: Spark's default
     # resolver treats `__alloc_n` vs `__alloc_N` as the same name once
     # they meet across a join, and flags every reference ambiguous
+    # r17: sized is consumed by BOTH the remainder ranking and the
+    # deficit aggregate; without the eager checkpoint each branch
+    # re-runs the per-stratum count AND the total count over the raw
+    # frame (5 source scans in the r17 audit instead of 3). The frame
+    # is strata-bounded — materializing it is free.
     sized = (
         counts.crossJoin(F.broadcast(tot))
         .withColumn("__alloc_base", F.expr(f"(CAST({k} AS BIGINT) * __alloc_n) div __alloc_total"))
         .withColumn("__alloc_rem", F.expr(f"(CAST({k} AS BIGINT) * __alloc_n) % __alloc_total"))
         .select(*gcols, "__alloc_n", "__alloc_base", "__alloc_rem")
+        .transform(_checkpoint)
     )
     ranked = ranked_running_sum(
         sized,
