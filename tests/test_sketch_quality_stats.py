@@ -268,6 +268,24 @@ def test_exact_quantile_cuts_bucketed_equals_plain_and_reference(spark):
         for r in exact_quantile_cuts(df, ["g"], "v", qs, bucket_width=500).collect()
     }
     assert plain == bucketed
+    # count_col path: feeding the pre-aggregated (group, value, count)
+    # spine must give the same cuts as the raw rows — the weighted-rank
+    # identity the events_anomaly_mad / events_winsorize gates rely on
+    spine = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    weighted = {
+        r["g"]: (r["n"], r["q_p01"], r["q_p5"], r["q_p99"])
+        for r in exact_quantile_cuts(
+            spine, ["g"], "v", qs, count_col="c"
+        ).collect()
+    }
+    assert plain == weighted
+    bucketed_weighted = {
+        r["g"]: (r["n"], r["q_p01"], r["q_p5"], r["q_p99"])
+        for r in exact_quantile_cuts(
+            spine, ["g"], "v", qs, bucket_width=500, count_col="c"
+        ).collect()
+    }
+    assert plain == bucketed_weighted
     # reference: lower-value quantile definition on sorted values
     for g in ("a", "b"):
         vals = sorted(r.v for r in rows if r.g == g)
