@@ -4283,10 +4283,16 @@ def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-week activity, cohort-offset rollup) + one broadcast-able
     cohort-size join; the week offset is exact integer day arithmetic
     (datediff/7 between Monday-truncated weeks), no float date math."""
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # r17: first feeds BOTH the retention join and the cohort-size
+    # aggregate; without the checkpoint each consumer re-runs the full
+    # event scan + per-user aggregate (3 event scans in the r17 audit
+    # instead of 2). The frame is user-cardinality-bounded.
     first = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    ).transform(_ckpt)
     activity = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
     ).distinct()
@@ -8752,15 +8758,21 @@ def _q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     from omop_etl_spark.operators.rank import ntile_from_rank, ranked_running_sum
 
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     od = F.to_date("o_orderdate")
+    # r17: per_c feeds BOTH the customer-count 1-row frame and the
+    # ranked base; without the checkpoint each consumer re-runs the
+    # full order scan + per-customer aggregate (3 order scans in the
+    # r17 audit). The frame is customer-cardinality-bounded.
     per_c = orders.groupBy("o_custkey").agg(
         F.max(od).alias("__last"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * 100))
         .cast("bigint")
         .alias("monetary_cents"),
-    )
+    ).transform(_ckpt)
     bounds = orders.agg(F.max(od).alias("__maxd"))
     nrow = per_c.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     base = (
@@ -12232,11 +12244,18 @@ def _q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent value."""
     from omop_etl_spark.operators.stats import exact_quantile_cuts
 
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # r17: the bucketed quantile path reads its input three times
+    # (local cumsum, carry offsets, totals) and each read re-ran the
+    # full lineitem scan + aggregate (3 scans in the r17 audit). The
+    # (flag, price-cent) weight spine is distinct-value-bounded — the
+    # same count-spine checkpoint as events_winsorize.
     pre = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w")).transform(_ckpt)
     out = exact_quantile_cuts(
         pre, ["flag"], "price_c", [0.25, 0.5, 0.75],
         bucket_width=100_000, count_col="w",

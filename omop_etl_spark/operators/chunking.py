@@ -324,7 +324,18 @@ def unigram_logprob_scores(
         F.col(id_col), F.explode(_term_tokens(text_col)).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    cf = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    # cf feeds the corpus total AND the logp projection; tf feeds cf
+    # AND the final scoring join — without the cuts the corpus
+    # tokenize + doc-term aggregate re-executes 3x (3 source scans in
+    # the r17 audit). cf is vocabulary-bounded (Zipf); the doc-term
+    # frame itself stays lazy — its duplicate consumer is removed by
+    # checkpointing cf, and materializing a doc-term-sized frame is
+    # the measured-rejected n-gram class.
+    cf = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("cnt"))
+        .transform(_checkpoint)
+    )
     total = cf.agg(F.sum("cnt").alias("__total"))
     logp = cf.crossJoin(F.broadcast(total)).select(
         "term",
@@ -577,7 +588,19 @@ def bigram_surprisal_scores(
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
     bg_tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    c12 = bg_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    # c12 feeds the w1-marginal AND the logp join; bg_tf feeds c12 AND
+    # the final scoring join — without the cut the corpus bigram
+    # explode + doc-bigram aggregate re-executes 3x (3 source scans in
+    # the r17 audit). c12 is corpus-bigram-vocab-bounded (far below
+    # the doc-bigram frame); bg_tf itself stays lazy — checkpointing
+    # the doc-bigram-sized frame was measured and REJECTED (100x tier:
+    # 11.5-12.3 s lazy vs 16.7-17.1 s materialized — the rejected
+    # n-gram-materialization class).
+    c12 = (
+        bg_tf.groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("c12"))
+        .transform(_checkpoint)
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     logp = c12.join(c1, "w1").select(
         "w1",
@@ -635,7 +658,17 @@ def distinctive_terms(
     terms = spread(df).select(
         F.col(group_col).alias("__g"), F.explode(_term_tokens(text_col)).alias("term")
     )
-    a_tab = terms.groupBy("__g", "term").agg(F.count(F.lit(1)).alias("a"))
+    # a_tab feeds term_tot, grp_tot AND the scoring join — three
+    # consumers, and the explode upstream defeats ReuseExchange, so
+    # without the eager checkpoint each one re-runs the corpus
+    # tokenize + explode + aggregate (4 source scans in the r17
+    # audit). The frame is (groups x vocab)-bounded — same class as
+    # token_cooccurrence's basket checkpoint.
+    a_tab = (
+        terms.groupBy("__g", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .transform(_checkpoint)
+    )
     term_tot = a_tab.groupBy("term").agg(F.sum("a").alias("__tt"))
     grp_tot = a_tab.groupBy("__g").agg(F.sum("a").alias("n1"))
     total = grp_tot.agg(F.sum("n1").alias("__n"))

@@ -587,22 +587,27 @@ def cooccurrence_topk_similar(
     """
     if k < 1:
         raise ValueError("cooccurrence_topk_similar requires k >= 1")
-    from pyspark import StorageLevel
-
     # the distinct basket-item frame feeds BOTH sides of the pair
-    # self-join and the totals aggregate — persist it so the distinct
-    # shuffle runs once, not three times (narrow two-column frame;
-    # same caller-owned-cleanup contract as dedup.containment_pairs)
+    # self-join and the totals aggregate — materialize it once so the
+    # distinct shuffle runs once, not three times. conf.checkpoint
+    # rather than persist (r17): downstream plans read a plain RDD
+    # scan, so AQE still optimizes them — the same persist-vs-
+    # checkpoint A/B the KMV sketches ran found InMemoryRelation
+    # subplans bypass AQE and measure slower; here the two spellings
+    # measure neutral at sf1 (interleaved A/B) and checkpoint wins on
+    # plan shape (6 -> 0 duplicate scans, 15 -> 7 exchanges).
     b = (
         baskets.select(
             F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(_checkpoint)
     )
+    # totals is consumed by BOTH scoring joins (__ca and __cb) — each
+    # would re-aggregate b; the frame is item-cardinality-bounded.
     totals = b.groupBy(F.col("__it").alias("__t_it")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__c1")
-    )
+    ).transform(_checkpoint)
     pairs = (
         b.alias("x")
         .join(

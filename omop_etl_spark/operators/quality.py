@@ -31,6 +31,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..conf import checkpoint as _checkpoint
+
 __all__ = ["DQRule", "dq_profile", "load_dq_rules"]
 
 
@@ -106,6 +108,10 @@ def dq_profile(tables: Mapping[str, DataFrame], rules: Sequence[DQRule]) -> Data
             by_table.setdefault(r.table, []).append(r)
 
     # One conditional-aggregate scan per table for all row-local rules.
+    # The 1-row result is eagerly checkpointed (free) because fk rules
+    # on the same table reuse its __n_rows below — without the cut
+    # every consumer would re-run the full-table aggregate scan.
+    row_frames: dict[str, DataFrame] = {}
     for table, trules in by_table.items():
         df = tables[table]
         aggs = [F.count(F.lit(1)).alias("__n_rows")]
@@ -113,7 +119,8 @@ def dq_profile(tables: Mapping[str, DataFrame], rules: Sequence[DQRule]) -> Data
             aggs.append(
                 F.sum(_violation_pred(r).cast("bigint")).alias(f"__v_{r.name}")
             )
-        row = df.agg(*aggs)
+        row = df.agg(*aggs).transform(_checkpoint, eager=False)
+        row_frames[table] = row
         stack_parts = ", ".join(
             f"'{r.name}', '{table}', __v_{r.name}" for r in trules
         )
@@ -152,7 +159,16 @@ def dq_profile(tables: Mapping[str, DataFrame], rules: Sequence[DQRule]) -> Data
             parent = tables[r.ref_table].select(
                 F.col(r.ref_col).alias("__ref")
             ).distinct()
-            n_rows = child.agg(F.count(F.lit(1)).alias("n")).select("n")
+            # n_rows is count(*) of the child — if a row-local pass
+            # already counted this table, reuse its checkpointed 1-row
+            # frame instead of a fresh full-table count scan (r17: one
+            # fewer full pass per fk rule whose table has local rules).
+            if r.table in row_frames:
+                n_rows = row_frames[r.table].select(
+                    F.col("__n_rows").alias("n")
+                )
+            else:
+                n_rows = child.agg(F.count(F.lit(1)).alias("n")).select("n")
             orphans = (
                 child.filter(F.col(r.col).isNotNull())
                 .join(parent, child[r.col] == parent["__ref"], "left_anti")
