@@ -2512,10 +2512,18 @@ def _q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop_etl_spark.operators.temporal import resample_ffill
     from omop_etl_spark.sources import read_parquet_table
 
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
     ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
+    # r17: resample_ffill consumes its input series three times
+    # (bounds, key set, grid join); hourly is (types x hours)-bounded,
+    # so checkpoint it once instead of re-running the full event scan
+    # + aggregate per consumer (3 event scans -> 1). Lazy: the frame
+    # materializes inside the query job, keeping stage overlap.
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("ts")
     ).agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"))
+    hourly = _ckpt(hourly, eager=False)
     out = resample_ffill(
         hourly, ["event_type"], "ts", ["cents"], step="1 HOUR", fill=F.lit(0)
     )
@@ -6016,13 +6024,23 @@ def _q_events_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour ids are integer epoch-hours so the frame is engine-exact."""
     from omop_etl_spark.sources import read_parquet_table
 
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
     ev = read_parquet_table(spark, f"{sf_dir}/events.parquet", ns_columns=["ts"])
     hour_idx = F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("bigint")
-    observed = ev.select("event_type", hour_idx.alias("hour_idx")).distinct()
-    bounds = ev.agg(
-        F.min(hour_idx).alias("lo"), F.max(hour_idx).alias("hi")
+    # r17: the hour bounds and the type set are exact functions of the
+    # distinct (type, hour) frame (distinct preserves min/max and the
+    # type set), which is |types| x |hours|-bounded — derive both from
+    # it instead of re-scanning the fact (3 event scans -> 1).
+    observed = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .distinct()
+        .transform(_ckpt)
     )
-    types = ev.select("event_type").distinct()
+    bounds = observed.agg(
+        F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi")
+    )
+    types = observed.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
         "event_type", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_idx")
     )
@@ -7641,16 +7659,21 @@ def _q_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term")
     )
-    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
-    # the 10-row top frame feeds BOTH the probe set and the final
-    # join-back — persisted so the exact-count pass tokenizes the
-    # corpus once, not once per consumer
-    top = (
-        exact.orderBy(F.col("exact_count").desc(), F.col("term"))
-        .limit(10)
-        .persist()
+    from omop_etl_spark.conf import checkpoint as _ckpt
+
+    # r17: the exact term-count frame (vocabulary-bounded) feeds the
+    # top-10 probe set, the final join-back, AND — via the count_col
+    # path — the sketch itself: cells are SUMS over the multiset, so
+    # accumulating the per-term counts builds the identical sketch in
+    # one vocabulary pass. The corpus tokenize runs ONCE (was 6 scans:
+    # 2 tokenizes x 3 consumers in the r17 audit).
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    ).transform(_ckpt)
+    top = exact.orderBy(F.col("exact_count").desc(), F.col("term")).limit(10)
+    sk = cm_sketch_counts(
+        exact, "term", depth=4, width=256, count_col="exact_count"
     )
-    sk = cm_sketch_counts(terms, "term", depth=4, width=256)
     est = cm_estimate(sk, top.select("term"), "term", depth=4, width=256)
     return (
         est.join(top, "term")
@@ -9621,6 +9644,13 @@ def _q_docs_encode_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(_term_tokens("text")).alias("word")
     ).filter(F.length("word") <= _UNI_WMAX)
+    # r17: checkpointing wc (feeds the piece-gram counts AND the
+    # Viterbi word-type frame; 3 tokenizes -> 2) was measured and
+    # REJECTED at the 100x tier: 4.5-6.9 s lazy vs 9.2-10.1 s
+    # checkpointed, interleaved A/B — the downstream 16-position DP
+    # re-reads the frame far more than the tokenize costs, and the
+    # RDD-backed frame defeats the optimizations Catalyst applies to
+    # the lazy subtree. The duplicate tokenize stays.
     wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     grams_expr = (
         "flatten(transform(sequence(1, length(word)), s -> "

@@ -188,26 +188,30 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
-    from pyspark import StorageLevel
-
     qt = sorted(set(query_terms))
     toks = df.select(F.col(id_col), _term_tokens(text_col).alias("__toks"))
-    # dl is SF-linear but NARROW (id + int); persisting it means the
-    # wide text column is scanned twice total (dl + tf) instead of
+    # dl is SF-linear but NARROW (id + int); materializing it means
+    # the wide text column is scanned twice total (dl + tf) instead of
     # four times (dl, stats, and the join would each rescan) — at
-    # 100 TB the text scan is the dominant IO. Same persist contract
-    # as dedup.containment_pairs (caller-owned cleanup, spill-safe).
-    dl = toks.select(id_col, F.size("__toks").alias("__dl")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # 100 TB the text scan is the dominant IO. conf.checkpoint rather
+    # than persist (r17): downstream plans read a plain RDD scan, so
+    # AQE still optimizes them (the KMV persist-vs-checkpoint A/B).
+    dl = toks.select(id_col, F.size("__toks").alias("__dl")).transform(
+        _checkpoint, eager=False
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__t")
     )
+    # tf feeds the per-term document frequency AND the contribution
+    # join; it is QUERY-bounded (the explode filters to the query
+    # terms map-side) — checkpoint it so the second text tokenize
+    # runs once, not twice (r17: 3 text scans -> 2).
     tf = (
         toks.select(F.col(id_col), F.explode("__toks").alias("term"))
         .filter(F.col("term").isin(qt))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(_checkpoint, eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (

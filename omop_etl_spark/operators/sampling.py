@@ -145,8 +145,17 @@ def mixture_sample(
     for s, w_ in weights.items():
         wcol = F.when(F.col(strata_col) == F.lit(s), F.lit(w_ / wsum)).otherwise(wcol)
 
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__mx_cnt"))
-    total = df.select(F.count(F.lit(1)).alias("__mx_total"))
+    # counts feeds the rate join AND (as its sum) the corpus total —
+    # checkpoint the strata-bounded frame so the raw input is scanned
+    # twice (counts + the filter pass), not three times (r17; the
+    # total was a third full scan, and sum-of-strata-counts == count(*)
+    # exactly). Lazy: materializes inside the query job.
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__mx_cnt"))
+        .transform(_checkpoint, eager=False)
+    )
+    total = counts.agg(F.sum("__mx_cnt").alias("__mx_total"))
     rate = F.least(
         F.lit(1.0),
         wcol
@@ -346,7 +355,15 @@ def ntile_by(
     """
     v, d = F.col(value_col), F.col(id_col)
     intra = F.row_number().over(Window.partitionBy(value_col).orderBy(id_col))
-    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c"))
+    # counts feeds the offset window AND the global N (sum of
+    # per-value counts == count(*)); checkpoint the vocabulary-sized
+    # frame so the input is scanned twice (intra rank + counts), not
+    # three times (r17 — the N aggregate was a third full scan).
+    counts = (
+        df.groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .transform(_checkpoint, eager=False)
+    )
     wcum = (
         Window.orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -355,7 +372,7 @@ def ntile_by(
         v.alias("__v"),
         F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__off"),
     )
-    n_frame = df.agg(F.count(F.lit(1)).alias("__n"))
+    n_frame = counts.agg(F.sum("__c").alias("__n"))
     ranked = (
         df.withColumn("__intra", intra)
         .join(F.broadcast(offsets), v == F.col("__v"))

@@ -293,6 +293,7 @@ def cm_sketch_counts(
     depth: int = 4,
     width: int = 256,
     salt: str = "cm",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over ``value_col`` occurrences:
     ``depth x width`` integer counters, each cell the exact count of
@@ -330,11 +331,22 @@ def cm_sketch_counts(
             for r in range(depth)
         ]
     )
+    if count_col is None:
+        # one row per occurrence
+        exploded = df.select(F.explode(cells).alias("__c")).select(
+            "__c.row", "__c.bucket", F.lit(1).cast("bigint").alias("__w")
+        )
+    else:
+        # pre-aggregated (value, count) spine: each cell accumulates
+        # the occurrence count — identical cells (cells are SUMS over
+        # the multiset), one pass over the vocabulary instead of the
+        # corpus (r17)
+        exploded = df.select(
+            F.explode(cells).alias("__c"), F.col(count_col).alias("__w")
+        ).select("__c.row", "__c.bucket", "__w")
     return (
-        df.select(F.explode(cells).alias("__c"))
-        .select("__c.row", "__c.bucket")
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        exploded.groupBy("row", "bucket")
+        .agg(F.sum("__w").cast("bigint").alias("cnt"))
     )
 
 

@@ -340,6 +340,27 @@ def test_cm_estimate_upper_bounds_and_hits_exact_when_sparse(spark):
     assert est["absent"] >= 0  # upper bound only
 
 
+def test_cm_sketch_count_col_equals_row_stream(spark):
+    """The count_col path (pre-aggregated (value, count) spine) must
+    build the IDENTICAL sketch as the row-per-occurrence stream —
+    cells are sums over the multiset, the identity the
+    sketch_term_counts gate's single-tokenize rewrite relies on."""
+    from pyspark.sql import Row
+
+    from pyspark.sql import functions as F
+
+    from omop_etl_spark.operators.sketches import cm_sketch_counts
+
+    rows = [Row(v=f"t{i % 17}") for i in range(600)]
+    df = spark.createDataFrame(rows)
+    spine = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    per_row = sorted(map(tuple, cm_sketch_counts(df, "v").collect()))
+    weighted = sorted(
+        map(tuple, cm_sketch_counts(spine, "v", count_col="c").collect())
+    )
+    assert per_row == weighted
+
+
 def test_cm_sketch_partition_order_independent(spark):
     from pyspark.sql import Row
 
