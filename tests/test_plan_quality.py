@@ -325,16 +325,17 @@ def test_latest_k_and_top_terms_use_window_group_limit(spark, entry):
         assert "WindowGroupLimit" in plan, name
 
 
-def test_cm_sketch_two_executed_scans(spark, entry):
-    # the sketch explodes each value into its depth cells inline (one
-    # scan) and the persisted top-10 frame is built from one
-    # exact-count scan, then served from cache to every consumer. The
-    # plan STRING reprints the cached child under each
-    # InMemoryTableScan, so count only non-cached scans.
+def test_cm_sketch_one_tokenize(spark, entry):
+    # r17: the corpus is tokenized ONCE into the checkpointed
+    # vocabulary-bounded exact-count frame, and the sketch, the top-10
+    # probe set, and the final join-back are all derived from that
+    # frame (cm_sketch_counts count_col path). The eager
+    # conf.checkpoint runs the tokenize at construction, so the final
+    # plan reads the frame back as `Scan ExistingRDD` and contains NO
+    # parquet re-scan of the corpus.
     plan = _plan(entry.queries()["sketch_term_counts"](spark, SF_DIR))
-    assert "InMemoryTableScan" in plan, plan
-    executed = plan.count("FileScan parquet") - plan.count("InMemoryRelation")
-    assert executed <= 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("FileScan parquet") == 0, plan
 
 
 def test_except_all_has_no_row_number_over_fact(spark, entry):
