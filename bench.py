@@ -24,11 +24,23 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 
 
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # load at START as well as end (VERDICT r17 #2): the r17 32-core
+    # run regressed 26 untouched queries up to 4x purely from neighbor
+    # load, and a single end-of-run load1 could not prove it
+    load1_start = _load1()
+    t_run0 = time.perf_counter()
 
     from omop_etl_spark.conf import apply_recommended
 
@@ -75,15 +87,31 @@ def main() -> None:
         fn(spark, d).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # fixed canary (VERDICT r17 #2): a constant pure-CPU computation
+    # (no I/O, no engine code) timed every CANARY_EVERY queries. Its
+    # samples move with HOST CONTENTION only, so a judge can separate
+    # "the code got slower" from "the box was busy" per run segment —
+    # the discrimination the r17 round lacked until an accidental
+    # 8-core control run supplied it.
+    CANARY_EVERY = 20
+
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).selectExpr("sum(id % 7)").collect()
+        return round(time.perf_counter() - t0, 3)
+
     # best-of-N per query: the host is shared and single runs swing
     # 2-4x with neighbor load; the minimum measures the engine
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    canaries: list[float] = []
     # per-query isolation: one broken query must not kill the whole
     # bench (BENCH_r03/r04 were rc=1 with no numbers because a single
     # AnalysisException escaped the warmup)
-    for name, fn in entrymod.queries().items():
+    for i, (name, fn) in enumerate(entrymod.queries().items()):
+        if i % CANARY_EVERY == 0:
+            canaries.append(canary())
         try:
             n = fn(spark, sf_dir).count()  # per-query warmup + row count
             timings[name] = min(timed(fn, sf_dir) for _ in range(runs))
@@ -98,17 +126,22 @@ def main() -> None:
             # another query's lingering cache + GC pressure — the main
             # identified source of the 168-193 s round-over-round band
             spark.catalog.clearCache()
+    canaries.append(canary())
 
-    # one quick pass at sf0.01: cheap enough to be noise-free, so
-    # round-over-round regressions are separable from host load
+    # control pass at sf0.01, BEST-OF-3 since r18 (VERDICT r17 #2: the
+    # single-run control exists precisely to separate regression from
+    # host load and failed at it — under contention it inflated
+    # identically to the main pass; the minimum of 3 is load-robust at
+    # a cost of ~2 extra minutes)
     small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
+    small_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_RUNS", "3"))
     small: dict[str, float] = {}
     if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(
         sf_dir
     ):
         for name, fn in entrymod.queries().items():
             try:
-                small[name] = timed(fn, small_dir)
+                small[name] = min(timed(fn, small_dir) for _ in range(small_runs))
             except Exception:  # noqa: BLE001 - already recorded at full SF
                 pass
             finally:
@@ -130,10 +163,15 @@ def main() -> None:
     # 1-minute loadavg at bench end lets a reader separate noise from
     # regression without forensics (32 hardware threads -> load1 well
     # above 32 means contended numbers).
-    try:
-        load1 = round(os.getloadavg()[0], 1)
-    except OSError:  # pragma: no cover - platform without getloadavg
-        load1 = -1.0
+    load1 = _load1()
+    wall_s = round(time.perf_counter() - t_run0, 1)
+    can = sorted(canaries)
+    canary_stats = {
+        "n": len(can),
+        "min": can[0],
+        "med": can[len(can) // 2],
+        "max": can[-1],
+    }
     out = {
         "metric": f"total sec, all queries, best-of-{runs} noop-sink runs"
         + (", +60s/failed query" if errors else ""),
@@ -142,6 +180,9 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "load1": load1,
+        "load1_start": load1_start,
+        "wall_s": wall_s,
+        "canary": canary_stats,
     }
     if errors:
         out["errors"] = len(errors)
@@ -152,6 +193,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "load1": load1,
+        "load1_start": load1_start,
+        "wall_s": wall_s,
+        "canary_secs": canaries,
     }
     if errors:
         detail["errors"] = errors

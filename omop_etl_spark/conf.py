@@ -12,7 +12,21 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:  # pragma: no cover - typing only
     from pyspark.sql import DataFrame
 
-__all__ = ["recommended_conf", "apply_recommended", "checkpoint"]
+__all__ = [
+    "recommended_conf",
+    "apply_recommended",
+    "checkpoint",
+    "checkpoint_if_large",
+]
+
+#: session conf for :func:`checkpoint_if_large`'s size gate (bytes).
+#: Frames whose Catalyst size ESTIMATE falls below it are returned
+#: un-checkpointed: at small tiers the duplicate subtree re-reads
+#: page-cached data for less than the materialization job costs, while
+#: at cluster tiers the estimate (driven by input file sizes) clears
+#: any sane threshold and the measured dedup-the-pass wins apply.
+CHECKPOINT_MIN_BYTES_CONF = "spark.omop_etl.checkpoint.minBytes"
+DEFAULT_CHECKPOINT_MIN_BYTES = 64 * 1024 * 1024
 
 #: session conf that flips every iterative operator's checkpoint from
 #: eager-local to RELIABLE (VERDICT r12 #6): local checkpoints are
@@ -93,6 +107,45 @@ def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
             _warned_unclean_checkpoints = True
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def checkpoint_if_large(
+    df: "DataFrame", eager: bool = True, min_bytes: int | None = None
+) -> "DataFrame":
+    """Size-gated :func:`checkpoint` (VERDICT r17 #3): checkpoint only
+    when the frame's Catalyst size estimate clears ``min_bytes``
+    (default: the :data:`CHECKPOINT_MIN_BYTES_CONF` session conf,
+    falling back to :data:`DEFAULT_CHECKPOINT_MIN_BYTES`).
+
+    For a multiply-consumed frame the checkpoint trades one eager
+    materialization job for the consumers' duplicate subtree
+    re-derivations. That trade inverts at small inputs — the duplicate
+    passes re-read page-cached bytes in milliseconds while the
+    materialization job pays fixed scheduling cost (the measured
+    +0.6 s / +1.2 s local regressions on ``orders_market_basket`` /
+    ``sketch_term_counts`` in r17) — so gate on the plan's size
+    ESTIMATE: it derives from input file sizes (scale-adaptive by
+    construction, no job, no collect) and only needs to be right about
+    which side of a 64 MiB line a frame falls on, not accurate.
+
+    Use at sites where the checkpoint exists purely to dedup
+    re-derivation of a big frame. Do NOT use where the checkpoint also
+    truncates loop lineage (CC/Lloyd/BPE rounds) — plan growth must be
+    cut regardless of data size.
+    """
+    if min_bytes is None:
+        min_bytes = int(
+            df.sparkSession.conf.get(
+                CHECKPOINT_MIN_BYTES_CONF, str(DEFAULT_CHECKPOINT_MIN_BYTES)
+            )
+        )
+    if min_bytes > 0:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est < min_bytes:
+            return df
+    return checkpoint(df, eager=eager)
 
 
 def recommended_conf(cores: int = 32) -> dict[str, str]:

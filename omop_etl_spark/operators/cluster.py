@@ -95,7 +95,19 @@ def connected_components(
     first aligned round ≥ K+1, i.e. 1-2 extra full shuffle rounds to
     save ~K/2 one-row collects.
     """
-    b = _canonical(edges, src, dst).transform(_checkpoint)
+    # LAZY checkpoint + the signature read fuse into ONE job (r18,
+    # guide §5 job-count discipline): the signature's count+hash
+    # aggregate is the first action on the frame, so it materializes
+    # the local checkpoint's cached partitions as a side effect —
+    # the eager spelling ran a dedicated materialization job AND the
+    # signature job every round (2 jobs/round -> 1). Later consumers
+    # (the next round's sym union reads the frame twice) hit the
+    # already-populated cache, so the multi-reference recompute race
+    # a lazy checkpoint normally risks cannot occur here: the
+    # signature job always runs first and runs alone.
+    b = _canonical(edges, src, dst).transform(
+        lambda d: _checkpoint(d, eager=False)
+    )
     sig = _signature(b)
     narrow: int | None = None
     if rows_per_partition:
@@ -143,7 +155,13 @@ def _cc_loop(
             .select(F.col("small").alias("big"), F.col("m").alias("small"))
             .union(star.select("big", F.col("m").alias("small")))
         )
-        b_next = _nw(b_next, "big", "small").distinct().transform(_checkpoint)
+        # lazy + signature = one fused job per round (see the header
+        # comment in connected_components)
+        b_next = (
+            _nw(b_next, "big", "small")
+            .distinct()
+            .transform(lambda d: _checkpoint(d, eager=False))
+        )
         next_sig = _signature(b_next)
         b.unpersist()
         b = b_next

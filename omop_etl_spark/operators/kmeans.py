@@ -19,11 +19,14 @@ magnitude below typical embedding noise.
 Scale design (per iteration, all lazy — Spark builds ONE plan for all
 iterations, no driver action in the loop):
 
-* assignment — the ``k``-row centroid frame is broadcast and
-  cross-joined (``corpus × k`` rows, map-side only), distances are a
-  JVM ``zip_with`` fold, and the argmin is ``min(struct(dist, cid))``
-  in a map-side-combined hash aggregate keyed by the vector id:
-  vectors never shuffle, only (id, dist, cid) triples.
+* assignment — the ``k`` centroids collapse into ONE array row,
+  broadcast, and the argmin runs entirely as an expression
+  (``array_min`` over a ``transform`` of ``struct(dist, cid)``
+  candidates, distances a JVM ``zip_with`` fold): a pure map-side
+  projection with NO exchange — the corpus never shuffles during
+  assignment (r18; the previous crossJoin + groupBy(id) spelling
+  hash-aggregated the same argmin but re-shuffled every vector once
+  per iteration).
 * update — posexplode the winning vectors to (cid, pos, x) and hash
   aggregate the integer means: one shuffle of scalar triples, output
   ``k × dim`` rows collected into ``k`` array rows.
@@ -134,19 +137,29 @@ def kmeans_assign(
 
     assigned = None
     for _ in range(iters):
-        scored = q.crossJoin(F.broadcast(cents)).select(
+        # assignment is MAP-ONLY (r18, guide §2.4): the k centroids
+        # collapse into ONE array row, broadcast, and the argmin runs
+        # as an expression — array_min over struct(dist, cid) is the
+        # identical lexicographic pick the old crossJoin+groupBy(id)
+        # hash-aggregate made, but the corpus (vectors included) no
+        # longer shuffles once per Lloyd iteration; only the k×dim
+        # scalar means exchange remains. collect_list order is
+        # irrelevant under min.
+        cands = cents.agg(
+            F.collect_list(F.struct("cluster_id", "__cq")).alias("__cands")
+        )
+        assigned = q.crossJoin(F.broadcast(cands)).select(
             id_col,
             "__xq",
-            F.struct(
-                _sq_dist(F.col("__xq"), F.col("__cq")).alias("dist_sq"),
-                F.col("cluster_id"),
-            ).alias("__cand"),
-        )
-        assigned = scored.groupBy(id_col).agg(
-            F.min("__cand").alias("__win"),
-            # __xq is functionally dependent on the grouping key (one
-            # distinct value per group), so first() is value-stable
-            F.first("__xq").alias("__xq"),
+            F.array_min(
+                F.transform(
+                    F.col("__cands"),
+                    lambda c: F.struct(
+                        _sq_dist(F.col("__xq"), c["__cq"]).alias("dist_sq"),
+                        c["cluster_id"].alias("cluster_id"),
+                    ),
+                )
+            ).alias("__win"),
         )
         means = (
             assigned.select(
@@ -239,17 +252,25 @@ def kmeans_assign_two_level(
     )
     assigned = None
     for _ in range(iters):
-        scored = q.crossJoin(F.broadcast(cents)).select(
+        # map-only assignment, same spelling as kmeans_assign (r18,
+        # guide §2.4): the k1 coarse centroids collapse to one array
+        # row and the argmin is an expression — the corpus never
+        # shuffles in the coarse stage
+        cands = cents.agg(
+            F.collect_list(F.struct("__c", "__cq")).alias("__cands")
+        )
+        assigned = q.crossJoin(F.broadcast(cands)).select(
             id_col,
             "__xq",
-            F.struct(
-                _sq_dist(F.col("__xq"), F.col("__cq")).alias("dist_sq"),
-                F.col("__c"),
-            ).alias("__cand"),
-        )
-        assigned = scored.groupBy(id_col).agg(
-            F.min("__cand").alias("__win"),
-            F.first("__xq").alias("__xq"),
+            F.array_min(
+                F.transform(
+                    F.col("__cands"),
+                    lambda c: F.struct(
+                        _sq_dist(F.col("__xq"), c["__cq"]).alias("dist_sq"),
+                        c["__c"].alias("__c"),
+                    ),
+                )
+            ).alias("__win"),
         )
         means = (
             assigned.select(
@@ -283,20 +304,30 @@ def kmeans_assign_two_level(
     )
     fassigned = None
     for _ in range(iters):
-        cand = coarse.join(fcents, "__c").select(
+        # per-cell candidate ARRAYS (r18, guide §2.4): the k2
+        # sub-centroids of each cell collapse into one row per cell,
+        # the corpus equi-joins its own cell's row (k1-row right side
+        # — AQE broadcasts while tiny, shuffles on the cell id at
+        # scale, exactly like the old fcents join), and the argmin is
+        # an expression — the old groupBy(id) hash aggregate that
+        # re-shuffled the corpus (vectors included) EVERY fine
+        # iteration is gone.
+        fcands = fcents.groupBy("__c").agg(
+            F.collect_list(F.struct("__sub", "__cq")).alias("__cands")
+        )
+        fassigned = coarse.join(fcands, "__c").select(
             id_col,
             "__c",
             "__xq",
-            F.struct(
-                _sq_dist(F.col("__xq"), F.col("__cq")).alias("dist_sq"),
-                F.col("__sub"),
-            ).alias("__cand"),
-        )
-        fassigned = cand.groupBy(id_col).agg(
-            F.min("__cand").alias("__win"),
-            # __c and __xq are functionally dependent on the id
-            F.first("__c").alias("__c"),
-            F.first("__xq").alias("__xq"),
+            F.array_min(
+                F.transform(
+                    F.col("__cands"),
+                    lambda c: F.struct(
+                        _sq_dist(F.col("__xq"), c["__cq"]).alias("dist_sq"),
+                        c["__sub"].alias("__sub"),
+                    ),
+                )
+            ).alias("__win"),
         )
         fmeans = (
             fassigned.select(
@@ -314,11 +345,20 @@ def kmeans_assign_two_level(
             ).alias("__cq")
         )
 
+    # LAZY checkpoint (r18, guide §5 job-count discipline): the fine
+    # assignment has exactly one downstream consumer per call site
+    # (scoped_cosine_pairs' cell frame / the kmeans2 gate's sink), so
+    # the first consuming job materializes the checkpoint as a side
+    # effect instead of a dedicated construction job; every lineage
+    # root below it is the EAGER coarse checkpoint's cache, so the
+    # fold-in recomputes nothing (q is already released). The lineage
+    # cut itself (plan truncation after 2×iters unrolled rounds) is
+    # identical either way.
     out = fassigned.select(
         F.col(id_col),
         (F.col("__c") * F.lit(int(k2)) + F.col("__win.__sub"))
         .cast("int")
         .alias("cluster_id"),
         F.col("__win.dist_sq").cast("bigint").alias("dist_sq"),
-    ).transform(_checkpoint)
+    ).transform(lambda d: _checkpoint(d, eager=False))
     return out

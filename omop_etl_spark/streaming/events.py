@@ -963,26 +963,72 @@ def stream_burst_dedup(
     ts_col: str,
     id_col: str,
     gap_seconds: int = 300,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Streaming twin of ``operators.temporal.burst_dedup``: emit only
     the first event of every burst (chain of same-key events with
     consecutive gaps < ``gap_seconds``), continuously.
 
-    State per key is ONE timestamp — the last event seen — so memory
-    is bounded by the live-key set forever (unlike ``dropDuplicates``
-    whose state grows with distinct events).  Within a micro-batch,
-    rows sort by ``(ts, id)`` before the chain scan; across batches
-    the chain extends from the stored last-seen timestamp.  For
-    per-key-ordered arrival the emitted set after any prefix of the
-    stream EQUALS the batch ``burst_dedup`` of the same prefix
-    (asserted in tests/test_incremental_replay.py); an event arriving
-    LATE (behind its key's last-seen ts) cannot retroactively split a
-    burst — it is judged against the chain as already materialized,
-    the one semantic a single-pass stream cannot replay.
+    ``engine="jvm"`` (r18): a burst IS a ``session_window(ts,
+    gap_seconds)`` group — Spark's gap-based session sessionizes
+    exactly the maximal chains whose consecutive gaps are < gap — and
+    the burst survivor is the session's ``min(struct(ts, id))``. The
+    whole operator is then one built-in streaming session-window
+    aggregation: state lives in the state store, sessions merge
+    JVM-side, and NO per-key Python group dispatch remains (the
+    ~90 µs/key/batch that made the pandas path superlinear on a
+    growing key set: 128 s at the sf10 replay tier, SCALEPROBE_stream
+    _r17). Because session merging is a pure function of the event
+    SET, the result is exactly batch ``burst_dedup`` for ANY arrival
+    order — stronger than the pandas path's per-key-ordered prefix
+    contract. Run it in **complete** mode for a bounded replay (an
+    unwatermarked aggregate cannot append; the final sessions of a
+    finite stream never pass a watermark, so append mode would hold
+    them back forever) or append mode behind ``withWatermark`` on a
+    continuous feed (state then evicts as sessions close).
+
+    ``engine="pandas"`` keeps the ``applyInPandasWithState`` chain
+    scan: state per key is ONE timestamp — the last event seen — so
+    memory is bounded by the live-key set forever with NO watermark
+    required (session-window state holds every open session; complete
+    mode holds all of them), and emissions are append-mode
+    exactly-once per survivor.  Within a micro-batch, rows sort by
+    ``(ts, id)`` before the chain scan; across batches the chain
+    extends from the stored last-seen timestamp.  For per-key-ordered
+    arrival the emitted set after any prefix of the stream EQUALS the
+    batch ``burst_dedup`` of the same prefix (asserted in
+    tests/test_incremental_replay.py); an event arriving LATE (behind
+    its key's last-seen ts) cannot retroactively split a burst — it is
+    judged against the chain as already materialized, the one semantic
+    a single-pass stream cannot replay.
     """
+    keys = list(keys)
+    if engine == "jvm":
+        w = F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__w")
+        # gap - 1 µs: session_window MERGES an event at exactly
+        # prev_ts + gap (its break is strictly greater — probed by the
+        # sessionize gate, r12), while the burst chain BREAKS at
+        # >= gap. Timestamps are µs-resolution, so shrinking the
+        # session gap by one microsecond makes the two definitions
+        # coincide exactly: merge iff delta <= gap-1µs iff delta < gap.
+        gap_us = int(gap_seconds) * 1_000_000 - 1
+        return (
+            stream.groupBy(
+                *[F.col(k) for k in keys],
+                F.session_window(F.col(ts_col), f"{gap_us} microseconds"),
+            )
+            .agg(w)
+            .select(
+                *keys,
+                F.col(f"__w.{ts_col}").alias(ts_col),
+                F.col(f"__w.{id_col}").alias(id_col),
+            )
+        )
+    if engine != "pandas":
+        raise ValueError(f"unknown engine: {engine!r}")
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    keys = list(keys)
     schema = stream.schema
     typ = {f.name: f.dataType.simpleString() for f in schema.fields}
     out_type = ", ".join(

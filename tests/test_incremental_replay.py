@@ -221,6 +221,72 @@ def test_stream_burst_dedup_prefix_equals_batch(spark, tmp_path):
     assert got == want == [1, 4, 10, 11]
 
 
+def test_stream_burst_dedup_jvm_engine_equals_batch(spark, tmp_path):
+    """The r18 jvm engine (session_window aggregation, complete mode)
+    emits exactly the batch burst_dedup survivors — including the
+    exact-gap boundary (ts - prev == gap starts a NEW burst: Spark's
+    half-open session [start, start+gap) must NOT merge a touching
+    event) and same-timestamp ties (min id survives), across a
+    3-micro-batch replay whose sessions must merge in the state store.
+    """
+    import datetime as dt
+
+    import pandas as pd
+
+    from omop_etl_spark.operators.temporal import burst_dedup
+    from omop_etl_spark.streaming.events import stream_burst_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)  # noqa: E731
+    # key a: 0s, 2s | 4s, 900s | 902s   (bursts at 0 and 900)
+    # key b: 0s | 1200s, 1201s          (bursts at 0 and 1200)
+    # key c: 0s, 300s | 599s            (EXACT-gap: 300 starts a new
+    #                                    burst; 599 chains onto it)
+    # key d: 0s+0s tie (ids 31,30) | 100s (chained: tie-loser gap 0)
+    batches = [
+        {"k": ["a", "a", "b", "c", "d", "d"],
+         "ts": [s(0), s(2), s(0), s(0), s(0), s(0)],
+         "eid": [1, 2, 10, 20, 31, 30]},
+        {"k": ["a", "a", "c"], "ts": [s(4), s(900), s(300)], "eid": [3, 4, 21]},
+        {"k": ["a", "b", "b", "c", "d"],
+         "ts": [s(902), s(1200), s(1201), s(599), s(100)],
+         "eid": [5, 11, 12, 22, 32]},
+    ]
+    d = tmp_path / "burst_jvm_in"
+    d.mkdir()
+    for i, b in enumerate(batches):
+        p = d / f"f{i}.parquet"
+        pd.DataFrame(b).astype({"ts": "datetime64[us]"}).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, eid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_burst_dedup(
+            stream, ["k"], "ts", "eid", gap_seconds=300, engine="jvm"
+        )
+        .writeStream.format("memory")
+        .queryName("burst_jvm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r.eid for r in spark.table("burst_jvm").collect())
+
+    all_rows = pd.concat([pd.DataFrame(b) for b in batches])
+    df = spark.createDataFrame(all_rows)
+    want = sorted(
+        r.eid
+        for r in burst_dedup(
+            df, ["k"], "ts", "300 seconds", tiebreak=["eid"]
+        ).collect()
+    )
+    assert got == want == [1, 4, 10, 11, 20, 21, 30]
+
+
 def test_stream_interval_join_left_outer_emits_unmatched_after_watermark(
     spark, tmp_path
 ):
