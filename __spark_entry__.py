@@ -6273,18 +6273,24 @@ def _q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
-    from omop_etl_spark.conf import checkpoint_if_large as _ckpt
+    from omop_etl_spark.conf import checkpoint_if_large, path_bytes
 
     # baskets feeds dfreq, the support join, and the order count (3
     # consumers), fb both self-join sides (2) — checkpoint each once
     # so the lineitem-part join + distinct runs once, not three times
     # (r17 audit: 5 lineitem + 5 part scans in the uncheckpointed
-    # plan). SIZE-GATED since r18 (VERDICT r17 #3): below the
-    # estimate threshold the eager materialization job costs more
-    # than the page-cached duplicate passes it removes (+0.6 s at
-    # sf0.01-0.1, the round's only real local regression); at the
-    # sf1+ tiers where the -24 % CPU / -15 % shuffle wins were
-    # measured, the estimate clears the gate and the checkpoints run.
+    # plan). SIZE-GATED since r18 (VERDICT r17 #3): below the input
+    # threshold (64 MiB of fact bytes; sf0.1 lineitem is 10 MiB, sf1
+    # 103 MiB) the eager materialization job costs more than the
+    # page-cached duplicate passes it removes (+0.6 s at sf0.01-0.1,
+    # one of the round's two real local regressions); at the sf1+
+    # tiers where the -24 % CPU / -15 % shuffle wins were measured,
+    # the gate opens and the checkpoints run.
+    _sz = path_bytes(f"{sf_dir}/lineitem.parquet", f"{sf_dir}/part.parquet")
+
+    def _ckpt(d):
+        return checkpoint_if_large(d, size_hint=_sz)
+
     baskets = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
@@ -7668,7 +7674,7 @@ def _q_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term")
     )
-    from omop_etl_spark.conf import checkpoint_if_large as _ckpt
+    from omop_etl_spark.conf import checkpoint_if_large, path_bytes
 
     # r17: the exact term-count frame (vocabulary-bounded) feeds the
     # top-10 probe set, the final join-back, AND — via the count_col
@@ -7677,12 +7683,22 @@ def _q_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one vocabulary pass. The corpus tokenize runs ONCE (was 6 scans:
     # 2 tokenizes x 3 consumers in the r17 audit). SIZE-GATED since
     # r18 (VERDICT r17 #3): at tiny tiers the eager tokenize job cost
-    # more than the duplicate page-cached passes it removed (+1.2 s at
-    # sf0.01); the gate keys on the scan-size estimate, so the
-    # 100x-tier -60 % win is kept.
-    exact = terms.groupBy("term").agg(
-        F.count(F.lit(1)).alias("exact_count")
-    ).transform(_ckpt)
+    # more than the duplicate page-cached passes it removed (+1.2 s
+    # at sf0.01). min_bytes is 4 MiB, not the 64 MiB default, because
+    # the re-derivation is a tokenize-explode (~10x a plain scan per
+    # byte): documents is 0.6 MiB at sf0.1 (skip) and 5.7 MiB at sf1
+    # (checkpoint), so the 100x-tier -60 % win is kept.
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .transform(
+            lambda d: checkpoint_if_large(
+                d,
+                size_hint=path_bytes(f"{sf_dir}/documents.parquet"),
+                min_bytes=4 * 1024 * 1024,
+            )
+        )
+    )
     top = exact.orderBy(F.col("exact_count").desc(), F.col("term")).limit(10)
     sk = cm_sketch_counts(
         exact, "term", depth=4, width=256, count_col="exact_count"

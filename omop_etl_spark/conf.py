@@ -17,6 +17,7 @@ __all__ = [
     "apply_recommended",
     "checkpoint",
     "checkpoint_if_large",
+    "path_bytes",
 ]
 
 #: session conf for :func:`checkpoint_if_large`'s size gate (bytes).
@@ -110,12 +111,20 @@ def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
 
 
 def checkpoint_if_large(
-    df: "DataFrame", eager: bool = True, min_bytes: int | None = None
+    df: "DataFrame",
+    size_hint: int,
+    eager: bool = True,
+    min_bytes: int | None = None,
 ) -> "DataFrame":
     """Size-gated :func:`checkpoint` (VERDICT r17 #3): checkpoint only
-    when the frame's Catalyst size estimate clears ``min_bytes``
-    (default: the :data:`CHECKPOINT_MIN_BYTES_CONF` session conf,
-    falling back to :data:`DEFAULT_CHECKPOINT_MIN_BYTES`).
+    when ``size_hint`` — the caller's measure of the INPUT bytes the
+    frame re-derivation would re-read, typically the source parquet
+    size — clears ``min_bytes`` (default: the
+    :data:`CHECKPOINT_MIN_BYTES_CONF` session conf, falling back to
+    :data:`DEFAULT_CHECKPOINT_MIN_BYTES`; pass an explicit
+    ``min_bytes`` where the per-byte recompute cost is far from a
+    plain scan's — e.g. tokenize-explode pipelines are ~10x a scan, so
+    their gate should open earlier).
 
     For a multiply-consumed frame the checkpoint trades one eager
     materialization job for the consumers' duplicate subtree
@@ -123,10 +132,14 @@ def checkpoint_if_large(
     passes re-read page-cached bytes in milliseconds while the
     materialization job pays fixed scheduling cost (the measured
     +0.6 s / +1.2 s local regressions on ``orders_market_basket`` /
-    ``sketch_term_counts`` in r17) — so gate on the plan's size
-    ESTIMATE: it derives from input file sizes (scale-adaptive by
-    construction, no job, no collect) and only needs to be right about
-    which side of a 64 MiB line a frame falls on, not accurate.
+    ``sketch_term_counts`` in r17).
+
+    Why an explicit hint and not the Catalyst estimate: measured in
+    r18, ``optimizedPlan().stats().sizeInBytes`` is wrong in BOTH
+    directions at these sites — a join estimate multiplies to 1.5 GiB
+    on a 1 MiB sf0.01 input (gate never skips), while a post-explode
+    aggregate estimate collapses to ~0 even at sf1 (gate never
+    fires). Input file bytes are deterministic and scale-faithful.
 
     Use at sites where the checkpoint exists purely to dedup
     re-derivation of a big frame. Do NOT use where the checkpoint also
@@ -139,13 +152,32 @@ def checkpoint_if_large(
                 CHECKPOINT_MIN_BYTES_CONF, str(DEFAULT_CHECKPOINT_MIN_BYTES)
             )
         )
-    if min_bytes > 0:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if est < min_bytes:
-            return df
+    if min_bytes > 0 and int(size_hint) < min_bytes:
+        return df
     return checkpoint(df, eager=eager)
+
+
+def path_bytes(*paths: str) -> int:
+    """Total bytes under the given files/directories — the canonical
+    ``size_hint`` for :func:`checkpoint_if_large` (a parquet table's
+    on-disk size, single file or part-file directory)."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:  # pragma: no cover - racing deletion
+                        pass
+        else:
+            try:
+                total += os.path.getsize(p)
+            except OSError:  # pragma: no cover
+                pass
+    return total
 
 
 def recommended_conf(cores: int = 32) -> dict[str, str]:
