@@ -997,6 +997,11 @@ def _q_events_burst_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: memory-sink tables registered by prior replays, dropped at the next
+#: replay's start (see the lifecycle note in _run_available_now)
+_SINK_TABLES: list = []
+
+
 def _run_available_now(
     stream_df: DataFrame,
     prefix: str,
@@ -1013,10 +1018,30 @@ def _run_available_now(
     ``awaitTermination`` is BOUNDED: a replay that stops draining (the
     r16 failure class — a pending processing-time timeout keeps an
     AvailableNow query scheduling no-data batches forever) fails loudly
-    after ``timeout_s`` instead of hanging the 216-query driver run."""
+    after ``timeout_s`` instead of hanging the 216-query driver run.
+
+    Sink-table lifecycle (r18): each call registers a fresh
+    uuid-named memory-sink table whose rows live ON THE DRIVER HEAP
+    for the life of the session — ``clearCache()`` between bench
+    queries does not release them, so a long run leaked every
+    replay's full sink (found as a driver ``OutOfMemoryError`` that
+    wedged a 3-tier scale probe: the sf10 complete-mode sinks
+    accumulated gigabytes). Replays run sequentially and each
+    caller's frame is consumed within its own query, so the PREVIOUS
+    sinks are dead by the time the next replay starts: drop them
+    here before registering the new one."""
     import uuid
 
+    spark_ = stream_df.sparkSession
+    while _SINK_TABLES:
+        old = _SINK_TABLES.pop()
+        try:
+            spark_.catalog.dropTempView(old)
+        except Exception:  # noqa: BLE001 - already dropped / renamed
+            pass
+
     qn = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    _SINK_TABLES.append(qn)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qn)
@@ -6085,7 +6110,6 @@ def _q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort of the rows. Output carries the cutoffs plus the
     clamped aggregate so the oracle verifies both the cut selection
     and its application."""
-    from omop_etl_spark.conf import checkpoint as _ckpt
     from omop_etl_spark.operators.stats import exact_quantile_cuts
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -6097,10 +6121,21 @@ def _q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path reads its input twice: local cumsum + carry offsets; the
     # clamp is a third consumer), and weight the clamped sum by the
     # spine count instead of re-scanning raw rows (guide §2.3).
+    # Size-gated since r18 (events at sf0.1 is 2 MiB — the duplicate
+    # page-cached passes are cheaper than the materialization job;
+    # at sf1+ the gate opens and r17's 100x-tier -41 % win applies).
+    from omop_etl_spark.conf import checkpoint_if_large, path_bytes
+
     spine = (
         ev.groupBy("event_type", "vm")
         .agg(F.count(F.lit(1)).alias("c"))
-        .transform(_ckpt)
+        .transform(
+            lambda d: checkpoint_if_large(
+                d,
+                size_hint=path_bytes(f"{sf_dir}/events.parquet"),
+                min_bytes=4 * 1024 * 1024,
+            )
+        )
     )
     cuts = exact_quantile_cuts(
         spine, ["event_type"], "vm", [0.01, 0.99], bucket_width=1_000_000,
@@ -6436,7 +6471,6 @@ def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     median computed on the distinct-value spine (no per-group row
     sort), and counts events beyond 5 MADs. All-integer, fully
     replayed by the oracle's window cumsums."""
-    from omop_etl_spark.conf import checkpoint as _ckpt
     from omop_etl_spark.operators.stats import exact_quantile_cuts
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -6450,10 +6484,20 @@ def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame for each stage: 3 full scans + 2 full-data shuffles; this
     # is 1 scan + 1 shuffle + spine-sized work. The spine is consumed
     # by three branches, so it is materialized once (conf.checkpoint).
+    # Size-gated since r18 (same rationale and threshold as
+    # events_winsorize: +0.34 s at sf0.1 quiet, 100x win kept).
+    from omop_etl_spark.conf import checkpoint_if_large, path_bytes
+
     spine = (
         ev.groupBy("event_type", "vm")
         .agg(F.count(F.lit(1)).alias("c"))
-        .transform(_ckpt)
+        .transform(
+            lambda d: checkpoint_if_large(
+                d,
+                size_hint=path_bytes(f"{sf_dir}/events.parquet"),
+                min_bytes=4 * 1024 * 1024,
+            )
+        )
     )
     med = exact_quantile_cuts(
         spine, ["event_type"], "vm", [0.5], count_col="c"

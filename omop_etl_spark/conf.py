@@ -18,6 +18,7 @@ __all__ = [
     "checkpoint",
     "checkpoint_if_large",
     "path_bytes",
+    "input_bytes",
 ]
 
 #: session conf for :func:`checkpoint_if_large`'s size gate (bytes).
@@ -112,7 +113,7 @@ def checkpoint(df: "DataFrame", eager: bool = True) -> "DataFrame":
 
 def checkpoint_if_large(
     df: "DataFrame",
-    size_hint: int,
+    size_hint: "int | None",
     eager: bool = True,
     min_bytes: int | None = None,
 ) -> "DataFrame":
@@ -146,6 +147,10 @@ def checkpoint_if_large(
     truncates loop lineage (CC/Lloyd/BPE rounds) — plan growth must be
     cut regardless of data size.
     """
+    if size_hint is None:
+        # unknown input size (non-file source, remote FS): checkpoint —
+        # the conservative at-scale default
+        return checkpoint(df, eager=eager)
     if min_bytes is None:
         min_bytes = int(
             df.sparkSession.conf.get(
@@ -155,6 +160,38 @@ def checkpoint_if_large(
     if min_bytes > 0 and int(size_hint) < min_bytes:
         return df
     return checkpoint(df, eager=eager)
+
+
+def input_bytes(df: "DataFrame") -> "int | None":
+    """Bytes of the LOCAL files backing ``df``'s scan(s) — a
+    :func:`checkpoint_if_large` ``size_hint`` usable at operator level
+    where the caller's paths are unknown. Returns None (= "unknown,
+    checkpoint") when the frame has no file inputs or they are not
+    local-filesystem URIs (a remote DFS at cluster scale — where the
+    checkpoint should run anyway)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - non-file sources
+        return None
+    if not files:
+        return None
+    import os
+
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            p = f[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        elif f.startswith("/"):
+            p = f
+        else:
+            return None
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
 
 
 def path_bytes(*paths: str) -> int:

@@ -27,8 +27,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..conf import checkpoint as _checkpoint
+from ..conf import checkpoint_if_large as _checkpoint_if_large
+from ..conf import input_bytes as _input_bytes
 
 from .util import ppm_div_sql, spread
+
+#: size gate for checkpoints whose re-derivation is a tokenize-explode
+#: pass (~10x a plain scan per byte, so the gate opens earlier than the
+#: 64 MiB scan default): skip below 4 MiB of source text — there the
+#: eager materialization job costs more than the page-cached duplicate
+#: tokenizes it removes (the r17 +0.5-0.8 s small-tier regressions on
+#: the LM-scorer gates) — and checkpoint above it, keeping the measured
+#: 100x-tier wins (unigram -47 %, bigram -36 %, cooccurrence CPU -30 %).
+_TOKENIZE_CKPT_MIN_BYTES = 4 * 1024 * 1024
+
+
+def _ckpt_tokenize(frame: DataFrame, src: DataFrame) -> DataFrame:
+    """Size-gated checkpoint keyed on the SOURCE corpus bytes."""
+    return _checkpoint_if_large(
+        frame, size_hint=_input_bytes(src), min_bytes=_TOKENIZE_CKPT_MIN_BYTES
+    )
 
 __all__ = [
     "chunk_documents",
@@ -338,7 +356,7 @@ def unigram_logprob_scores(
     cf = (
         tf.groupBy("term")
         .agg(F.sum("tf").alias("cnt"))
-        .transform(_checkpoint)
+        .transform(lambda d: _ckpt_tokenize(d, df))
     )
     total = cf.agg(F.sum("cnt").alias("__total"))
     logp = cf.crossJoin(F.broadcast(total)).select(
@@ -445,6 +463,10 @@ def token_cooccurrence(
     # the corpus tokenize + distinct + support join (r17 audit: 5
     # scans). The frame is support-filtered — the A-priori bound has
     # already cut the long tail before it is materialized.
+    # NOT size-gated (r18 A/B): ft feeds a SELF-JOIN, so skipping the
+    # checkpoint re-runs tokenize+distinct+support-join TWICE — the
+    # in-session toggle A/B read skip 2.42 s vs checkpoint 2.21 s
+    # even at sf0.1, unlike the single-fan-out LM-scorer frames.
     ft = terms.join(F.broadcast(frequent), "term").select(
         "__doc", "term", "df"
     ).transform(_checkpoint)
@@ -603,7 +625,7 @@ def bigram_surprisal_scores(
     c12 = (
         bg_tf.groupBy("w1", "w2")
         .agg(F.sum("tf").alias("c12"))
-        .transform(_checkpoint)
+        .transform(lambda d: _ckpt_tokenize(d, df))
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     logp = c12.join(c1, "w1").select(
@@ -671,7 +693,7 @@ def distinctive_terms(
     a_tab = (
         terms.groupBy("__g", "term")
         .agg(F.count(F.lit(1)).alias("a"))
-        .transform(_checkpoint)
+        .transform(lambda d: _ckpt_tokenize(d, df))
     )
     term_tot = a_tab.groupBy("term").agg(F.sum("a").alias("__tt"))
     grp_tot = a_tab.groupBy("__g").agg(F.sum("a").alias("n1"))

@@ -588,26 +588,30 @@ def cooccurrence_topk_similar(
     if k < 1:
         raise ValueError("cooccurrence_topk_similar requires k >= 1")
     # the distinct basket-item frame feeds BOTH sides of the pair
-    # self-join and the totals aggregate — materialize it once so the
-    # distinct shuffle runs once, not three times. conf.checkpoint
-    # rather than persist (r17): downstream plans read a plain RDD
-    # scan, so AQE still optimizes them — the same persist-vs-
-    # checkpoint A/B the KMV sketches ran found InMemoryRelation
-    # subplans bypass AQE and measure slower; here the two spellings
-    # measure neutral at sf1 (interleaved A/B) and checkpoint wins on
-    # plan shape (6 -> 0 duplicate scans, 15 -> 7 exchanges).
+    # self-join and the totals aggregate — cut it once so the distinct
+    # shuffle runs once, not three times. conf.checkpoint rather than
+    # persist (r17): downstream plans read a plain RDD scan, so AQE
+    # still optimizes them — the same persist-vs-checkpoint A/B the
+    # KMV sketches ran found InMemoryRelation subplans bypass AQE and
+    # measure slower. LAZY since r18: the eager spelling serialized an
+    # SF-LINEAR materialization job before any real work and measured
+    # +0.5-2 s at sf0.1 (3-round interleaved A/B, one warm session:
+    # parts_item_sim eager 2.81 / lazy 2.29 / persist 3.56 s;
+    # cust_recs_topk 4.93 / 4.33 / 4.45) — the first consuming job
+    # materializes the cache instead, and the plan-shape win (6 -> 0
+    # duplicate scans) is identical.
     b = (
         baskets.select(
             F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
         )
         .distinct()
-        .transform(_checkpoint)
+        .transform(lambda d: _checkpoint(d, eager=False))
     )
     # totals is consumed by BOTH scoring joins (__ca and __cb) — each
     # would re-aggregate b; the frame is item-cardinality-bounded.
     totals = b.groupBy(F.col("__it").alias("__t_it")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__c1")
-    ).transform(_checkpoint)
+    ).transform(lambda d: _checkpoint(d, eager=False))
     pairs = (
         b.alias("x")
         .join(

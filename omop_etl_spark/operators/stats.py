@@ -340,6 +340,13 @@ def robust_group_stats(
     from pyspark.sql import Window
 
     gcols = list(group_cols)
+    # NOT size-gated (r18 A/B): this spine feeds THREE weighted passes
+    # (cuts, winsorize, MAD — the MAD leg re-derives a second
+    # deviation spine from it), and the in-session toggle A/B read
+    # skip 1.84 s vs checkpoint 1.58 s at sf0.1 — the duplicate
+    # re-aggregations already cost more than the materialization at
+    # the smallest measurable tier, so the checkpoint stays
+    # unconditional.
     counts = (
         df.groupBy(*gcols, value_col)
         .agg(F.count(F.lit(1)).alias("__c"))

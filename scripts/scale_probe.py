@@ -177,8 +177,12 @@ PROBE = {
     "pure-JVM max(struct) streaming aggregation since r17; one "
     "(ord,op,value) triple of state-store state per key, no Python "
     "worker)",
-    "events_burst_dedup_stream": "linear (AvailableNow replay; per-key "
-    "(ts,id) sort + chain scan; one timestamp of state per key)",
+    "events_burst_dedup_stream": "linear (AvailableNow replay into the "
+    "pure-JVM session_window aggregation since r18; sessions merge in "
+    "the state store, no per-key Python dispatch)",
+    "events_kmv_distinct_stream": "linear (AvailableNow replay; JVM-side "
+    "md5, per-key k-smallest state in applyInPandasWithState — the "
+    "documented modest-key-cardinality contract)",
 }
 
 
