@@ -728,22 +728,26 @@ FROM s GROUP BY user_id, sess
 
 
 def _q_events_busy_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSTOM STATEFUL streaming operator, driver-verified end-to-end:
-    the events parquet replayed through the file source
-    (``Trigger.AvailableNow``) into ``streaming.events.
-    stream_interval_union`` — an ``applyInPandasWithState`` island
-    list per user (state bounded by the key's GAP structure, not row
-    count) — with the same deterministic busy-interval derivation as
-    the batch ``events_busy_time`` gate, and the SAME oracle: the
-    stream's final per-key emission equals the batch islands exactly
-    (prefix-equivalence is the operator's tested contract; this gate
-    makes the driver check it against DuckDB).
+    """STREAMING busy-time (merged-interval coverage) per user,
+    driver-verified end-to-end: the events parquet replayed through
+    the file source (``Trigger.AvailableNow``) into
+    ``streaming.events.stream_interval_union``.
 
-    Append mode emits one row per key per micro-batch that touched
-    the key; the final state row is recovered WITHOUT batch ids:
-    ``covered`` (union size) is monotone per key, and equal covered
-    implies the identical island set, so max(struct(covered, ...))
-    is deterministic and equals the last emission."""
+    Engine (r18, same move as the burst gate): ``engine="jvm"`` — an
+    interval ``[s, e)`` is an event at ``s`` with a DYNAMIC session
+    gap of ``e − s``, and ``session_window`` merges
+    overlapping-or-touching sessions exactly like the operator's
+    island fusion, so the replay is one built-in streaming
+    session-window aggregation in complete mode (one row per ISLAND)
+    with no per-key Python group dispatch. The per-user rollup
+    (n_islands / covered / max_island) runs on the sink table — the
+    same numbers the pandas engine's final emission carries, same
+    oracle (the batch islands), order-independent by construction.
+
+    The pandas engine (``applyInPandasWithState`` island lists,
+    state bounded by the key's GAP structure) remains the
+    continuous-feed form; its prefix-equivalence contract is tested
+    in the operator suite."""
     from omop_etl_spark.streaming.events import (
         read_events_stream,
         stream_interval_union,
@@ -759,16 +763,24 @@ def _q_events_busy_time_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("e"),
     )
     tbl = _run_available_now(
-        stream_interval_union(iv, "user_id", "s", "e"), "busy_replay"
+        stream_interval_union(iv, "user_id", "s", "e", engine="jvm"),
+        "busy_replay",
+        output_mode="complete",
     )
-    final = tbl.groupBy("user_id").agg(
-        F.max(F.struct("covered", "n_islands", "max_island")).alias("__w")
-    )
-    return final.select(
-        F.col("user_id").cast("bigint").alias("user_id"),
-        F.col("__w.n_islands").cast("bigint").alias("n_islands"),
-        F.col("__w.covered").cast("bigint").alias("covered"),
-        F.col("__w.max_island").cast("bigint").alias("max_island"),
+    island_len = F.col("island_end") - F.col("island_start")
+    return (
+        tbl.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(island_len).alias("covered"),
+            F.max(island_len).alias("max_island"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("n_islands").cast("bigint").alias("n_islands"),
+            F.col("covered").cast("bigint").alias("covered"),
+            F.col("max_island").cast("bigint").alias("max_island"),
+        )
     )
 
 

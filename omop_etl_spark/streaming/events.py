@@ -467,30 +467,71 @@ def stream_interval_union(
     key_col: str,
     start_col: str,
     end_col: str,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Streaming twin of ``operators.temporal.interval_union``: a
     running merged-interval coverage (busy-time / uptime) per key over
     an unbounded, possibly OUT-OF-ORDER stream of half-open intervals
-    ``[start, end)``.
+    ``[start, end)``. ``start_col`` / ``end_col`` are int64 epoch
+    MICROSECONDS.
 
-    State per key is the DISJOINT ISLAND LIST (sorted start/end
-    arrays): each arriving interval binary-searches the islands it
-    overlaps or touches and fuses them in O(log I + merged). That
-    state is bounded by the key's merged-span structure — its GAPS —
-    not by row count: overlapping traffic collapses into existing
-    islands, so a key with steady activity holds O(1) islands forever
-    (the property raw-event buffering lacks). A watermark-eviction
-    variant could additionally retire islands older than the
-    watermark; kept out deliberately so the emitted numbers stay
-    prefix-exact.
+    ``engine="jvm"`` (r18): an interval ``[s, e)`` is an event at
+    ``s`` with a DYNAMIC session gap of ``e - s`` — Spark's
+    ``session_window`` merges overlapping-or-TOUCHING sessions
+    (break is strictly greater than the gap, probed r12), which is
+    exactly this operator's island fusion rule, so the merged islands
+    are one built-in streaming session-window aggregation with NO
+    per-key Python dispatch. Output here is one row per ISLAND —
+    ``(key, island_start, island_end)``, epoch-µs longs — because the
+    per-key rollup (count/covered/max) is a second aggregation a
+    single streaming query cannot chain; run it on the sink (the
+    replay gate does) or downstream. Run complete mode on a bounded
+    replay / append behind a watermark on a continuous feed (same
+    trade as :func:`stream_burst_dedup`). Requires ``e > s`` (a
+    session gap must be positive; the pandas engine also accepts
+    degenerate ``e == s`` points).
+
+    ``engine="pandas"`` (default): state per key is the DISJOINT
+    ISLAND LIST (sorted start/end arrays): each arriving interval
+    binary-searches the islands it overlaps or touches and fuses them
+    in O(log I + merged). That state is bounded by the key's
+    merged-span structure — its GAPS — not by row count: overlapping
+    traffic collapses into existing islands, so a key with steady
+    activity holds O(1) islands forever (the property raw-event
+    buffering lacks). A watermark-eviction variant could additionally
+    retire islands older than the watermark; kept out deliberately so
+    the emitted numbers stay prefix-exact.
 
     After ANY prefix of the stream the per-key emission EQUALS the
     batch ``interval_union`` of the same prefix — out-of-order arrival
     included, because island fusion is order-independent (set union of
-    covered points) — an exactly testable equivalence. Emits one
-    ``(key, n_islands, covered, max_island)`` row per key per
-    micro-batch in which that key received data (append mode).
+    covered points) — an exactly testable equivalence (both engines;
+    the jvm form is order-independent by construction). The pandas
+    engine emits one ``(key, n_islands, covered, max_island)`` row per
+    key per micro-batch in which that key received data (append mode).
     """
+    if engine == "jvm":
+        ts = F.timestamp_micros(F.col(start_col))
+        gap = F.concat(
+            (F.col(end_col) - F.col(start_col)).cast("string"),
+            F.lit(" microseconds"),
+        )
+        return (
+            stream.groupBy(F.col(key_col), F.session_window(ts, gap))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                key_col,
+                F.unix_micros(F.col("session_window.start")).alias(
+                    "island_start"
+                ),
+                F.unix_micros(F.col("session_window.end")).alias(
+                    "island_end"
+                ),
+            )
+        )
+    if engine != "pandas":
+        raise ValueError(f"unknown engine: {engine!r}")
+
     import bisect
 
     def fn(key, pdf_iter, state):

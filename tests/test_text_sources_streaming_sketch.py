@@ -670,3 +670,63 @@ def test_stream_interval_union_matches_batch(spark, tmp_path):
         got.setdefault(r.k, set()).add((r.n_islands, r.covered, r.max_island))
     for k in want_full:
         assert got[k] == {want_prefix[k], want_full[k]}, k
+
+
+def test_stream_interval_union_jvm_engine_matches_batch(spark, tmp_path):
+    """The r18 jvm engine (dynamic-gap session_window, one row per
+    island, complete mode) rolls up to exactly the batch
+    interval_union — including TOUCHING intervals (end == next start
+    must fuse: session merge-at-touch equals the island rule) and
+    out-of-order multi-batch arrival."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from omop_etl_spark.operators.temporal import interval_union
+    from omop_etl_spark.streaming import stream_interval_union
+
+    rng = random.Random(29)
+    rows = []
+    for k in ("a", "b"):
+        for _ in range(120):
+            s = rng.randrange(0, 5_000)
+            rows.append((k, s, s + rng.randrange(1, 400)))
+    # deliberate exact-touch chain and an isolated island per key
+    rows += [("a", 9_000, 9_010), ("a", 9_010, 9_020), ("a", 20_000, 20_001),
+             ("b", 9_005, 9_010), ("b", 9_010, 9_011)]
+    rng.shuffle(rows)
+    d = tmp_path / "iv_jvm"
+    d.mkdir()
+    pd.DataFrame(rows[:120], columns=["k", "s", "e"]).to_parquet(d / "f1.parquet")
+    pd.DataFrame(rows[120:], columns=["k", "s", "e"]).to_parquet(d / "f2.parquet")
+    stream = (
+        spark.readStream.schema("k string, s long, e long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_interval_union(stream, "k", "s", "e", engine="jvm")
+        .writeStream.format("memory")
+        .queryName("iv_jvm_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ln = F.col("island_end") - F.col("island_start")
+    got = {
+        r.k: (r.n_islands, r.covered, r.max_island)
+        for r in spark.table("iv_jvm_t")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(ln).alias("covered"),
+            F.max(ln).alias("max_island"),
+        )
+        .collect()
+    }
+    batch_df = spark.createDataFrame(rows, "k string, s long, e long")
+    want = {
+        r.k: (r.n_islands, r.covered, r.max_island)
+        for r in interval_union(batch_df, "k", "s", "e").collect()
+    }
+    assert got == want
