@@ -7730,31 +7730,24 @@ def _q_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term")
     )
-    from omop_etl_spark.conf import checkpoint_if_large, path_bytes
+    from omop_etl_spark.conf import checkpoint as _ckpt
 
     # r17: the exact term-count frame (vocabulary-bounded) feeds the
     # top-10 probe set, the final join-back, AND — via the count_col
     # path — the sketch itself: cells are SUMS over the multiset, so
     # accumulating the per-term counts builds the identical sketch in
     # one vocabulary pass. The corpus tokenize runs ONCE (was 6 scans:
-    # 2 tokenizes x 3 consumers in the r17 audit). SIZE-GATED since
-    # r18 (VERDICT r17 #3): at tiny tiers the eager tokenize job cost
-    # more than the duplicate page-cached passes it removed (+1.2 s
-    # at sf0.01). min_bytes is 4 MiB, not the 64 MiB default, because
-    # the re-derivation is a tokenize-explode (~10x a plain scan per
-    # byte): documents is 0.6 MiB at sf0.1 (skip) and 5.7 MiB at sf1
-    # (checkpoint), so the 100x-tier -60 % win is kept.
-    exact = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .transform(
-            lambda d: checkpoint_if_large(
-                d,
-                size_hint=path_bytes(f"{sf_dir}/documents.parquet"),
-                min_bytes=4 * 1024 * 1024,
-            )
-        )
-    )
+    # 2 tokenizes x 3 consumers in the r17 audit). A size gate was
+    # tried here in r18 (VERDICT r17 #3 flagged +1.2 s at sf0.01) and
+    # REVERTED on a valid in-session toggle A/B: with the r17
+    # count_col structure in place the checkpoint WINS at both small
+    # tiers (sf0.01 skip 1.50 vs ckpt 1.28 s; sf0.1 1.61 vs 1.49) —
+    # the 3-consumer fan-out re-tokenizes 3x without it, so the r17
+    # small-tier regression vs r16 was the structure change, not the
+    # checkpoint.
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    ).transform(_ckpt)
     top = exact.orderBy(F.col("exact_count").desc(), F.col("term")).limit(10)
     sk = cm_sketch_counts(
         exact, "term", depth=4, width=256, count_col="exact_count"

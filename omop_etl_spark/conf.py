@@ -151,12 +151,16 @@ def checkpoint_if_large(
         # unknown input size (non-file source, remote FS): checkpoint —
         # the conservative at-scale default
         return checkpoint(df, eager=eager)
-    if min_bytes is None:
-        min_bytes = int(
-            df.sparkSession.conf.get(
-                CHECKPOINT_MIN_BYTES_CONF, str(DEFAULT_CHECKPOINT_MIN_BYTES)
-            )
-        )
+    # precedence: an EXPLICITLY SET session conf overrides per-site
+    # min_bytes defaults (a cluster operator setting minBytes=0 means
+    # "always checkpoint", whatever each site's per-byte-cost default
+    # says); otherwise the call site's min_bytes, then the module
+    # default.
+    conf_val = df.sparkSession.conf.get(CHECKPOINT_MIN_BYTES_CONF, None)
+    if conf_val is not None:
+        min_bytes = int(conf_val)
+    elif min_bytes is None:
+        min_bytes = DEFAULT_CHECKPOINT_MIN_BYTES
     if min_bytes > 0 and int(size_hint) < min_bytes:
         return df
     return checkpoint(df, eager=eager)

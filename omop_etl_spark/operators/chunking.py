@@ -690,10 +690,16 @@ def distinctive_terms(
     # tokenize + explode + aggregate (4 source scans in the r17
     # audit). The frame is (groups x vocab)-bounded — same class as
     # token_cooccurrence's basket checkpoint.
+    # NOT size-gated (r18 toggle A/B, valid after the conf-precedence
+    # fix): a_tab fans out to THREE aggregations; skipping re-runs the
+    # tokenize+aggregate each time and measured SLOWER at both sf0.01
+    # (skip 1.68 vs ckpt 1.42 s) and sf0.1 (1.76 vs 1.45) — unlike the
+    # single-fan-out cf/c12 frames, the checkpoint pays for itself at
+    # every tier.
     a_tab = (
         terms.groupBy("__g", "term")
         .agg(F.count(F.lit(1)).alias("a"))
-        .transform(lambda d: _ckpt_tokenize(d, df))
+        .transform(_checkpoint)
     )
     term_tot = a_tab.groupBy("term").agg(F.sum("a").alias("__tt"))
     grp_tot = a_tab.groupBy("__g").agg(F.sum("a").alias("n1"))

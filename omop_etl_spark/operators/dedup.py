@@ -52,6 +52,22 @@ def exact_dedup(
     the window path shuffles every row into a per-key sort first. The
     window remains for frames with payload columns the survivor must
     carry whole.
+
+    Payload-path alternative measured and REJECTED (r18, VERDICT r17
+    #4): ``groupBy(keys).agg(min(struct(tiebreak, payload…)))`` plans
+    as a partial SortAggregate and was A/B'd on high-dup fixtures
+    (2 M rows, 10 %/40 % dup rates, dup multiplicity swept 8 → 800) on
+    wall AND event-log shuffle bytes. It never won: low-multiplicity
+    dups don't co-occur within map partitions so the partial combine
+    collapses nothing, and high-multiplicity dup payloads are already
+    collapsed by SHUFFLE COMPRESSION (the window arm's bytes drop with
+    the dup rate too — 664 → 447 MB at 10 % → 40 %), while min-struct
+    pays per-partition map-side sorts (wall +15–30 % in every warm
+    pair). Side note if this is ever revisited: on tiebreak TIES
+    min-struct picks the full-struct minimum (deterministic) while the
+    window's survivor is partition-order-dependent — the two paths
+    only agree when the tiebreak is unique per key, which every
+    oracle-checked caller guarantees.
     """
     str_keys = [k for k in keys if isinstance(k, str)]
     if len(str_keys) == len(keys):

@@ -332,10 +332,30 @@ def test_cm_sketch_one_tokenize(spark, entry):
     # frame (cm_sketch_counts count_col path). The eager
     # conf.checkpoint runs the tokenize at construction, so the final
     # plan reads the frame back as `Scan ExistingRDD` and contains NO
-    # parquet re-scan of the corpus.
+    # parquet re-scan of the corpus. (A size gate was tried and
+    # REVERTED in r18: the 3-consumer fan-out makes the checkpoint win
+    # at every tier — see the gate's comment.)
     plan = _plan(entry.queries()["sketch_term_counts"](spark, SF_DIR))
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_sizegated_checkpoints_skip_small_and_fire_when_forced(spark, entry):
+    # r18 (VERDICT r17 #3): the unigram LM-scorer checkpoint is
+    # size-gated on source bytes — at tiny SF the plan keeps full
+    # parquet lineage (no construction job), and forcing the gate open
+    # via the session conf restores the checkpointed shape. Conf
+    # precedence: an explicitly SET conf overrides per-site defaults.
+    from omop_etl_spark.conf import CHECKPOINT_MIN_BYTES_CONF
+
+    plan = _plan(entry.queries()["docs_unigram_logprob"](spark, SF_DIR))
+    assert "FileScan parquet" in plan, plan  # gate skipped: real lineage
+    spark.conf.set(CHECKPOINT_MIN_BYTES_CONF, "0")
+    try:
+        plan = _plan(entry.queries()["docs_unigram_logprob"](spark, SF_DIR))
+        assert "Scan ExistingRDD" in plan, plan
+    finally:
+        spark.conf.unset(CHECKPOINT_MIN_BYTES_CONF)
 
 
 def test_except_all_has_no_row_number_over_fact(spark, entry):
